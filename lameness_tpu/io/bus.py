@@ -1,0 +1,143 @@
+"""In-process message bus with the reference's NATS client interface.
+
+The reference communicates exclusively over NATS core pub/sub with JSON
+payloads, at-most-once, callbacks wrapped in swallow-all exception handling
+(``shared/utils/nats_client.py:13-76``).  On TPU the hot path is one
+device-resident program, so the bus's job shrinks to (a) preserving the
+23-subject contract at the framework boundary for external consumers, and
+(b) driving the host-side orchestration DAG in-process.
+
+``MessageBus`` keeps that contract: same subject names, JSON-serializable
+dict payloads, per-message exception isolation, fire-and-forget publish.
+If the real ``nats-py`` client is importable and a server URL is configured,
+``NatsBridge`` mirrors every publication out to it.
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import threading
+import time
+from collections import defaultdict
+from pathlib import Path
+from typing import Any, Awaitable, Callable, Dict, List, Optional
+
+Handler = Callable[[Dict[str, Any]], Any]
+
+
+class MessageBus:
+    """Synchronous-dispatch in-process pub/sub with NATS-compatible surface.
+
+    Handlers may be plain callables or coroutines; coroutines run on a
+    dedicated event loop thread.  ``publish`` never raises on handler
+    failure (matching nats_client.py:61-67's swallow-all semantics) but
+    failures are recorded in ``self.errors`` so tests can assert on them.
+    """
+
+    def __init__(self, journal_path: Optional[Path] = None):
+        self._subs: Dict[str, List[Handler]] = defaultdict(list)
+        self._lock = threading.Lock()
+        self.journal_path = journal_path
+        self.errors: List[Dict[str, Any]] = []
+        self.history: List[Dict[str, Any]] = []
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self.connected = False
+
+    # -- NATS-compatible surface -------------------------------------------
+    async def connect(self) -> None:
+        self.connected = True
+
+    async def close(self) -> None:
+        self.connected = False
+
+    async def subscribe(self, subject: str, handler: Handler) -> None:
+        self.subscribe_sync(subject, handler)
+
+    async def publish(self, subject: str, payload: Dict[str, Any]) -> None:
+        decoded = self._record(subject, payload)
+        with self._lock:
+            handlers = list(self._subs.get(subject, ()))
+        for h in handlers:
+            try:
+                result = h(decoded)
+                if asyncio.iscoroutine(result):
+                    await result
+            except Exception as e:
+                self.errors.append({"subject": subject, "error": repr(e)})
+
+    # -- synchronous API ----------------------------------------------------
+    def subscribe_sync(self, subject: str, handler: Handler) -> None:
+        with self._lock:
+            self._subs[subject].append(handler)
+
+    def _record(self, subject: str, payload: Dict[str, Any]) -> Dict[str, Any]:
+        # Force JSON round-trippability at the boundary, like the wire would.
+        encoded = json.dumps(payload)
+        record = {"subject": subject, "ts": time.time(), "payload": payload}
+        self.history.append(record)
+        if self.journal_path is not None:
+            self.journal_path.parent.mkdir(parents=True, exist_ok=True)
+            with open(self.journal_path, "a") as f:
+                f.write(encoded and json.dumps(
+                    {"subject": subject, "ts": record["ts"],
+                     "payload": payload}) + "\n")
+        return json.loads(encoded)
+
+    def publish_sync(self, subject: str, payload: Dict[str, Any]) -> None:
+        decoded = self._record(subject, payload)
+        with self._lock:
+            handlers = list(self._subs.get(subject, ()))
+        for h in handlers:
+            try:
+                result = h(decoded)
+                if asyncio.iscoroutine(result):
+                    self._run_coro(result)
+            except Exception as e:  # at-most-once, swallow like the reference
+                self.errors.append({"subject": subject, "error": repr(e)})
+
+    def _run_coro(self, coro: Awaitable) -> None:
+        if self._loop is None or self._loop.is_closed():
+            self._loop = asyncio.new_event_loop()
+        self._loop.run_until_complete(coro)
+
+    # -- introspection ------------------------------------------------------
+    def messages_on(self, subject: str) -> List[Dict[str, Any]]:
+        return [m["payload"] for m in self.history if m["subject"] == subject]
+
+    def subjects_seen(self) -> List[str]:
+        seen: List[str] = []
+        for m in self.history:
+            if m["subject"] not in seen:
+                seen.append(m["subject"])
+        return seen
+
+
+class NatsBridge:
+    """Optional mirror of bus traffic to a real NATS server (if nats-py is
+    installed and reachable).  Degrades to a no-op otherwise."""
+
+    def __init__(self, bus: MessageBus, url: str = "nats://localhost:4222"):
+        self.bus = bus
+        self.url = url
+        self._nc = None
+
+    async def start(self) -> bool:
+        try:
+            import nats  # type: ignore
+        except ImportError:
+            return False
+        try:
+            self._nc = await nats.connect(self.url)
+        except Exception:
+            return False
+
+        def _mirror(subject: str):
+            def h(payload: Dict[str, Any]):
+                if self._nc is not None:
+                    coro = self._nc.publish(subject, json.dumps(payload).encode())
+                    asyncio.get_event_loop().create_task(coro)
+            return h
+
+        for subject in list(self.bus._subs):
+            self.bus.subscribe_sync(subject, _mirror(subject))
+        return True

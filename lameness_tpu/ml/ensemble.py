@@ -1,0 +1,167 @@
+"""Tabular GBDT ensemble — the ml-pipeline's CatBoost/XGBoost/LightGBM trio.
+
+Behavioral rebuild of ``services/ml-pipeline/app/main.py:72-114,241-303``:
+three named boosted models + a weighted ensemble whose weights come from
+``ensemble_weights.json``.  GBDT inference stays on host, bit-stable
+(SURVEY.md §2.7) — this is deliberately NOT a TPU workload.
+
+When the native libraries are installed they are used with the reference's
+file formats; otherwise sklearn gradient boosting stands in for each slot
+(documented degradation — identical ensemble math, different tree library),
+persisted with joblib under the same model-directory layout.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import joblib
+import numpy as np
+
+MODEL_SLOTS = ("catboost", "xgboost", "lightgbm")
+DEFAULT_WEIGHTS = {"catboost": 0.35, "xgboost": 0.35, "lightgbm": 0.30}
+
+
+def _make_model(slot: str, params: Optional[Dict[str, Any]] = None):
+    """Construct the best available backend for a slot."""
+    params = params or {}
+    n_estimators = params.get("n_estimators", 200)
+    lr = params.get("learning_rate", 0.1)
+    depth = params.get("max_depth", 6)
+    if slot == "catboost":
+        try:
+            from catboost import CatBoostClassifier  # type: ignore
+            return CatBoostClassifier(iterations=n_estimators,
+                                      learning_rate=lr, depth=depth,
+                                      verbose=False)
+        except ImportError:
+            pass
+        from sklearn.ensemble import GradientBoostingClassifier
+        return GradientBoostingClassifier(n_estimators=n_estimators,
+                                          learning_rate=lr, max_depth=depth)
+    if slot == "xgboost":
+        try:
+            from xgboost import XGBClassifier  # type: ignore
+            return XGBClassifier(n_estimators=n_estimators, learning_rate=lr,
+                                 max_depth=depth, eval_metric="logloss")
+        except ImportError:
+            pass
+        from sklearn.ensemble import HistGradientBoostingClassifier
+        return HistGradientBoostingClassifier(max_iter=n_estimators,
+                                              learning_rate=lr,
+                                              max_depth=depth)
+    if slot == "lightgbm":
+        try:
+            from lightgbm import LGBMClassifier  # type: ignore
+            return LGBMClassifier(n_estimators=n_estimators, learning_rate=lr,
+                                  max_depth=depth, verbose=-1)
+        except ImportError:
+            pass
+        from sklearn.ensemble import HistGradientBoostingClassifier
+        return HistGradientBoostingClassifier(max_iter=n_estimators,
+                                              learning_rate=lr,
+                                              max_depth=depth,
+                                              max_leaf_nodes=63)
+    raise ValueError(slot)
+
+
+class GBDTEnsemble:
+    """Three-slot boosted ensemble with the reference's predict() contract."""
+
+    def __init__(self, models_dir: Path,
+                 params: Optional[Dict[str, Dict[str, Any]]] = None):
+        self.models_dir = Path(models_dir)
+        self.models_dir.mkdir(parents=True, exist_ok=True)
+        self.params = params or {}
+        self.models: Dict[str, Any] = {}
+        self.ensemble_weights: Dict[str, float] = dict(DEFAULT_WEIGHTS)
+        self.load()
+
+    # -- persistence ---------------------------------------------------------
+    def _slot_path(self, slot: str) -> Path:
+        return self.models_dir / f"{slot}_latest.joblib"
+
+    def load(self) -> None:
+        for slot in MODEL_SLOTS:
+            p = self._slot_path(slot)
+            if p.exists():
+                try:
+                    self.models[slot] = joblib.load(p)
+                except Exception:
+                    pass
+        w = self.models_dir / "ensemble_weights.json"
+        if w.exists():
+            try:
+                self.ensemble_weights = json.load(open(w))
+            except Exception:
+                pass
+
+    def save(self) -> None:
+        for slot, model in self.models.items():
+            joblib.dump(model, self._slot_path(slot))
+        json.dump(self.ensemble_weights,
+                  open(self.models_dir / "ensemble_weights.json", "w"))
+
+    # -- training ------------------------------------------------------------
+    def fit(self, x: np.ndarray, y: np.ndarray,
+            cv_folds: int = 5) -> Dict[str, Any]:
+        """Train all slots with stratified CV accuracy reporting
+        (training-service/app/main.py:193-293)."""
+        from sklearn.model_selection import StratifiedKFold, cross_val_score
+        report: Dict[str, Any] = {"models": {}}
+        n_splits = min(cv_folds, int(np.bincount(y.astype(int)).min()))
+        for slot in MODEL_SLOTS:
+            model = _make_model(slot, self.params.get(slot))
+            if n_splits >= 2:
+                skf = StratifiedKFold(n_splits=n_splits, shuffle=True,
+                                      random_state=42)
+                scores = cross_val_score(model, x, y, cv=skf,
+                                         scoring="accuracy")
+                report["models"][slot] = {
+                    "cv_accuracy_mean": float(scores.mean()),
+                    "cv_accuracy_std": float(scores.std()),
+                }
+            else:
+                report["models"][slot] = {"cv_accuracy_mean": None,
+                                          "cv_accuracy_std": None}
+            model.fit(x, y)
+            self.models[slot] = model
+        self.save()
+        report["num_samples"] = int(len(y))
+        report["class_balance"] = {str(c): int(n) for c, n in
+                                   zip(*np.unique(y, return_counts=True))}
+        return report
+
+    # -- inference -----------------------------------------------------------
+    def predict(self, features: np.ndarray) -> Dict[str, Any]:
+        """Per-model probabilities + weighted ensemble (ml:241-303).  Missing
+        models are skipped; with none loaded the ensemble defaults to 0.5."""
+        if features.ndim == 1:
+            features = features.reshape(1, -1)
+        predictions: Dict[str, Any] = {}
+        for slot in MODEL_SLOTS:
+            model = self.models.get(slot)
+            if model is None:
+                continue
+            try:
+                proba = float(model.predict_proba(features)[0, 1])
+            except Exception:
+                continue
+            predictions[slot] = {"probability": proba,
+                                 "prediction": int(proba > 0.5)}
+        ens = 0.0
+        total_w = 0.0
+        for slot, w in self.ensemble_weights.items():
+            if slot in predictions:
+                ens += predictions[slot]["probability"] * w
+                total_w += w
+        ens = ens / total_w if total_w > 0 else 0.5
+        predictions["ensemble"] = {"probability": float(ens),
+                                   "prediction": int(ens > 0.5),
+                                   "weights": self.ensemble_weights}
+        return predictions
+
+    @property
+    def has_models(self) -> bool:
+        return bool(self.models)

@@ -1,0 +1,404 @@
+"""Clip curation: raw upload -> canonical 5 s, 25 fps, 1280x720, left->right.
+
+Behavioral rebuild of ``services/clip-curation/app/main.py:61-704``:
+walking-pass segmentation on direction changes (MIN_PASS_FRAMES=30,
+5-frame direction window, 5%-width hysteresis), six-metric window scoring
+(framing .25 / steadiness .25 / straightness .15 / visual .15 /
+occlusion .10 / progress .10 over band 0.25-0.85), 25%-step window
+sliding, right->left horizontal flip normalisation, and the quality
+report schema checked in under ``data/quality_reports``.
+
+TPU-first restructure (SURVEY.md §7 hard part 7): the reference re-seeks
+and re-decodes frames per candidate window for blur/brightness; here ONE
+streaming decode pass caches per-frame detection + Laplacian-blur +
+brightness, and every window score is pure array math over the cache.
+
+The detector is injected (frame -> best-detection dict or None): the
+jitted YOLO path when weights exist, else a background-subtraction motion
+detector — mirroring the reference's graceful degradation.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from ..io import schemas
+from .decode import VideoReader, write_video
+
+TARGET_FPS = 25
+TARGET_RESOLUTION = (1280, 720)
+CANONICAL_DURATION = 5.0
+MIN_PASS_FRAMES = 30
+PROGRESS_BAND = (0.25, 0.85)
+
+Detector = Callable[[np.ndarray], Optional[Dict[str, Any]]]
+
+
+@dataclass
+class WalkingPass:
+    start_frame: int
+    end_frame: int
+    direction: str
+    centroids: List[Tuple[float, float]]
+    bboxes: List[List[float]]
+    confidences: List[float]
+    normalized_progress: List[float] = field(default_factory=list)
+    frame_indices: List[int] = field(default_factory=list)
+
+
+@dataclass
+class QualityMetrics:
+    framing_score: float
+    steadiness_score: float
+    straightness_score: float
+    visual_quality_score: float
+    occlusion_score: float
+    overall_score: float
+
+
+@dataclass
+class ClipCandidate:
+    start_frame: int
+    end_frame: int
+    start_time: float
+    end_time: float
+    metrics: QualityMetrics
+    needs_flip: bool
+
+
+# ---------------------------------------------------------------------------
+# detectors
+# ---------------------------------------------------------------------------
+def motion_detector() -> Detector:
+    """Weight-free fallback: MOG2 background subtraction, largest blob."""
+    bg = cv2.createBackgroundSubtractorMOG2(history=50, varThreshold=32)
+
+    def detect(frame_bgr: np.ndarray) -> Optional[Dict[str, Any]]:
+        mask = bg.apply(frame_bgr)
+        mask = cv2.morphologyEx(mask, cv2.MORPH_OPEN, np.ones((5, 5), np.uint8))
+        contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL,
+                                       cv2.CHAIN_APPROX_SIMPLE)
+        if not contours:
+            return None
+        c = max(contours, key=cv2.contourArea)
+        area = cv2.contourArea(c)
+        h, w = frame_bgr.shape[:2]
+        if area < 0.02 * h * w:
+            return None
+        x, y, bw, bh = cv2.boundingRect(c)
+        return {"bbox": [float(x), float(y), float(x + bw), float(y + bh)],
+                "confidence": min(1.0, area / (0.1 * h * w)),
+                "centroid": (x + bw / 2, y + bh / 2),
+                "area": float(bw * bh)}
+    return detect
+
+
+def yolo_detector(model, params, conf: float = 0.3,
+                  cow_class_id: int = 19) -> Detector:
+    """Device YOLO as a curation detector (clip-curation:103-131 semantics:
+    accept cow class or any detection > 10% of frame, keep largest)."""
+    import jax.numpy as jnp
+    from ..models.yolo import detect as yolo_detect
+    from ..ops.preprocess import letterbox, unletterbox_boxes
+
+    def detect_fn(frame_bgr: np.ndarray) -> Optional[Dict[str, Any]]:
+        rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+        canvas, ratio, pad = letterbox(jnp.asarray(rgb), 640)
+        out = model.apply(params, canvas[None])
+        det = yolo_detect(out["levels"], conf_threshold=conf, max_det=8)
+        boxes = np.asarray(unletterbox_boxes(det["boxes"][0], ratio, pad))
+        scores = np.asarray(det["scores"][0])
+        classes = np.asarray(det["classes"][0])
+        valid = np.asarray(det["valid"][0])
+        h, w = frame_bgr.shape[:2]
+        best = None
+        best_area = 0.0
+        for b, s, c, v in zip(boxes, scores, classes, valid):
+            if not v:
+                continue
+            area = max(0.0, (b[2] - b[0]) * (b[3] - b[1]))
+            if (c == cow_class_id or area > 0.1 * h * w) and area > best_area:
+                best_area = area
+                best = {"bbox": [float(x) for x in b],
+                        "confidence": float(s),
+                        "centroid": ((b[0] + b[2]) / 2, (b[1] + b[3]) / 2),
+                        "area": float(area)}
+        return best
+    return detect_fn
+
+
+# ---------------------------------------------------------------------------
+# per-frame quality stats (single streaming pass)
+# ---------------------------------------------------------------------------
+def blur_score(gray: np.ndarray) -> float:
+    """Laplacian variance / 500, capped at 1 (clip-curation:351-356)."""
+    return min(1.0, cv2.Laplacian(gray, cv2.CV_64F).var() / 500.0)
+
+
+def brightness_score(gray: np.ndarray) -> float:
+    """1 - |mean-128|/128 (clip-curation:358-365)."""
+    return max(0.0, 1.0 - abs(float(np.mean(gray)) - 128) / 128)
+
+
+class ClipCurator:
+    def __init__(self, dirs, detector: Optional[Detector] = None,
+                 bus=None, subjects=None):
+        self.dirs = dirs
+        self.detector = detector or motion_detector()
+        self.bus = bus
+        self.subjects = subjects
+        self.canonical_dir = dirs.canonical
+        self.reports_dir = dirs.quality_reports
+        self.canonical_dir.mkdir(parents=True, exist_ok=True)
+        self.reports_dir.mkdir(parents=True, exist_ok=True)
+
+    # -- stage 1: one decode pass -------------------------------------------
+    def track_cow_through_video(self, video_path: Path):
+        """Detection + visual-quality stats for every frame in one pass."""
+        with VideoReader(video_path) as vr:
+            info = vr.info
+            detections: List[Dict[str, Any]] = []
+            visual: List[float] = []
+            for idx, frame_rgb in vr.frames(interval=1, rgb=True):
+                frame_bgr = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR)
+                gray = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2GRAY)
+                visual.append((blur_score(gray) + brightness_score(gray)) / 2)
+                det = self.detector(frame_bgr)
+                detections.append({
+                    "frame": idx,
+                    "time": idx / info["fps"] if info["fps"] > 0 else 0,
+                    "detection": det,
+                })
+        return detections, info, np.asarray(visual)
+
+    # -- stage 2: walking passes (clip-curation:175-289) ---------------------
+    def identify_walking_passes(self, detections: List[Dict],
+                                video_info: Dict) -> List[WalkingPass]:
+        passes: List[WalkingPass] = []
+        width = video_info["width"]
+        start = None
+        direction = None
+        cents: List[Tuple[float, float]] = []
+        boxes: List[List[float]] = []
+        confs: List[float] = []
+
+        def flush(end_frame: int):
+            if start is not None and len(cents) >= MIN_PASS_FRAMES:
+                passes.append(self._make_pass(start, end_frame,
+                                              direction or "left_to_right",
+                                              cents, boxes, confs))
+
+        for det in detections:
+            if det["detection"] is None:
+                flush(det["frame"] - 1)
+                start, cents, boxes, confs = None, [], [], []
+                continue
+            centroid = det["detection"]["centroid"]
+            if start is None:
+                start = det["frame"]
+                direction = None
+                cents = [centroid]
+                boxes = [det["detection"]["bbox"]]
+                confs = [det["detection"]["confidence"]]
+            else:
+                if len(cents) >= 5:
+                    x_move = centroid[0] - cents[-5][0]
+                    new_dir = "left_to_right" if x_move > 0 else "right_to_left"
+                    if direction is None:
+                        direction = new_dir
+                    elif new_dir != direction and abs(x_move) > width * 0.05:
+                        flush(det["frame"] - 1)
+                        start = det["frame"]
+                        direction = new_dir
+                        cents = [centroid]
+                        boxes = [det["detection"]["bbox"]]
+                        confs = [det["detection"]["confidence"]]
+                        continue
+                cents.append(centroid)
+                boxes.append(det["detection"]["bbox"])
+                confs.append(det["detection"]["confidence"])
+        if detections:
+            flush(detections[-1]["frame"])
+        return passes
+
+    def _make_pass(self, start, end, direction, cents, boxes, confs):
+        xs = [c[0] for c in cents]
+        lo, hi = min(xs), max(xs)
+        rng = hi - lo if hi > lo else 1
+        if direction == "left_to_right":
+            progress = [(x - lo) / rng for x in xs]
+        else:
+            progress = [(hi - x) / rng for x in xs]
+        return WalkingPass(start_frame=start, end_frame=end,
+                           direction=direction, centroids=list(cents),
+                           bboxes=list(boxes), confidences=list(confs),
+                           normalized_progress=progress)
+
+    # -- stage 3: window scoring over the cache (clip-curation:291-432) ------
+    def score_window(self, wp: WalkingPass, start_idx: int, window_frames: int,
+                     video_info: Dict, visual_cache: np.ndarray
+                     ) -> QualityMetrics:
+        end_idx = min(start_idx + window_frames, len(wp.centroids))
+        if end_idx - start_idx < window_frames * 0.8:
+            return QualityMetrics(0, 0, 0, 0, 0, 0)
+        cents = wp.centroids[start_idx:end_idx]
+        boxes = wp.bboxes[start_idx:end_idx]
+        confs = wp.confidences[start_idx:end_idx]
+        progress = wp.normalized_progress[start_idx:end_idx]
+        fw, fh = video_info["width"], video_info["height"]
+
+        areas = [(b[2] - b[0]) * (b[3] - b[1]) for b in boxes]
+        size_score = min(1.0, np.mean(areas) / (fw * fh) / 0.3)
+        margins = []
+        for b in boxes:
+            m = min(b[0] / fw, (fw - b[2]) / fw, b[1] / fh, (fh - b[3]) / fh)
+            margins.append(min(1.0, m / 0.05))
+        framing = size_score * 0.6 + float(np.mean(margins)) * 0.4
+
+        xs = [c[0] for c in cents]
+        vel = np.diff(xs)
+        mean_speed = abs(float(np.mean(vel)))
+        steadiness = max(0.0, 1.0 - float(np.std(vel)) / mean_speed) \
+            if mean_speed > 0 else 0.0
+
+        ys = [c[1] for c in cents]
+        straightness = max(0.0, 1.0 - (max(ys) - min(ys)) / fh * 10)
+
+        n = end_idx - start_idx
+        sample_idx = [wp.start_frame + start_idx + i
+                      for i in range(0, n, max(1, n // 5))][:5]
+        vis = [visual_cache[i] for i in sample_idx if i < len(visual_cache)]
+        visual = float(np.mean(vis)) if vis else 0.5
+
+        occlusion = float(np.mean(confs))
+        avg_p = float(np.mean(progress))
+        if avg_p < PROGRESS_BAND[0]:
+            prog = avg_p / PROGRESS_BAND[0]
+        elif avg_p > PROGRESS_BAND[1]:
+            prog = (1.0 - avg_p) / (1.0 - PROGRESS_BAND[1])
+        else:
+            prog = 1.0
+
+        overall = (framing * 0.25 + steadiness * 0.25 + straightness * 0.15
+                   + visual * 0.15 + occlusion * 0.10 + prog * 0.10)
+        return QualityMetrics(float(framing), float(steadiness),
+                              float(straightness), visual, occlusion,
+                              float(overall))
+
+    def find_best_window(self, wp: WalkingPass, video_info: Dict,
+                         visual_cache: np.ndarray) -> Optional[ClipCandidate]:
+        fps = video_info["fps"]
+        window_frames = int(CANONICAL_DURATION * fps)
+        if len(wp.centroids) < window_frames:
+            return None
+        best = None
+        best_score = -1.0
+        step = max(1, window_frames // 4)
+        for start_idx in range(0, len(wp.centroids) - window_frames + 1, step):
+            m = self.score_window(wp, start_idx, window_frames, video_info,
+                                  visual_cache)
+            if m.overall_score > best_score:
+                best_score = m.overall_score
+                sf = wp.start_frame + start_idx
+                best = ClipCandidate(
+                    start_frame=sf, end_frame=sf + window_frames,
+                    start_time=sf / fps, end_time=(sf + window_frames) / fps,
+                    metrics=m, needs_flip=wp.direction == "right_to_left")
+        return best
+
+    # -- stage 4: extraction (clip-curation:434-505) -------------------------
+    def extract_canonical_clip(self, video_path: Path, cand: ClipCandidate,
+                               output_path: Path, video_info: Dict) -> bool:
+        target_frames = int(CANONICAL_DURATION * TARGET_FPS)
+        ratio = video_info["fps"] / TARGET_FPS
+        frames_out: List[np.ndarray] = []
+        with VideoReader(video_path) as vr:
+            for idx, frame in vr.frames(interval=1, rgb=True):
+                if idx < cand.start_frame:
+                    continue
+                rel = idx - cand.start_frame
+                if rel >= len(frames_out) * ratio and \
+                        len(frames_out) < target_frames:
+                    f = cv2.resize(frame, TARGET_RESOLUTION)
+                    if cand.needs_flip:
+                        f = cv2.flip(f, 1)
+                    frames_out.append(f)
+                if len(frames_out) >= target_frames:
+                    break
+        return write_video(output_path, frames_out, TARGET_FPS)
+
+    # -- full curation (clip-curation:567-672) -------------------------------
+    def curate_video(self, video_path: Path, video_id: str) -> Dict[str, Any]:
+        detections, info, visual_cache = self.track_cow_through_video(video_path)
+        passes = self.identify_walking_passes(detections, info)
+        candidates = []
+        for wp in passes:
+            c = self.find_best_window(wp, info, visual_cache)
+            if c:
+                candidates.append(c)
+        candidates.sort(key=lambda c: c.metrics.overall_score, reverse=True)
+        selected = candidates[0] if candidates else None
+        backup = candidates[1] if len(candidates) > 1 else None
+        status, rejection = "success", None
+        if selected is None:
+            status = "rejected"
+            rejection = ("no valid walking pass of sufficient length"
+                         if not passes else "no window long enough for 5s clip")
+        else:
+            out_path = self.canonical_dir / f"{video_id}_canonical.mp4"
+            ok = self.extract_canonical_clip(video_path, selected, out_path,
+                                             info)
+            if not ok:
+                status, rejection = "failed", "clip extraction failed"
+            if backup is not None and ok:
+                self.extract_canonical_clip(
+                    video_path, backup,
+                    self.canonical_dir / f"{video_id}_backup.mp4", info)
+
+        report = schemas.quality_report(
+            video_id=video_id,
+            source=info,
+            passes=[{"start_frame": p.start_frame, "end_frame": p.end_frame,
+                     "direction": p.direction,
+                     "duration": (p.end_frame - p.start_frame + 1) / info["fps"]
+                     if info["fps"] > 0 else 0}
+                    for p in passes],
+            selected_window=self._window_dict(selected),
+            backup_window=self._window_dict(backup),
+            status=status, rejection_reason=rejection,
+            target_fps=TARGET_FPS, target_resolution=TARGET_RESOLUTION,
+            target_duration=CANONICAL_DURATION)
+        schemas.write_result(self.reports_dir / f"{video_id}_quality.json",
+                             report)
+        if self.bus is not None:
+            subject = (self.subjects.video_curated if self.subjects
+                       else "video.curated")
+            self.bus.publish_sync(subject, {
+                "video_id": video_id, "status": status,
+                "canonical_path": str(self.canonical_dir
+                                      / f"{video_id}_canonical.mp4"),
+                "quality_report": str(self.reports_dir
+                                      / f"{video_id}_quality.json")})
+        return report
+
+    @staticmethod
+    def _window_dict(c: Optional[ClipCandidate]) -> Optional[Dict[str, Any]]:
+        if c is None:
+            return None
+        return {
+            "start_frame": c.start_frame, "end_frame": c.end_frame,
+            "start_time": c.start_time, "end_time": c.end_time,
+            "needs_flip": c.needs_flip,
+            "metrics": {
+                "framing_score": c.metrics.framing_score,
+                "steadiness_score": c.metrics.steadiness_score,
+                "straightness_score": c.metrics.straightness_score,
+                "visual_quality_score": c.metrics.visual_quality_score,
+                "occlusion_score": c.metrics.occlusion_score,
+                "overall_score": c.metrics.overall_score,
+            },
+        }

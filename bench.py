@@ -1,0 +1,100 @@
+"""Benchmark harness: end-to-end fused clip pipeline on one chip.
+
+Prints ONE JSON line:
+  {"metric": "clips_per_min_per_chip", "value": N, "unit": "clips/min",
+   "vs_baseline": R, ...detail...}
+
+The reference publishes no measured numbers (BASELINE.md); the driver
+target is < 1 s p50 per 5 s clip on v5e-4, i.e. 4 s/clip/chip = 15
+clips/min/chip.  vs_baseline is measured clips/min/chip divided by 15, so
+vs_baseline >= 1.0 meets the north-star rate on a single chip.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CLIPS_PER_MIN = 15.0       # 1 s p50 on 4 chips → 4 s/clip/chip
+
+
+def load_clip_frames():
+    """Golden canonical clip if available, else synthetic 720p frames."""
+    import pathlib
+    golden = pathlib.Path(
+        "/root/reference/data/canonical/"
+        "5c3864af-b292-43e7-a319-becb0e98c230_canonical.mp4")
+    if golden.exists():
+        try:
+            from lameness_tpu.video.decode import VideoReader
+            with VideoReader(golden) as vr:
+                frames, _ = vr.read_sampled(interval=1)
+            if frames.shape[0] >= 125:
+                return frames[:125][None]          # (1, 125, 720, 1280, 3)
+        except Exception:
+            pass
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 255, (1, 125, 720, 1280, 3), dtype=np.uint8)
+
+
+def main():
+    import jax
+    from lameness_tpu.pipeline.engine import EngineSpec, LamenessEngine
+
+    frames = load_clip_frames()
+    spec = EngineSpec()
+    t0 = time.time()
+    engine = LamenessEngine(spec=spec)
+    build_s = time.time() - t0
+
+    rng = jax.random.PRNGKey(0)
+
+    def run_once(frames_np):
+        # includes the host->HBM frame transfer (end-to-end per clip);
+        # scalar readbacks from each heavy stage force real completion
+        # (block_until_ready is unreliable on tunnelled backends)
+        fd = jax.device_put(frames_np)
+        out = engine.run_staged(fd, rng)
+        sink = (float(out["tcn_probability"][0])
+                + float(out["mask_area_frac"][0, 0])
+                + float(out["embeddings"][0, 0, 0])
+                + float(out["det_scores"][0, 0, 0]))
+        return out, sink
+
+    # warmup / compile
+    t0 = time.time()
+    out, _ = run_once(frames)
+    compile_s = time.time() - t0
+
+    # timed runs
+    times = []
+    for i in range(8):
+        t0 = time.time()
+        out, _ = run_once(frames)
+        times.append(time.time() - t0)
+    p50 = float(np.median(times))
+    clips_per_min = 60.0 / p50
+
+    result = {
+        "metric": "clips_per_min_per_chip",
+        "value": round(clips_per_min, 2),
+        "unit": "clips/min",
+        "vs_baseline": round(clips_per_min / BASELINE_CLIPS_PER_MIN, 3),
+        "p50_clip_latency_s": round(p50, 4),
+        "compile_s": round(compile_s, 1),
+        "build_s": round(build_s, 1),
+        "backend": jax.default_backend(),
+        "stages": "yolo+sam_vitb+dino_vitb+pose+tcn+gait (fused, 1 jit)",
+        "tcn_probability": float(out["tcn_probability"][0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # never leave the driver without a JSON line
+        print(json.dumps({"metric": "clips_per_min_per_chip", "value": 0.0,
+                          "unit": "clips/min", "vs_baseline": 0.0,
+                          "error": repr(e)[:300]}))
+        sys.exit(1)

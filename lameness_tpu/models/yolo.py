@@ -258,8 +258,12 @@ def decode_predictions(levels: List[Dict[str, jnp.ndarray]],
 
 def detect(levels, conf_threshold: float = 0.25, iou_threshold: float = 0.45,
            max_det: int = 32, reg_max: int = 16,
-           strides: Sequence[int] = (8, 16, 32)):
-    """Full postprocess: decode -> class argmax -> batched NMS.
+           strides: Sequence[int] = (8, 16, 32), pre_topk: int = 256):
+    """Full postprocess: decode -> class argmax -> pre-NMS top-k -> NMS.
+
+    The pre-NMS top-k keeps the greedy-NMS candidate set small (the IoU
+    matrix is pre_topk², not num_anchors²), exactly like ultralytics'
+    candidate cap — 640² YOLO has 8400 anchors, NMS sees 256.
 
     Returns dict(boxes (B,K,4), scores (B,K), classes (B,K), valid (B,K),
     keypoints (B,K,Kp,3) when the model has a pose head).
@@ -267,6 +271,13 @@ def detect(levels, conf_threshold: float = 0.25, iou_threshold: float = 0.45,
     boxes, scores, kpts = decode_predictions(levels, reg_max, strides)
     cls_score = scores.max(axis=-1)
     cls_id = scores.argmax(axis=-1).astype(jnp.int32)
+    if cls_score.shape[-1] > pre_topk:
+        top_scores, top_idx = jax.lax.top_k(cls_score, pre_topk)
+        boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+        cls_id = jnp.take_along_axis(cls_id, top_idx, axis=1)
+        if kpts is not None:
+            kpts = jnp.take_along_axis(kpts, top_idx[..., None, None], axis=1)
+        cls_score = top_scores
     ob, osc, ocl, valid = nms_batched(
         boxes, cls_score, cls_id, max_out=max_det,
         iou_threshold=iou_threshold, score_threshold=conf_threshold)
@@ -359,7 +370,9 @@ def convert_ultralytics_state_dict(sd: Dict[str, Any], variant: str = "n",
 
 
 def init_params(model: YoloV8, key=None, img: int = 640) -> Dict:
-    """Random-init params (the reference's no-weights fallback)."""
+    """Random-init params (the reference's no-weights fallback).  Jitted:
+    eager init dispatches hundreds of op-by-op compiles on TPU."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    return model.init(key, jnp.zeros((1, img, img, 3), jnp.float32))
+    return jax.jit(model.init, static_argnums=())(
+        key, jnp.zeros((1, img, img, 3), jnp.float32))

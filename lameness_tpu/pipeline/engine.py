@@ -1,0 +1,394 @@
+"""The fused, device-resident lameness engine.
+
+This is what the reference's nine NATS hops collapse into (SURVEY.md §3.1):
+a per-clip-batch device pipeline that runs
+
+  frames ─ letterbox ─→ YOLO detect (DFL + batched NMS)
+        ├─ primary-box select (largest valid cow, full-frame fallback
+        │   mirroring tleap:295-304)
+        ├─ SAM: 1024² pad → ViT encoder → box-prompted mask decoder
+        │   (or the reference's bbox-rectangle fallback, sam3:94-100)
+        ├─ DINO: 224² resize-crop → ViT-B/14 → mean-pooled 768-d embeddings
+        ├─ pose: trained head when loaded, else anatomical heuristic
+        │   (tleap:199-265) → locomotion features on device
+        └─ 44-d sequence features → TCN + GaitTransformer heads with
+            vmapped MC-dropout
+
+with intermediate tensors staying in HBM end to end.  Stage sampling rates
+follow the reference (YOLO/SAM 2 FPS, DINO 1 FPS, pose 5 FPS over the 5 s
+canonical clip).
+
+Execution modes:
+- ``staged`` (default): each stage is its own jitted program; arrays flow
+  between stages without leaving the device.  Compiles in seconds per
+  stage — the remote-compile TPU service cannot digest the single fused
+  HLO of the full graph.
+- ``monolith``: everything in ONE jit (available for backends with a local
+  compiler; same math).
+
+The host shell (``serve/driver.py``) pads clip batches and converts
+outputs into the schema-exact result JSONs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..models import dino as dino_mod
+from ..models import pose as pose_mod
+from ..models import sequence_features as seqf
+from ..models.gait_transformer import GaitTransformer
+from ..models.sam import Sam
+from ..models.tcn import TCN
+from ..models.yolo import YoloV8, detect, init_params
+from ..ops import preprocess as prep
+from ..ops.boxes import clip_boxes
+from ..ops.preprocess import letterbox, pad_to_square, unletterbox_boxes
+
+
+@dataclasses.dataclass
+class EngineSpec:
+    """Static geometry of the fused step (one XLA signature per spec)."""
+    clip_frames: int = 125           # canonical 5 s @ 25 fps
+    frame_height: int = 720
+    frame_width: int = 1280
+    fps: int = 25
+    yolo_size: int = 640
+    dino_size: int = 224
+    sam_size: int = 1024
+    max_det: int = 8
+    use_sam_model: bool = True       # False => bbox-rectangle mask fallback
+    sam_mask_size: int = 256         # decoder low-res mask side
+    dtype: Any = jnp.float32
+
+    # stage frame subsets (reference sampling rules, SURVEY §6)
+    @property
+    def det_idx(self):               # 2 FPS → every fps//2 frames
+        return np.arange(0, self.clip_frames, max(1, self.fps // 2))
+
+    @property
+    def dino_idx(self):              # 1 FPS
+        return np.arange(0, self.clip_frames, max(1, self.fps))
+
+    @property
+    def pose_idx(self):              # 5 FPS
+        return np.arange(0, self.clip_frames, max(1, self.fps // 5))
+
+
+class LamenessEngine:
+    """Owns model defs + params, staged jits, and the optional monolith."""
+
+    def __init__(self, config: Optional[Config] = None,
+                 spec: Optional[EngineSpec] = None,
+                 rng: Optional[jax.Array] = None,
+                 init_models: bool = True):
+        self.config = config or Config()
+        self.spec = spec or EngineSpec()
+        if not init_models:
+            return
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        ks = jax.random.split(rng, 5)
+        s = self.spec
+        self.yolo = YoloV8(variant="n", num_classes=self.config.yolo.num_classes)
+        self.dino = dino_mod.DinoV2()       # ViT-B/14, dinov2-base geometry
+        self.sam = Sam(img_size=s.sam_size) if s.use_sam_model else None
+        self.tcn = TCN(input_dim=44)
+        self.gait = GaitTransformer(input_dim=44)
+        # jit every init: eager init is pathologically slow on remote-compile
+        # TPU backends (each op dispatches its own compilation)
+        self.params: Dict[str, Any] = {}
+        self.params["yolo"] = init_params(self.yolo, ks[0], img=s.yolo_size)
+        self.params["dino"] = jax.jit(self.dino.init)(
+            ks[1], jnp.zeros((1, s.dino_size, s.dino_size, 3), s.dtype))
+        if self.sam is not None:
+            self.params["sam"] = jax.jit(self.sam.init)(
+                ks[2], jnp.zeros((1, s.sam_size, s.sam_size, 3), s.dtype),
+                jnp.zeros((1, 4)))
+        self.params["tcn"] = jax.jit(self.tcn.init)(
+            ks[3], jnp.zeros((1, seqf.TARGET_LEN, 44)))
+        self.params["gait"] = jax.jit(self.gait.init)(
+            ks[4], jnp.zeros((1, seqf.TARGET_LEN, 44)),
+            jnp.zeros((1, seqf.TARGET_LEN), bool))
+        self.loaded_weights = {k: False for k in
+                               ("yolo", "dino", "sam", "pose", "tcn", "gait")}
+        self._build_jits()
+
+    def _build_jits(self):
+        self._jit_detect = jax.jit(self._detect_stage)
+        self._jit_sam = jax.jit(self._sam_stage)
+        self._jit_dino = jax.jit(self._dino_stage)
+        self._jit_heads = jax.jit(self._heads_stage)
+        self._fused = jax.jit(self._fused_step)
+
+    # -- weight loading hooks ------------------------------------------------
+    def load_torch_weights(self, name: str, state_dict) -> None:
+        """Convert + install torch weights for a sub-model."""
+        if name == "dino":
+            self.params["dino"] = dino_mod.convert_hf_state_dict(state_dict)
+        elif name == "sam":
+            from ..models.sam import convert_hf_state_dict as conv
+            self.params["sam"] = conv(state_dict)
+        elif name == "yolo":
+            from ..models.yolo import convert_ultralytics_state_dict as conv
+            self.params["yolo"] = conv(state_dict)
+        else:
+            raise ValueError(name)
+        self.loaded_weights[name] = True
+        self._build_jits()
+
+    # -- stage 1: detection --------------------------------------------------
+    def _primary_boxes(self, boxes, scores, classes, valid,
+                       h: float, w: float):
+        """Largest-area valid cow box per frame; full-0.1-margin fallback
+        (tleap:295-304).  boxes: (N, K, 4)."""
+        cow = self.config.yolo.cow_class_id
+        is_cow = valid & ((classes == cow) | (scores > 0.5))
+        areas = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0) * \
+            jnp.maximum(boxes[..., 3] - boxes[..., 1], 0)
+        areas = jnp.where(is_cow, areas, -1.0)
+        best = jnp.argmax(areas, axis=-1)                      # (N,)
+        take = jax.vmap(lambda b, i: b[i])
+        pb = take(boxes, best)
+        ps = take(scores, best)
+        has = jnp.take_along_axis(areas, best[:, None], axis=-1)[:, 0] > 0
+        fallback = jnp.asarray([0.1 * w, 0.1 * h, 0.9 * w, 0.9 * h])
+        pb = jnp.where(has[:, None], pb, fallback)
+        ps = jnp.where(has, ps, 0.5)
+        return pb, ps, has
+
+    def _detect_stage(self, params, frames):
+        """frames: (B, T, H, W, 3) uint8 → per-det-frame boxes + primaries."""
+        s = self.spec
+        b = frames.shape[0]
+        h, w = s.frame_height, s.frame_width
+        det_frames = frames[:, s.det_idx]
+        td = det_frames.shape[1]
+        flat = det_frames.reshape(b * td, h, w, 3)
+        canvases, ratio, pad = jax.vmap(
+            lambda f: letterbox(f, s.yolo_size))(flat)
+        yolo_out = self.yolo.apply(params["yolo"], canvases.astype(s.dtype))
+        det = detect(yolo_out["levels"],
+                     conf_threshold=self.config.yolo.confidence_threshold,
+                     max_det=s.max_det)
+        boxes = jax.vmap(unletterbox_boxes)(det["boxes"], ratio, pad)
+        boxes = clip_boxes(boxes, float(h), float(w))
+        primary, primary_score, primary_valid = self._primary_boxes(
+            boxes, det["scores"], det["classes"], det["valid"],
+            float(h), float(w))
+        return {
+            "det_boxes": boxes.reshape(b, td, s.max_det, 4),
+            "det_scores": det["scores"].reshape(b, td, s.max_det),
+            "det_classes": det["classes"].reshape(b, td, s.max_det),
+            "det_valid": det["valid"].reshape(b, td, s.max_det),
+            "primary_boxes": primary.reshape(b, td, 4),
+            "primary_scores": primary_score.reshape(b, td),
+            "primary_valid": primary_valid.reshape(b, td),
+        }
+
+    # -- stage 2: segmentation ----------------------------------------------
+    def _sam_stage(self, params, frames, primary_bt):
+        """frames: (B, T, H, W, 3); primary_bt: (B, Td, 4)."""
+        s = self.spec
+        b = frames.shape[0]
+        h, w = s.frame_height, s.frame_width
+        det_frames = frames[:, s.det_idx]
+        td = det_frames.shape[1]
+        flat = det_frames.reshape(b * td, h, w, 3)
+        primary = primary_bt.reshape(b * td, 4)
+        if self.sam is not None:
+            sam_in = jax.vmap(lambda f: pad_to_square(f, s.sam_size)[0])(flat)
+            sam_in = prep.normalize(sam_in).astype(s.dtype)
+            sam_ratio = s.sam_size / max(h, w)
+            sam_boxes = primary * sam_ratio
+            # encode frame-by-frame: the global-attention rel-pos bias is
+            # (12, 4096, 4096) f32 per frame — batching all frames would
+            # materialize ~17 GB of bias in HBM
+            emb = jax.lax.map(
+                lambda f: self.sam.apply(params["sam"], f[None],
+                                         method=self.sam.encode)[0],
+                sam_in)
+            masks, iou_pred = self.sam.apply(
+                params["sam"], emb, sam_boxes, method=self.sam.decode_boxes)
+            masks = masks[:, 0]
+            iou_pred = iou_pred[:, 0]
+        else:
+            # reference fallback: rectangle mask from the box (sam3:94-100)
+            gy = jax.lax.broadcasted_iota(
+                jnp.float32, (s.sam_mask_size, s.sam_mask_size), 0)
+            gx = jax.lax.broadcasted_iota(
+                jnp.float32, (s.sam_mask_size, s.sam_mask_size), 1)
+            scale_y = s.sam_mask_size / h
+            scale_x = s.sam_mask_size / w
+
+            def rect(box):
+                x1, y1 = box[0] * scale_x, box[1] * scale_y
+                x2, y2 = box[2] * scale_x, box[3] * scale_y
+                inside = (gx >= x1) & (gx < x2) & (gy >= y1) & (gy < y2)
+                return jnp.where(inside, 10.0, -10.0)
+            masks = jax.vmap(rect)(primary)
+            iou_pred = jnp.ones((b * td,))
+        mask_bits = masks > 0.0
+        return {
+            "masks": mask_bits.reshape(b, td, *mask_bits.shape[-2:]),
+            "mask_iou_pred": iou_pred.reshape(b, td),
+            "mask_area_frac": mask_bits.mean(axis=(-2, -1)).reshape(b, td),
+        }
+
+    # -- stage 3: embeddings -------------------------------------------------
+    def _dino_stage(self, params, frames):
+        s = self.spec
+        b = frames.shape[0]
+        h, w = s.frame_height, s.frame_width
+        dino_frames = frames[:, s.dino_idx]
+        tdn = dino_frames.shape[1]
+        dino_in = dino_mod.preprocess_frames(
+            dino_frames.reshape(b * tdn, h, w, 3)).astype(s.dtype)
+        out = self.dino.apply(params["dino"], dino_in)
+        return {"embeddings": out["pooled"].reshape(b, tdn, -1)}
+
+    # -- stage 4: pose + sequence heads --------------------------------------
+    def _heads_stage(self, params, primary_bt, score_bt, dropout_rng):
+        """primary_bt: (B, Td, 4) det-frame boxes; heads run at 5 FPS."""
+        s = self.spec
+        b = primary_bt.shape[0]
+        pose_frames_idx = s.pose_idx
+        tp = len(pose_frames_idx)
+        det_pos = np.asarray(s.det_idx)
+        nearest = np.abs(pose_frames_idx[:, None] - det_pos[None, :]
+                         ).argmin(axis=1)
+        pose_boxes = primary_bt[:, nearest]                  # (B, Tp, 4)
+        pose_scores = score_bt[:, nearest]
+        pose_valid = jnp.ones((b, tp), bool)
+        kpts = pose_mod.heuristic_keypoints_device(pose_boxes)
+
+        loco = jax.vmap(pose_mod.locomotion_features_device)(
+            kpts[..., :2], kpts[..., 2], pose_valid)
+        feats, low_conf = jax.vmap(seqf.extract_from_arrays)(
+            kpts[..., :2], kpts[..., 2], pose_boxes, pose_scores, pose_valid)
+        pad_before = (seqf.TARGET_LEN - tp) // 2
+        pad_after = seqf.TARGET_LEN - tp - pad_before
+        feats_p = jnp.pad(feats, ((0, 0), (pad_before, pad_after), (0, 0)))
+        mask_p = jnp.pad(low_conf, ((0, 0), (pad_before, pad_after)),
+                         constant_values=True)
+
+        n_mc = self.config.tcn.mc_samples
+        keys = jax.random.split(dropout_rng, 2)
+
+        def tcn_one(k):
+            return self.tcn.apply(params["tcn"], feats_p, deterministic=False,
+                                  rngs={"dropout": k})
+        tcn_preds = jax.vmap(tcn_one)(jax.random.split(keys[0], n_mc))
+
+        def gait_one(k):
+            return self.gait.apply(params["gait"], feats_p, mask_p,
+                                   deterministic=False,
+                                   rngs={"dropout": k})["probability"]
+        gait_preds = jax.vmap(gait_one)(jax.random.split(keys[1], n_mc))
+        gait_det = self.gait.apply(params["gait"], feats_p, mask_p)
+
+        return {
+            "keypoints": kpts,
+            "pose_boxes": pose_boxes,
+            "locomotion": loco,
+            "seq_features": feats_p,
+            "seq_mask": mask_p,
+            "tcn_probability": tcn_preds.mean(axis=0)[:, 0],
+            "tcn_uncertainty": tcn_preds.std(axis=0, ddof=1)[:, 0],
+            "gait_probability": gait_preds.mean(axis=0)[:, 0],
+            "gait_uncertainty": gait_preds.std(axis=0, ddof=1)[:, 0],
+            "gait_saliency": gait_det["saliency"],
+        }
+
+    # -- monolith (all four stages in one jit) -------------------------------
+    def _fused_step(self, params, frames, dropout_rng):
+        out = dict(self._detect_stage(params, frames))
+        out.update(self._sam_stage(params, frames, out["primary_boxes"]))
+        out.update(self._dino_stage(params, frames))
+        out.update(self._heads_stage(params, out["primary_boxes"],
+                                     out["primary_scores"], dropout_rng))
+        return out
+
+    # -- public API ----------------------------------------------------------
+    def run_staged(self, frames_dev: jnp.ndarray,
+                   rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+        """Chained per-stage jits; everything stays on device."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        out = dict(self._jit_detect(self.params, frames_dev))
+        out.update(self._jit_sam(self.params, frames_dev,
+                                 out["primary_boxes"]))
+        out.update(self._jit_dino(self.params, frames_dev))
+        out.update(self._jit_heads(self.params, out["primary_boxes"],
+                                   out["primary_scores"], rng))
+        return out
+
+    def process_clip_batch(self, frames: np.ndarray,
+                           rng: Optional[jax.Array] = None,
+                           mode: str = "staged") -> Dict[str, np.ndarray]:
+        """frames: (B, T, H, W, 3) uint8 RGB with T == spec.clip_frames."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        # explicit device_put: feeding numpy straight into jit takes a slow
+        # per-call transfer path on tunnelled TPU backends
+        frames_dev = jax.device_put(jnp.asarray(frames))
+        if mode == "monolith":
+            out = self._fused(self.params, frames_dev, rng)
+        else:
+            out = self.run_staged(frames_dev, rng)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    def fused_fn(self):
+        """(fn, example_args) for compile checking — the graft entry point.
+        Uses the detection+heads core (the SAM/DINO encoders compile-check
+        via their own stage jits; the combined HLO overwhelms remote
+        compile services)."""
+        s = self.spec
+
+        def core(params, frames, rng):
+            out = dict(self._detect_stage(params, frames))
+            out.update(self._heads_stage(params, out["primary_boxes"],
+                                         out["primary_scores"], rng))
+            return out
+
+        example = (self.params,
+                   jnp.zeros((1, s.clip_frames, s.frame_height,
+                              s.frame_width, 3), jnp.uint8),
+                   jax.random.PRNGKey(0))
+        return core, example
+
+
+def make_test_engine() -> LamenessEngine:
+    """Small-geometry engine for CPU tests: 15 frames at 160x90, no SAM."""
+    spec = EngineSpec(clip_frames=15, frame_height=90, frame_width=160,
+                      fps=5, yolo_size=64, dino_size=56, use_sam_model=False,
+                      sam_mask_size=64)
+    cfg = Config()
+    eng = LamenessEngine(config=cfg, spec=spec, init_models=False)
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 5)
+    eng.yolo = YoloV8(variant="n", num_classes=cfg.yolo.num_classes)
+    eng.dino = dino_mod.DinoV2(hidden_size=64, num_layers=2, num_heads=4,
+                               patch_size=14, pos_grid=4, ls_init=1.0)
+    eng.sam = None
+    eng.tcn = TCN(input_dim=44)
+    eng.gait = GaitTransformer(input_dim=44)
+    eng.params = {
+        "yolo": init_params(eng.yolo, ks[0], img=spec.yolo_size),
+        "dino": jax.jit(eng.dino.init)(
+            ks[1], jnp.zeros((1, spec.dino_size, spec.dino_size, 3))),
+        "tcn": jax.jit(eng.tcn.init)(
+            ks[3], jnp.zeros((1, seqf.TARGET_LEN, 44))),
+        "gait": jax.jit(eng.gait.init)(
+            ks[4], jnp.zeros((1, seqf.TARGET_LEN, 44)),
+            jnp.zeros((1, seqf.TARGET_LEN), bool)),
+    }
+    eng.loaded_weights = {k: False for k in
+                          ("yolo", "dino", "sam", "pose", "tcn", "gait")}
+    eng._build_jits()
+    return eng

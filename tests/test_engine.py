@@ -1,0 +1,94 @@
+"""Fused engine: staged vs monolith equivalence, stage outputs, fallbacks."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lameness_tpu.pipeline.engine import make_test_engine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return make_test_engine()
+
+
+@pytest.fixture(scope="module")
+def frames(engine):
+    rng = np.random.default_rng(0)
+    s = engine.spec
+    f = rng.integers(0, 255, (2, s.clip_frames, s.frame_height,
+                              s.frame_width, 3), dtype=np.uint8)
+    return f
+
+
+def test_engine_output_shapes(engine, frames):
+    out = engine.process_clip_batch(frames)
+    s = engine.spec
+    td = len(s.det_idx)
+    tp = len(s.pose_idx)
+    assert out["det_boxes"].shape == (2, td, s.max_det, 4)
+    assert out["primary_boxes"].shape == (2, td, 4)
+    assert out["masks"].shape == (2, td, s.sam_mask_size, s.sam_mask_size)
+    assert out["embeddings"].shape[0] == 2
+    assert out["keypoints"].shape == (2, tp, 20, 3)
+    assert out["seq_features"].shape == (2, 125, 44)
+    assert out["tcn_probability"].shape == (2,)
+    assert out["gait_probability"].shape == (2,)
+    assert np.all((out["tcn_probability"] >= 0)
+                  & (out["tcn_probability"] <= 1))
+
+
+def test_staged_equals_monolith(engine, frames):
+    rng = jax.random.PRNGKey(3)
+    staged = engine.process_clip_batch(frames, rng=rng, mode="staged")
+    mono = engine.process_clip_batch(frames, rng=rng, mode="monolith")
+    for k in ("det_boxes", "primary_boxes", "masks", "embeddings",
+              "tcn_probability", "gait_probability"):
+        np.testing.assert_allclose(staged[k], mono[k], atol=1e-5, err_msg=k)
+
+
+def test_primary_box_fallback(engine, frames):
+    """Random-weight YOLO rarely finds 'cows'; every frame must still have a
+    primary box (the tleap margin fallback)."""
+    out = engine.process_clip_batch(frames)
+    pb = out["primary_boxes"]
+    s = engine.spec
+    assert np.all(pb[..., 2] > pb[..., 0])
+    assert np.all(pb[..., 3] > pb[..., 1])
+    assert np.all(pb[..., 0] >= 0) and np.all(pb[..., 2] <= s.frame_width)
+    # fallback box is the 10%-margin frame box
+    fallback = [0.1 * s.frame_width, 0.1 * s.frame_height,
+                0.9 * s.frame_width, 0.9 * s.frame_height]
+    no_det = ~out["primary_valid"]
+    if no_det.any():
+        idx = np.argwhere(no_det)[0]
+        np.testing.assert_allclose(pb[idx[0], idx[1]], fallback, atol=1e-3)
+
+
+def test_sam_fallback_mask_is_box_rectangle(engine, frames):
+    out = engine.process_clip_batch(frames)
+    s = engine.spec
+    masks = out["masks"]
+    pb = out["primary_boxes"]
+    # mask area fraction ≈ box area fraction (rectangle fallback)
+    box_frac = ((pb[..., 2] - pb[..., 0]) * (pb[..., 3] - pb[..., 1])
+                / (s.frame_width * s.frame_height))
+    np.testing.assert_allclose(out["mask_area_frac"], box_frac, atol=0.06)
+
+
+def test_locomotion_outputs_present(engine, frames):
+    out = engine.process_clip_batch(frames)
+    loco = out["locomotion"]
+    assert "lameness_score" in loco
+    assert loco["lameness_score"].shape == (2,)
+    assert "back_arch_mean" in loco and "stride_fl_mean" in loco
+
+
+def test_mc_dropout_rng_determinism(engine, frames):
+    rng = jax.random.PRNGKey(9)
+    o1 = engine.process_clip_batch(frames, rng=rng)
+    o2 = engine.process_clip_batch(frames, rng=rng)
+    np.testing.assert_allclose(o1["tcn_probability"], o2["tcn_probability"])
+    o3 = engine.process_clip_batch(frames, rng=jax.random.PRNGKey(10))
+    assert not np.allclose(o1["tcn_probability"], o3["tcn_probability"])

@@ -1,0 +1,454 @@
+"""Host pipeline driver: video file → every result JSON → fused score.
+
+This is the thin orchestration shell around the device engine that
+preserves the reference's external contracts end to end (SURVEY.md §7):
+ingestion → preprocessing crop → curation → the fused device stages →
+tracking + Re-ID → graph heads → ML ensemble → fusion, publishing the
+same bus subjects and writing the same result files the 20 reference
+services produced — from ONE process, decoding the video once.
+
+Reference mapping per step is cited inline.  Coordinates in result files
+are reported in the processed video's pixel space (the engine runs at a
+fixed canonical geometry; boxes/keypoints are scaled back).
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import time
+import uuid
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import cv2
+import numpy as np
+
+from ..core.config import Config
+from ..fuse.fusion import FusionService
+from ..io import schemas
+from ..io.bus import MessageBus
+from ..io.vecstore import VectorStore
+from ..ml.ensemble import GBDTEnsemble
+from ..ml.features import extract_features
+from ..models import pose as pose_mod
+from ..track.bytetrack import ByteTracker, Detection
+from ..track.reid import CowReIDMatcher
+from ..video.decode import VideoReader, write_video
+from ..video.curation import ClipCurator
+
+
+class PipelineDriver:
+    def __init__(self, config: Optional[Config] = None, engine=None,
+                 bus: Optional[MessageBus] = None,
+                 store: Optional[VectorStore] = None,
+                 curator: Optional[ClipCurator] = None):
+        self.config = config or Config()
+        self.dirs = self.config.dirs.ensure()
+        self.bus = bus or MessageBus(
+            journal_path=self.dirs.root and
+            Path(self.dirs.root) / "bus_journal.jsonl")
+        self.engine = engine
+        self.store = store or VectorStore(
+            Path(self.dirs.root) / "vector_store.json")
+        self.store.create_collection(
+            self.config.reid.collection_embeddings,
+            self.config.reid.embedding_dim)
+        self.reid = CowReIDMatcher(self.store,
+                                   self.config.reid.embedding_dim)
+        self.ensemble = GBDTEnsemble(self.dirs.models / "ml")
+        self.fusion = FusionService(self.dirs, bus=self.bus,
+                                    subjects=self.config.subjects)
+        self.curator = curator or ClipCurator(self.dirs, bus=self.bus,
+                                              subjects=self.config.subjects)
+        self.trackers: Dict[str, ByteTracker] = {}
+
+    # ------------------------------------------------------------ ingest ---
+    def ingest(self, video_path: Path,
+               video_id: Optional[str] = None) -> str:
+        """Chunked copy into data/videos + ``video.uploaded``
+        (video-ingestion/app/main.py:87-154)."""
+        video_id = video_id or str(uuid.uuid4())
+        dest = self.dirs.videos / f"{video_id}{Path(video_path).suffix}"
+        with open(video_path, "rb") as src, open(dest, "wb") as dst:
+            while chunk := src.read(1024 * 1024):
+                dst.write(chunk)
+        self.bus.publish_sync(self.config.subjects.video_uploaded, {
+            "video_id": video_id, "filename": Path(video_path).name,
+            "path": str(dest),
+            "uploaded_at": datetime.now(timezone.utc).isoformat()})
+        return video_id
+
+    # -------------------------------------------------------- preprocess ---
+    def preprocess(self, video_id: str,
+                   detector=None) -> Optional[Dict[str, Any]]:
+        """Median-bbox crop of the first 10 detected frames + 50 px pad
+        (video-preprocessing/app/main.py:39-149)."""
+        matches = list(self.dirs.videos.glob(f"{video_id}.*"))
+        if not matches:
+            return None
+        src = matches[0]
+        detector = detector or self.curator.detector
+        with VideoReader(src) as vr:
+            info = vr.info
+            bboxes = []
+            frames = []
+            for idx, frame in vr.frames(interval=1, rgb=True):
+                frames.append(frame)
+                if len(bboxes) < 10:
+                    det = detector(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                    if det is not None:
+                        bboxes.append(det["bbox"])
+        h, w = info["height"], info["width"]
+        if bboxes:
+            med = np.median(np.asarray(bboxes), axis=0)
+            x1 = max(0, int(med[0]) - 50)
+            y1 = max(0, int(med[1]) - 50)
+            x2 = min(w, int(med[2]) + 50)
+            y2 = min(h, int(med[3]) + 50)
+            # mp4 codecs need even dimensions
+            x2 -= (x2 - x1) % 2
+            y2 -= (y2 - y1) % 2
+        else:
+            x1, y1, x2, y2 = 0, 0, w, h
+        cropped = [f[y1:y2, x1:x2] for f in frames]
+        out_path = self.dirs.processed / f"{video_id}_cropped.mp4"
+        write_video(out_path, cropped, info["fps"])
+        payload = {
+            "video_id": video_id, "processed_path": str(out_path),
+            "crop_box": [x1, y1, x2, y2], "fps": info["fps"],
+        }
+        self.bus.publish_sync(self.config.subjects.video_preprocessed, payload)
+        return payload
+
+    # ------------------------------------------------ fused device stages ---
+    def _load_engine_frames(self, video_path: Path):
+        """Decode + resize to the engine's static geometry; returns
+        (frames (1, T, H, W, 3), scale (sx, sy), native info)."""
+        s = self.engine.spec
+        with VideoReader(video_path) as vr:
+            info = vr.info
+            frames, idx = vr.read_sampled(interval=1,
+                                          max_frames=s.clip_frames)
+        if frames.shape[0] == 0:
+            return None, None, info
+        resized = np.stack([cv2.resize(f, (s.frame_width, s.frame_height))
+                            for f in frames])
+        n = resized.shape[0]
+        if n < s.clip_frames:                 # pad by repeating last frame
+            pad = np.repeat(resized[-1:], s.clip_frames - n, axis=0)
+            resized = np.concatenate([resized, pad])
+        sx = info["width"] / s.frame_width
+        sy = info["height"] / s.frame_height
+        return resized[None], (sx, sy), info
+
+    def run_feature_stages(self, video_id: str,
+                           processed_path: Path) -> Optional[Dict[str, Any]]:
+        """Run the fused engine once, then write the yolo/sam3/dinov3/tleap/
+        tcn/transformer result files and publish their subjects."""
+        assert self.engine is not None, "driver needs an engine"
+        frames, scale, info = self._load_engine_frames(processed_path)
+        if frames is None:
+            return None
+        out = self.engine.process_clip_batch(frames)
+        sx, sy = scale
+        s = self.engine.spec
+        fps = info["fps"] or s.fps
+        total_frames = int(info["total_frames"])
+        subj = self.config.subjects
+
+        # ---- yolo result (yolo-pipeline/app/main.py:112-199) -------------
+        det_entries = []
+        all_boxes, all_confs = [], []
+        n_real = min(total_frames, s.clip_frames)
+        for ti, fr in enumerate(np.asarray(s.det_idx)):
+            if fr >= n_real:
+                break
+            dets = []
+            for k in range(s.max_det):
+                if not out["det_valid"][0, ti, k]:
+                    continue
+                b = out["det_boxes"][0, ti, k] * [sx, sy, sx, sy]
+                dets.append(schemas.yolo_detection_entry(
+                    int(fr), b, float(out["det_scores"][0, ti, k]),
+                    f"class_{int(out['det_classes'][0, ti, k])}"
+                    if int(out["det_classes"][0, ti, k]) != 19 else "cow",
+                    int(out["det_classes"][0, ti, k])))
+                all_boxes.append(b)
+                all_confs.append(float(out["det_scores"][0, ti, k]))
+            if dets:
+                det_entries.append(schemas.yolo_frame_entry(int(fr), fps, dets))
+        feats = schemas.yolo_features(
+            np.asarray(all_boxes) if all_boxes else np.zeros((0, 4)),
+            np.asarray(all_confs), len(det_entries), total_frames)
+        yolo_result = schemas.yolo_result(det_entries, feats, total_frames, fps)
+        ypath = schemas.write_result(
+            self.dirs.results_for("yolo") / f"{video_id}_yolo.json",
+            yolo_result)
+        self.bus.publish_sync(subj.pipeline_yolo, schemas.yolo_message(
+            video_id, str(ypath), yolo_result))
+
+        # ---- sam3 result (sam3-pipeline/app/main.py:186-272) --------------
+        segs, frame_feats = [], []
+        for ti, fr in enumerate(np.asarray(s.det_idx)):
+            if fr >= n_real:
+                break
+            has_det = bool(out["primary_valid"][0, ti])
+            if has_det:
+                mask = np.asarray(out["masks"][0, ti], np.uint8)
+                ff = self._mask_features(mask, info)
+                ff["frame"] = int(fr)
+                ff["time"] = fr / fps if fps > 0 else 0
+                frame_feats.append(ff)
+                segs.append(schemas.sam3_segmentation_entry(
+                    int(fr), fps, True, ff))
+            else:
+                segs.append(schemas.sam3_segmentation_entry(
+                    int(fr), fps, False))
+        agg = schemas.sam3_aggregated(frame_feats)
+        sam_result = schemas.sam3_result(segs, agg, total_frames, fps)
+        spath = schemas.write_result(
+            self.dirs.results_for("sam3") / f"{video_id}_sam3.json",
+            sam_result)
+        self.bus.publish_sync(subj.pipeline_sam3, schemas.sam3_message(
+            video_id, str(spath), sam_result))
+
+        # ---- dinov3 result (dinov3-pipeline/app/main.py:188-275) ----------
+        emb_entries = []
+        for ti, fr in enumerate(np.asarray(s.dino_idx)):
+            if fr >= n_real:
+                break
+            emb_entries.append(schemas.dinov3_embedding_entry(
+                int(fr), fps, out["embeddings"][0, ti]))
+        if emb_entries:
+            avg_emb = np.mean([e["embedding"] for e in emb_entries], axis=0)
+            similar = self._search_similar(avg_emb, video_id)
+            labels = [c["label"] for c in similar if c["label"] is not None]
+            if labels:
+                neighbor_evidence = sum(1 for l in labels if l == 1) / len(labels)
+            else:
+                neighbor_evidence = 0.5
+            self.store.upsert(self.config.reid.collection_embeddings,
+                              video_id, avg_emb,
+                              payload={"video_id": video_id, "label": None,
+                                       "metadata": {}})
+            canonical = [emb_entries[0], emb_entries[len(emb_entries) // 2],
+                         emb_entries[-1]]
+            dino_result = schemas.dinov3_result(
+                video_id, avg_emb, len(emb_entries), similar,
+                neighbor_evidence, canonical)
+            dpath = schemas.write_result(
+                self.dirs.results_for("dinov3") / f"{video_id}_dinov3.json",
+                dino_result)
+            self.bus.publish_sync(subj.pipeline_dinov3, schemas.dinov3_message(
+                video_id, str(dpath), dino_result))
+
+        # ---- tleap result (tleap-pipeline/app/main.py:438-530) ------------
+        pose_seqs = []
+        for ti, fr in enumerate(np.asarray(s.pose_idx)):
+            if fr >= n_real:
+                break
+            kps = []
+            for k in range(20):
+                kp = out["keypoints"][0, ti, k]
+                kps.append({"name": pose_mod.H_NAMES[k],
+                            "x": float(kp[0] * sx), "y": float(kp[1] * sy),
+                            "confidence": float(kp[2])})
+            pb = out["pose_boxes"][0, ti] * [sx, sy, sx, sy]
+            pose_seqs.append({
+                "frame": int(fr), "time": fr / fps if fps > 0 else 0,
+                "bbox": [float(v) for v in pb], "keypoints": kps,
+                "detection_confidence": float(
+                    out["primary_scores"][0, min(ti, len(s.det_idx) - 1)]),
+            })
+        loco = pose_mod.compute_locomotion_features(pose_seqs)
+        tleap_result = schemas.tleap_result(
+            video_id, total_frames, fps, pose_seqs, loco,
+            "heuristic" if not self.engine.loaded_weights.get("pose")
+            else "trained",
+            pose_mod.KEYPOINT_NAMES,
+            [list(c) for c in pose_mod.COW_SKELETON],
+            {k: list(v) for k, v in pose_mod.SKELETON_COLORS.items()})
+        tpath = schemas.write_result(
+            self.dirs.results_for("tleap") / f"{video_id}_tleap.json",
+            tleap_result)
+        self.bus.publish_sync(subj.pipeline_tleap, schemas.tleap_message(
+            video_id, str(tpath), tleap_result))
+
+        # ---- tcn + transformer results (tcn:330-393, transformer:394-464) -
+        tcn_result = schemas.tcn_result(
+            video_id, float(out["tcn_probability"][0]),
+            float(out["tcn_uncertainty"][0]),
+            int(out["seq_features"].shape[1]), 44,
+            self.engine.tcn.receptive_field)
+        schemas.write_result(
+            self.dirs.results_for("tcn") / f"{video_id}_tcn.json", tcn_result)
+        self.bus.publish_sync(subj.pipeline_tcn, {
+            "video_id": video_id, "pipeline": "tcn",
+            "severity_score": tcn_result["severity_score"],
+            "uncertainty": tcn_result["uncertainty"]})
+
+        masked = int(np.asarray(out["seq_mask"][0]).sum())
+        tr_result = schemas.transformer_result(
+            video_id, float(out["gait_probability"][0]),
+            float(out["gait_uncertainty"][0]),
+            int(out["seq_features"].shape[1]), 44, masked,
+            np.asarray(out["gait_saliency"][0]),
+            self.engine.gait.d_model, self.engine.gait.num_layers,
+            self.engine.gait.heads)
+        schemas.write_result(
+            self.dirs.results_for("transformer")
+            / f"{video_id}_transformer.json", tr_result)
+        self.bus.publish_sync(subj.pipeline_transformer, {
+            "video_id": video_id, "pipeline": "transformer",
+            "severity_score": tr_result["severity_score"],
+            "uncertainty": tr_result["uncertainty"]})
+        return out
+
+    def _mask_features(self, mask: np.ndarray, info: Dict) -> Dict[str, Any]:
+        """Shape features from mask bits — area/centroid device-computable;
+        circularity/perimeter via cv2 contours (cold path, sam3:102-145)."""
+        h_n, w_n = int(info["height"]), int(info["width"])
+        mask_full = cv2.resize(mask * 255, (w_n, h_n),
+                               interpolation=cv2.INTER_NEAREST) > 127
+        m8 = mask_full.astype(np.uint8)
+        mask_area = float(mask_full.sum())
+        total = mask_full.size
+        contours, _ = cv2.findContours(m8, cv2.RETR_EXTERNAL,
+                                       cv2.CHAIN_APPROX_SIMPLE)
+        if contours:
+            c = max(contours, key=cv2.contourArea)
+            perimeter = cv2.arcLength(c, True)
+            circ = (4 * np.pi * cv2.contourArea(c)) / (perimeter ** 2) \
+                if perimeter > 0 else 0
+            x, y, bw, bh = cv2.boundingRect(c)
+            aspect = bw / bh if bh > 0 else 0
+        else:
+            perimeter, circ, aspect = 0.0, 0, 0
+        mm = cv2.moments(m8)
+        if mm["m00"] != 0:
+            cx, cy = mm["m10"] / mm["m00"], mm["m01"] / mm["m00"]
+        else:
+            cx, cy = w_n / 2, h_n / 2
+        return {"mask_area": mask_area,
+                "area_ratio": mask_area / total if total else 0,
+                "circularity": float(circ), "aspect_ratio": float(aspect),
+                "centroid_x": float(cx), "centroid_y": float(cy),
+                "perimeter": float(perimeter)}
+
+    def _search_similar(self, emb: np.ndarray, exclude: str
+                        ) -> List[Dict[str, Any]]:
+        hits = self.store.search(self.config.reid.collection_embeddings, emb,
+                                 top_k=self.config.dino.top_k_similar + 1)
+        out = []
+        for h in hits:
+            if h.id == exclude:
+                continue
+            out.append({"video_id": h.payload.get("video_id", h.id),
+                        "score": h.score,
+                        "label": h.payload.get("label"),
+                        "metadata": h.payload.get("metadata", {})})
+        return out[:self.config.dino.top_k_similar]
+
+    # ---------------------------------------------------------- tracking ---
+    def run_tracking(self, video_id: str) -> Optional[Dict[str, Any]]:
+        """ByteTrack over the yolo result + Re-ID via the video embedding
+        (tracking-service/app/main.py:114-430)."""
+        yolo_file = self.dirs.results_for("yolo") / f"{video_id}_yolo.json"
+        if not yolo_file.exists():
+            return None
+        yolo_data = json.load(open(yolo_file))
+        tracker = self.trackers.setdefault(video_id, ByteTracker(
+            high_thresh=0.6, low_thresh=0.1, match_thresh=0.8))
+        all_tracks = []
+        for frame_entry in yolo_data.get("detections", []):
+            dets = [Detection(np.asarray(d["bbox"], float), d["confidence"],
+                              d.get("class_id", 0))
+                    for d in frame_entry.get("detections", [])]
+            tracks = tracker.update(dets, frame_idx=frame_entry["frame"])
+            for t in tracks:
+                all_tracks.append({
+                    "frame": frame_entry["frame"], "track_id": t.track_id,
+                    "bbox": np.asarray(t.bbox).tolist(),
+                    "confidence": t.confidence, "state": t.state.name})
+        summaries = []
+        for t in tracker.tracks:
+            if t.hits >= 3:
+                summaries.append({
+                    "track_id": t.track_id,
+                    "start_frame": t.frame_history[0] if t.frame_history else 0,
+                    "end_frame": t.frame_history[-1] if t.frame_history else 0,
+                    "total_frames": len(t.frame_history),
+                    "avg_confidence": float(np.mean(
+                        [t.confidence] * max(1, len(t.bbox_history)))),
+                })
+        result = schemas.tracking_result(video_id, summaries, all_tracks,
+                                         tracker.get_statistics())
+
+        # re-id with the whole-video embedding (tracking:330-375)
+        dino_file = self.dirs.results_for("dinov3") / f"{video_id}_dinov3.json"
+        reid_results = []
+        if dino_file.exists() and summaries:
+            dino_data = json.load(open(dino_file))
+            emb = dino_data.get("embedding")
+            if emb is None and dino_data.get("canonical_frames"):
+                emb = np.mean([f["embedding"] for f
+                               in dino_data["canonical_frames"]], axis=0)
+            if emb is not None:
+                for t in summaries:
+                    m = self.reid.match_or_create(
+                        np.asarray(emb, float), video_id, t["track_id"],
+                        metadata={"start_frame": t["start_frame"],
+                                  "end_frame": t["end_frame"]})
+                    reid_results.append(schemas.reid_entry(
+                        t["track_id"], m.cow_id, m.identity_id, m.similarity,
+                        1.0 if m.confidence == "high" else 0.5, m.is_new_identity))
+                    self.bus.publish_sync(
+                        self.config.subjects.tracking_reid_match, {
+                            "video_id": video_id,
+                            "track_id": t["track_id"], "cow_id": m.cow_id,
+                            "is_new": m.is_new_identity})
+        result["reid_results"] = reid_results
+        path = schemas.write_result(
+            self.dirs.results_for("tracking") / f"{video_id}_tracking.json",
+            result)
+        self.bus.publish_sync(self.config.subjects.tracking_complete, {
+            "video_id": video_id, "results_path": str(path),
+            "total_tracks": result["total_tracks"]})
+        return result
+
+    # ------------------------------------------------------------- ml -----
+    def run_ml(self, video_id: str) -> Dict[str, Any]:
+        """Tabular ensemble over pipeline results (ml-pipeline:116-350)."""
+        results = {}
+        for p in ("yolo", "sam3", "dinov3", "tleap"):
+            f = self.dirs.results_for(p) / f"{video_id}_{p}.json"
+            results[p] = json.load(open(f)) if f.exists() else None
+        feats, names = extract_features(results)
+        predictions = self.ensemble.predict(feats)
+        ml_result = schemas.ml_result(
+            video_id, feats, names, predictions,
+            {k: v is not None for k, v in results.items()})
+        path = schemas.write_result(
+            self.dirs.results_for("ml") / f"{video_id}_ml.json", ml_result)
+        self.bus.publish_sync(self.config.subjects.pipeline_ml,
+                              schemas.ml_message(video_id, str(path),
+                                                 ml_result))
+        return ml_result
+
+    # ----------------------------------------------------------- full run --
+    def process_video_file(self, video_path: Path,
+                           video_id: Optional[str] = None,
+                           curate: bool = True) -> Dict[str, Any]:
+        """The complete upload → analysis.complete chain, one call."""
+        video_id = self.ingest(video_path, video_id)
+        if curate:
+            raw = next(iter(self.dirs.videos.glob(f"{video_id}.*")))
+            self.curator.curate_video(raw, video_id)
+        pre = self.preprocess(video_id)
+        self.run_feature_stages(video_id, Path(pre["processed_path"]))
+        self.run_tracking(video_id)
+        self.run_ml(video_id)
+        fusion = self.fusion.process_video(
+            video_id, timestamp=datetime.now(timezone.utc).isoformat())
+        return {"video_id": video_id, "fusion": fusion}

@@ -62,6 +62,13 @@ class PipelineDriver:
         self.curator = curator or ClipCurator(self.dirs, bus=self.bus,
                                               subjects=self.config.subjects)
         self.trackers: Dict[str, ByteTracker] = {}
+        self.graph_runner = None        # built lazily (jits two graph heads)
+
+    def _ensure_graph_runner(self):
+        if self.graph_runner is None:
+            from .graph_runner import GraphHeadRunner
+            self.graph_runner = GraphHeadRunner(self.config, bus=self.bus)
+        return self.graph_runner
 
     # ------------------------------------------------------------ ingest ---
     def ingest(self, video_path: Path,
@@ -439,7 +446,8 @@ class PipelineDriver:
     # ----------------------------------------------------------- full run --
     def process_video_file(self, video_path: Path,
                            video_id: Optional[str] = None,
-                           curate: bool = True) -> Dict[str, Any]:
+                           curate: bool = True,
+                           graph_heads: bool = True) -> Dict[str, Any]:
         """The complete upload → analysis.complete chain, one call."""
         video_id = self.ingest(video_path, video_id)
         if curate:
@@ -448,6 +456,8 @@ class PipelineDriver:
         pre = self.preprocess(video_id)
         self.run_feature_stages(video_id, Path(pre["processed_path"]))
         self.run_tracking(video_id)
+        if graph_heads:
+            self._ensure_graph_runner().process_video(video_id)
         self.run_ml(video_id)
         fusion = self.fusion.process_video(
             video_id, timestamp=datetime.now(timezone.utc).isoformat())

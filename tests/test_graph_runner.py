@@ -1,0 +1,88 @@
+"""Cross-video graph head runner over real result files."""
+import json
+
+import numpy as np
+import pytest
+
+from lameness_tpu.io import schemas
+from lameness_tpu.serve.graph_runner import (GraphHeadRunner,
+                                             node_features_for_video)
+
+
+def _write_stage_results(dirs, vid, rng, cow="COW-0001", lame=0.7):
+    emb = rng.standard_normal(768)
+    schemas.write_result(dirs.results_for("dinov3") / f"{vid}_dinov3.json", {
+        "video_id": vid, "embedding_dim": 768, "num_embeddings": 5,
+        "similar_cases": [], "neighbor_evidence": lame,
+        "canonical_frames": [], "embedding": emb.tolist()})
+    schemas.write_result(dirs.results_for("tleap") / f"{vid}_tleap.json", {
+        "locomotion_features": {"back_arch_mean": 150.0, "back_arch_std": 2.0,
+                                "back_arch_score": 0.16,
+                                "head_bob_magnitude": 8.0,
+                                "head_bob_frequency": 3,
+                                "head_bob_score": 0.16,
+                                "stride_fl_mean": 10.0, "stride_fr_mean": 11.0,
+                                "front_leg_asymmetry": 0.05,
+                                "rear_leg_asymmetry": 0.02}})
+    schemas.write_result(dirs.results_for("sam3") / f"{vid}_sam3.json", {
+        "aggregated_features": {"avg_mask_area": 9000.0, "avg_area_ratio": 0.2,
+                                "avg_circularity": 0.4,
+                                "avg_aspect_ratio": 2.1}})
+    schemas.write_result(dirs.results_for("yolo") / f"{vid}_yolo.json", {
+        "features": {"detection_rate": 0.8, "avg_confidence": 0.9}})
+    schemas.write_result(dirs.results_for("tracking") / f"{vid}_tracking.json", {
+        "video_id": vid,
+        "reid_results": [{"track_id": 0, "cow_id": cow}]})
+
+
+def test_node_features_shape(tmp_data_root, rng):
+    cfg = tmp_data_root
+    _write_stage_results(cfg.dirs, "nf1", rng)
+    feats = node_features_for_video(cfg.dirs, "nf1")
+    assert feats.shape == (50,)
+    assert feats[0] == 150.0                 # back_arch_mean
+    assert feats[10] == 9000.0               # avg_mask_area
+    assert np.abs(feats[15:47]).sum() > 0    # embedding slice populated
+    assert feats[47] == 0.7                  # neighbor evidence
+    assert node_features_for_video(cfg.dirs, "missing") is None
+
+
+def test_graph_runner_writes_both_heads(tmp_data_root, rng):
+    cfg = tmp_data_root
+    for i in range(4):
+        _write_stage_results(cfg.dirs, f"g{i}", rng,
+                             cow="COW-0001" if i < 2 else "COW-0002")
+    from lameness_tpu.io.bus import MessageBus
+    bus = MessageBus()
+    runner = GraphHeadRunner(cfg, bus=bus, max_nodes=16)
+    out = runner.process_video("g1")
+    assert out is not None
+    gnn = json.load(open(cfg.dirs.results_for("gnn") / "g1_gnn.json"))
+    assert schemas.validate("gnn", gnn) == []
+    assert gnn["cow_id"] == "COW-0001"
+    assert gnn["model"] == "EnhancedGraphGPS"
+    assert 0 <= gnn["severity_score"] <= 1
+    assert gnn["graph_info"]["num_nodes"] == 4
+    assert set(gnn["videos_in_graph"]) == {"g0", "g1", "g2", "g3"}
+
+    gt = json.load(open(cfg.dirs.results_for("graph_transformer")
+                        / "g1_graph_transformer.json"))
+    assert schemas.validate("graph_transformer", gt) == []
+    assert gt["model"] == "CowLamenessGraphormer"
+    assert 0 <= gt["graph_prediction"] <= 1
+    assert len(gt["attention_info"]["top_attending_nodes"]) <= 5
+    for node in gt["attention_info"]["top_attending_nodes"]:
+        assert node["video_id"] != "g1"
+
+    subjects = bus.subjects_seen()
+    assert "pipeline.gnn" in subjects
+    assert "pipeline.graph_transformer" in subjects
+
+
+def test_graph_runner_single_video(tmp_data_root, rng):
+    cfg = tmp_data_root
+    _write_stage_results(cfg.dirs, "solo", rng)
+    runner = GraphHeadRunner(cfg, max_nodes=16)
+    out = runner.process_video("solo")
+    assert out is not None
+    assert out["gnn"]["graph_info"]["num_nodes"] == 1

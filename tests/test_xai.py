@@ -1,0 +1,119 @@
+"""XAI: exact Shapley properties, SHAP service, LLM explanations."""
+import json
+
+import numpy as np
+import pytest
+
+from lameness_tpu.xai import llm as llm_mod
+from lameness_tpu.xai.shapley import (exact_shapley, global_importance,
+                                      shap_report, what_if)
+from lameness_tpu.xai.shap_service import ShapService
+
+
+def test_exact_shapley_linear_model(rng):
+    """For a linear model, phi_j = w_j (x_j - E[x_j]) exactly."""
+    w = np.array([2.0, -1.0, 0.5, 0.0])
+    predict = lambda rows: rows @ w
+    bg = rng.standard_normal((20, 4))
+    x = rng.standard_normal(4)
+    phi = exact_shapley(predict, x, bg)
+    expected = w * (x - bg.mean(axis=0))
+    np.testing.assert_allclose(phi, expected, atol=1e-10)
+
+
+def test_exact_shapley_additivity(rng):
+    """sum(phi) == f(x) - E[f(background)] for any model."""
+    predict = lambda rows: np.tanh(rows[:, 0] * rows[:, 1]) + rows[:, 2] ** 2
+    bg = rng.standard_normal((10, 3))
+    x = rng.standard_normal(3)
+    phi = exact_shapley(predict, x, bg)
+    gap = predict(x[None])[0] - predict(bg).mean() - phi.sum()
+    assert abs(gap) < 1e-10
+
+
+def test_exact_shapley_symmetry():
+    """Symmetric features get equal attribution."""
+    predict = lambda rows: rows[:, 0] + rows[:, 1]
+    bg = np.zeros((1, 2))
+    phi = exact_shapley(predict, np.array([3.0, 3.0]), bg)
+    assert phi[0] == pytest.approx(phi[1])
+
+
+def test_shap_report_and_what_if(rng):
+    predict = lambda rows: 1 / (1 + np.exp(-(rows @ np.array([1.0, -2.0]))))
+    bg = rng.standard_normal((8, 2))
+    x = np.array([1.0, 0.5])
+    rep = shap_report(predict, x, bg, ["a", "b"], "vid1")
+    assert rep["status"] == "computed"
+    assert abs(rep["additivity_gap"]) < 1e-9
+    assert len(rep["top_features"]) == 2
+    wi = what_if(predict, x, 0, [-1, 0, 1])
+    assert len(wi) == 3
+    assert wi[2]["prediction"] > wi[0]["prediction"]   # increasing in feat 0
+    gi = global_importance(predict, bg[:4], bg, ["a", "b"])
+    assert gi["b"] > gi["a"]                           # |w_b| > |w_a|
+
+
+def test_shap_service_end_to_end(tmp_data_root, rng):
+    from lameness_tpu.io import schemas
+    from lameness_tpu.ml.ensemble import GBDTEnsemble
+    cfg = tmp_data_root
+    ens = GBDTEnsemble(cfg.dirs.models / "ml")
+    x = rng.standard_normal((80, 5))
+    y = (x[:, 0] > 0).astype(int)
+    ens.fit(x, y, cv_folds=2)
+    names = [f"f{i}" for i in range(5)]
+    # background rows from other videos' ml results
+    for i in range(4):
+        schemas.write_result(cfg.dirs.results_for("ml") / f"bg{i}_ml.json",
+                             {"features": list(map(float, x[i])),
+                              "feature_names": names, "predictions": {},
+                              "pipeline_results_available": {}})
+    schemas.write_result(cfg.dirs.results_for("ml") / "tgt_ml.json",
+                         {"features": list(map(float, x[50])),
+                          "feature_names": names, "predictions": {},
+                          "pipeline_results_available": {}})
+    svc = ShapService(cfg.dirs, ens)
+    rep = svc.process_analysis({"video_id": "tgt"})
+    assert rep["status"] == "computed"
+    assert (cfg.dirs.results / "shap" / "tgt_shap.json").exists()
+    # feature 0 drives the label -> largest |shap|
+    top = max(rep["shap_values"], key=lambda k: abs(rep["shap_values"][k]))
+    assert top == "f0"
+
+
+def test_llm_prompt_and_local_explanation():
+    fusion = {
+        "final_probability": 0.82, "confidence": 0.75,
+        "decision_mode": "automated", "model_agreement": 0.9,
+        "unanimous": True,
+        "recommendation": "High lameness probability - consider veterinary examination",
+        "pipeline_contributions": {
+            "ml": {"probability": 0.8, "uncertainty": 0.1, "weight": 0.15},
+            "tcn": {"probability": 0.85, "uncertainty": 0.05, "weight": 0.12},
+        },
+        "tleap_features": {"back_arch_score": 0.4, "head_bob_score": 0.6},
+    }
+    shap_data = {"top_features": [
+        {"feature": "tleap_head_bob", "shap_value": 0.21,
+         "feature_value": 0.6}]}
+    prompt = llm_mod.build_prompt(fusion, shap_data)
+    assert "82.0%" in prompt and "tleap_head_bob" in prompt
+    assert "## Pipeline Predictions" in prompt
+    text = llm_mod.local_explanation(fusion, shap_data)
+    for header in ("## Executive Summary", "## Key Evidence",
+                   "## Uncertainties", "## Recommended Action"):
+        assert header in text
+    assert "lame with 82.0%" in text
+    assert "tleap_head_bob" in text
+
+
+def test_llm_service_fallback_chain(tmp_data_root):
+    svc = llm_mod.LLMExplanationService(tmp_data_root.dirs)
+    out = svc.explain("v1", {"final_probability": 0.3, "confidence": 0.8,
+                             "decision_mode": "automated",
+                             "pipeline_contributions": {}})
+    assert out["provider"] == "local_template"
+    assert "sound" in out["explanation"]
+    f = tmp_data_root.dirs.results / "explanations" / "v1_explanation.json"
+    assert f.exists()

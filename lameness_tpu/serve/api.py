@@ -1,0 +1,843 @@
+"""Admin REST API — the reference backend's 12-router surface.
+
+Rebuilds ``services/admin-interface/backend`` (SURVEY.md §2.2) over the
+stdlib HTTP framework: auth (HMAC tokens, scrypt hashes, RBAC
+admin/researcher/rater), videos, analysis, training (pairwise/triplet +
+"Lameness Duolingo"), models, shap, pipeline (heartbeats, re-trigger),
+health, ml-config, elo (active sampling, hierarchy, steepness), tutorial
+(gold tasks), cows — plus the 4 WS broadcast channels.
+
+Route paths mirror the reference mounting (``backend/app/main.py:66-103``):
+``/api/{auth,videos,analysis,training,models,shap,pipeline,health,
+ml-config,elo,tutorial,cows}`` and ``/api/ws/{pipeline,health,queue,rater}``.
+"""
+from __future__ import annotations
+
+import json
+import random
+import shutil
+import time
+import uuid
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..core.config import Config
+from ..hitl import elo as elo_mod
+from ..io.db import Database
+from .http import (AdminHTTPServer, HTTPError, Request, Router, TokenCodec,
+                   WebSocketManager, hash_password, verify_password)
+
+PIPELINES = ("yolo", "sam3", "dinov3", "tleap", "tcn", "transformer",
+             "gnn", "graph_transformer", "ml", "tracking", "fusion")
+
+DEFAULT_ML_CONFIG = {
+    "catboost": {"n_estimators": 200, "learning_rate": 0.1, "max_depth": 6},
+    "xgboost": {"n_estimators": 200, "learning_rate": 0.1, "max_depth": 6},
+    "lightgbm": {"n_estimators": 200, "learning_rate": 0.1, "max_depth": 6},
+    "ensemble": {"weights": {"catboost": 0.35, "xgboost": 0.35,
+                             "lightgbm": 0.30}},
+    "training": {"cv_folds": 5, "min_new_videos": 10},
+}
+ML_CONFIG_SCHEMA = {
+    "catboost.n_estimators": {"type": "int", "min": 10, "max": 5000,
+                              "description": "Number of boosting iterations"},
+    "catboost.learning_rate": {"type": "float", "min": 0.001, "max": 1.0,
+                               "description": "Gradient step size"},
+    "catboost.max_depth": {"type": "int", "min": 1, "max": 16,
+                           "description": "Tree depth"},
+    "ensemble.weights": {"type": "dict",
+                         "description": "Per-model ensemble weights"},
+    "training.cv_folds": {"type": "int", "min": 2, "max": 10,
+                          "description": "Stratified CV folds"},
+}
+
+
+class AdminContext:
+    """Shared state behind the API."""
+
+    def __init__(self, config: Config, db: Database, bus,
+                 reliability=None, ensemble=None, shap_service=None,
+                 llm_service=None, driver=None, store=None):
+        self.config = config
+        self.dirs = config.dirs
+        self.db = db
+        self.bus = bus
+        self.reliability = reliability
+        self.ensemble = ensemble
+        self.shap_service = shap_service
+        self.llm_service = llm_service
+        self.driver = driver
+        self.store = store
+        self.tokens = TokenCodec()
+        self.ws = WebSocketManager()
+        self.start_time = time.time()
+        self.ml_config_path = self.dirs.root and \
+            Path(self.dirs.root) / "ml_config.json"
+
+    # -- helpers -------------------------------------------------------------
+    def read_result(self, pipeline: str, video_id: str) -> Optional[Dict]:
+        f = self.dirs.results_for(pipeline) / f"{video_id}_{pipeline}.json"
+        if f.exists():
+            try:
+                return json.load(open(f))
+            except Exception:
+                return None
+        return None
+
+    def ml_config(self) -> Dict[str, Any]:
+        if self.ml_config_path and Path(self.ml_config_path).exists():
+            try:
+                return json.load(open(self.ml_config_path))
+            except Exception:
+                pass
+        return json.loads(json.dumps(DEFAULT_ML_CONFIG))
+
+    def save_ml_config(self, cfg: Dict[str, Any]) -> None:
+        json.dump(cfg, open(self.ml_config_path, "w"), indent=2)
+
+    def seed_users(self) -> None:
+        """Default admin/researcher/rater accounts (backend main.py:117-190)."""
+        for username, role in (("admin", "admin"), ("researcher", "researcher"),
+                               ("rater", "rater")):
+            if self.db.one("SELECT id FROM users WHERE username=?",
+                           (username,)) is None:
+                self.db.insert("users", {
+                    "email": f"{username}@lameness.local",
+                    "username": username,
+                    "password_hash": hash_password(f"{username}123"),
+                    "role": role, "is_active": 1,
+                    "created_at": datetime.now(timezone.utc).isoformat()})
+
+
+def _now():
+    return datetime.now(timezone.utc).isoformat()
+
+
+def build_admin_api(ctx: AdminContext) -> Router:
+    r = Router()
+    db = ctx.db
+    dirs = ctx.dirs
+
+    # ============================ auth ====================================
+    @r.post("/api/auth/register")
+    def register(req: Request):
+        b = req.body or {}
+        for k in ("email", "username", "password"):
+            if not b.get(k):
+                raise HTTPError(422, f"missing {k}")
+        if db.one("SELECT id FROM users WHERE username=? OR email=?",
+                  (b["username"], b["email"])):
+            raise HTTPError(409, "user exists")
+        uid = db.insert("users", {
+            "email": b["email"], "username": b["username"],
+            "password_hash": hash_password(b["password"]),
+            "role": b.get("role", "rater"), "is_active": 1})
+        return {"id": uid, "username": b["username"],
+                "role": b.get("role", "rater")}
+
+    def _issue(user):
+        token = ctx.tokens.encode({"sub": user["id"],
+                                   "username": user["username"],
+                                   "role": user["role"]})
+        db.update("users", user["id"], {"last_login": _now()})
+        return {"access_token": token, "token_type": "bearer",
+                "user": {"id": user["id"], "username": user["username"],
+                         "role": user["role"],
+                         "rater_tier": user.get("rater_tier")}}
+
+    @r.post("/api/auth/login")
+    def login(req: Request):
+        b = req.body or {}
+        user = db.one("SELECT * FROM users WHERE username=?",
+                      (b.get("username", ""),))
+        if not user or not user["is_active"] or \
+                not verify_password(b.get("password", ""),
+                                    user["password_hash"]):
+            raise HTTPError(401, "invalid credentials")
+        return _issue(user)
+
+    @r.post("/api/auth/logout", auth=True)
+    def logout(req: Request):
+        return {"status": "logged_out"}
+
+    @r.post("/api/auth/refresh", auth=True)
+    def refresh(req: Request):
+        user = db.one("SELECT * FROM users WHERE id=?", (req.user["sub"],))
+        if not user:
+            raise HTTPError(401, "unknown user")
+        return _issue(user)
+
+    @r.get("/api/auth/me", auth=True)
+    def me(req: Request):
+        user = db.one("SELECT id, email, username, role, rater_tier, "
+                      "is_active, created_at, last_login FROM users "
+                      "WHERE id=?", (req.user["sub"],))
+        if not user:
+            raise HTTPError(404, "user not found")
+        return user
+
+    @r.get("/api/auth/users", roles=["admin"])
+    def list_users(req: Request):
+        return db.query("SELECT id, email, username, role, rater_tier, "
+                        "is_active, created_at, last_login FROM users")
+
+    @r.patch("/api/auth/users/{user_id}", roles=["admin"])
+    def patch_user(req: Request):
+        allowed = {k: v for k, v in (req.body or {}).items()
+                   if k in ("role", "is_active", "rater_tier")}
+        if not allowed:
+            raise HTTPError(422, "nothing to update")
+        db.update("users", req.params["user_id"], allowed)
+        return db.one("SELECT id, username, role, rater_tier, is_active "
+                      "FROM users WHERE id=?", (req.params["user_id"],))
+
+    # ============================ videos ==================================
+    @r.post("/api/videos/upload")
+    def upload_video(req: Request):
+        """Local upload path (routers/videos.py:293): raw bytes body with
+        ?filename=; ingests through the driver when present."""
+        filename = req.query.get("filename", "upload.mp4")
+        ext = Path(filename).suffix.lower()
+        if ext not in (".mp4", ".avi", ".mov", ".mkv"):
+            raise HTTPError(422, f"unsupported extension {ext}")
+        video_id = str(uuid.uuid4())
+        dest = dirs.videos / f"{video_id}{ext}"
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        with open(dest, "wb") as f:
+            f.write(req.raw or b"")
+        db.insert("videos", {
+            "id": video_id, "filename": dest.name,
+            "original_filename": filename,
+            "file_size": len(req.raw or b""), "file_path": str(dest),
+            "status": "uploaded", "uploaded_at": _now()})
+        ctx.bus.publish_sync(ctx.config.subjects.video_uploaded, {
+            "video_id": video_id, "filename": filename, "path": str(dest),
+            "uploaded_at": _now()})
+        return {"video_id": video_id, "filename": filename}
+
+    @r.get("/api/videos")
+    def list_videos(req: Request):
+        sql = "SELECT * FROM videos"
+        params: tuple = ()
+        clauses = []
+        if "status" in req.query:
+            clauses.append("status=?")
+            params += (req.query["status"],)
+        if "label" in req.query:
+            clauses.append("label=?")
+            params += (int(req.query["label"]),)
+        if clauses:
+            sql += " WHERE " + " AND ".join(clauses)
+        sql += " ORDER BY uploaded_at DESC LIMIT ?"
+        params += (int(req.query.get("limit", 100)),)
+        return db.query(sql, params)
+
+    @r.get("/api/videos/{video_id}")
+    def get_video(req: Request):
+        row = db.one("SELECT * FROM videos WHERE id=?",
+                     (req.params["video_id"],))
+        if not row:
+            raise HTTPError(404, "video not found")
+        return row
+
+    @r.get("/api/videos/{video_id}/stream")
+    def stream_video(req: Request):
+        vid = req.params["video_id"]
+        matches = list(dirs.videos.glob(f"{vid}.*")) + \
+            list(dirs.processed.glob(f"{vid}_cropped.mp4")) + \
+            list(dirs.canonical.glob(f"{vid}_canonical.mp4"))
+        if not matches:
+            raise HTTPError(404, "video file not found")
+        data = matches[0].read_bytes()
+        return (200, data, "video/mp4")
+
+    @r.get("/api/videos/{video_id}/detections")
+    def video_detections(req: Request):
+        res = ctx.read_result("yolo", req.params["video_id"])
+        if res is None:
+            raise HTTPError(404, "no detections")
+        return res
+
+    @r.get("/api/videos/{video_id}/pose")
+    def video_pose(req: Request):
+        res = ctx.read_result("tleap", req.params["video_id"])
+        if res is None:
+            raise HTTPError(404, "no pose results")
+        return res
+
+    @r.post("/api/videos/{video_id}/label", auth=True)
+    def label_video(req: Request):
+        b = req.body or {}
+        label = b.get("label")
+        if label not in (0, 1):
+            raise HTTPError(422, "label must be 0 or 1")
+        vid = req.params["video_id"]
+        if db.one("SELECT id FROM videos WHERE id=?", (vid,)):
+            db.update("videos", vid, {
+                "label": label,
+                "label_confidence": b.get("confidence", "certain")})
+        labels_dir = dirs.training / "labels"
+        labels_dir.mkdir(parents=True, exist_ok=True)
+        json.dump({"label": label,
+                   "confidence": b.get("confidence", "certain"),
+                   "labeled_at": _now()},
+                  open(labels_dir / f"{vid}_label.json", "w"))
+        ctx.bus.publish_sync(ctx.config.subjects.training_data_added, {
+            "video_id": vid, "label": label})
+        return {"video_id": vid, "label": label}
+
+    # ============================ analysis ================================
+    @r.get("/api/analysis/{video_id}")
+    def analysis_all(req: Request):
+        vid = req.params["video_id"]
+        out = {}
+        for p in PIPELINES:
+            res = ctx.read_result(p, vid)
+            if res is not None:
+                out[p] = res
+        if not out:
+            raise HTTPError(404, "no analysis results")
+        return out
+
+    @r.get("/api/analysis/{video_id}/{pipeline}")
+    def analysis_one(req: Request):
+        p = req.params["pipeline"]
+        if p not in PIPELINES:
+            raise HTTPError(422, f"unknown pipeline {p}")
+        res = ctx.read_result(p, req.params["video_id"])
+        if res is None:
+            raise HTTPError(404, "no result")
+        return res
+
+    @r.get("/api/analysis/{video_id}/explanation/get")
+    def get_explanation(req: Request):
+        vid = req.params["video_id"]
+        f = dirs.results / "explanations" / f"{vid}_explanation.json"
+        if not f.exists():
+            raise HTTPError(404, "no explanation")
+        return json.load(open(f))
+
+    @r.post("/api/analysis/{video_id}/explanation/generate")
+    def gen_explanation(req: Request):
+        vid = req.params["video_id"]
+        fusion = ctx.read_result("fusion", vid)
+        if fusion is None:
+            raise HTTPError(404, "no fusion result to explain")
+        shap_file = dirs.results / "shap" / f"{vid}_shap.json"
+        shap_data = json.load(open(shap_file)) if shap_file.exists() else None
+        if ctx.llm_service is None:
+            raise HTTPError(503, "llm service unavailable")
+        return ctx.llm_service.explain(vid, fusion.get("fusion_result", {}),
+                                       shap_data)
+
+    # ============================ training ================================
+    @r.get("/api/training/stats")
+    def training_stats(req: Request):
+        labels_dir = dirs.training / "labels"
+        labeled = list(labels_dir.glob("*_label.json")) \
+            if labels_dir.exists() else []
+        lame = sound = 0
+        for f in labeled:
+            try:
+                lab = json.load(open(f)).get("label")
+                lame += lab == 1
+                sound += lab == 0
+            except Exception:
+                pass
+        comps = db.query("SELECT COUNT(*) n FROM pairwise_comparisons")
+        return {"total_labeled": len(labeled), "lame": lame, "sound": sound,
+                "pairwise_comparisons": comps[0]["n"],
+                "min_new_videos": ctx.config.ml.min_new_videos}
+
+    @r.get("/api/training/status")
+    def training_status(req: Request):
+        p = dirs.training / "training_status.json"
+        return json.load(open(p)) if p.exists() else {"status": "never_run"}
+
+    @r.post("/api/training/start/ml", roles=["admin", "researcher"])
+    def start_ml_training(req: Request):
+        ctx.bus.publish_sync(ctx.config.subjects.training_ml_requested,
+                             {"requested_by": req.user["username"],
+                              "requested_at": _now()})
+        return {"status": "requested"}
+
+    @r.post("/api/training/start/yolo", roles=["admin", "researcher"])
+    def start_yolo_training(req: Request):
+        ctx.bus.publish_sync(ctx.config.subjects.training_yolo_requested,
+                             {"requested_by": req.user["username"],
+                              "requested_at": _now()})
+        return {"status": "requested"}
+
+    # -- pairwise (routers/training.py:242-457 via elo router submit) -------
+    @r.get("/api/training/pairwise/next", auth=True)
+    def pairwise_next(req: Request):
+        ratings = {row["video_id"]: row["elo_rating"] for row in
+                   db.query("SELECT * FROM video_elo_ratings")}
+        unc = {row["video_id"]: row["elo_uncertainty"] for row in
+               db.query("SELECT * FROM video_elo_ratings")}
+        vids = [v["id"] for v in db.query(
+            "SELECT id FROM videos ORDER BY uploaded_at DESC LIMIT 200")]
+        for v in vids:
+            ratings.setdefault(v, elo_mod.INITIAL_ELO)
+            unc.setdefault(v, elo_mod.INITIAL_UNCERTAINTY)
+        if len(ratings) < 2:
+            raise HTTPError(404, "not enough videos for a pair")
+        a, b = elo_mod.active_next_pair(ratings, unc,
+                                        np.random.default_rng())
+        return {"video_id_1": a, "video_id_2": b,
+                "strategy": "active_sampling_70_30"}
+
+    @r.get("/api/training/pairwise/ranking")
+    def pairwise_ranking(req: Request):
+        return db.query("SELECT video_id, elo_rating, elo_uncertainty, wins, "
+                        "losses, ties, total_comparisons, normalized_score, "
+                        "rank_position FROM video_elo_ratings "
+                        "ORDER BY elo_rating DESC")
+
+    # -- triplets (routers/training.py:459-650) ------------------------------
+    @r.get("/api/training/triplet/next", auth=True)
+    def triplet_next(req: Request):
+        vids = [v["id"] for v in db.query(
+            "SELECT id FROM videos ORDER BY uploaded_at DESC LIMIT 100")]
+        if len(vids) < 3:
+            raise HTTPError(404, "not enough videos for a triplet")
+        ref, a, b = random.sample(vids, 3)
+        task_type = random.choice(["similarity", "dissimilarity"])
+        pair = [a, b]
+        random.shuffle(pair)
+        return {"reference": ref, "option_a": pair[0], "option_b": pair[1],
+                "task_type": task_type}
+
+    @r.post("/api/training/triplet/submit", auth=True)
+    def triplet_submit(req: Request):
+        b = req.body or {}
+        out_dir = dirs.training / "triplets"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        rec = {"reference": b.get("reference"), "option_a": b.get("option_a"),
+               "option_b": b.get("option_b"), "choice": b.get("choice"),
+               "task_type": b.get("task_type"),
+               "rater": req.user["username"], "submitted_at": _now()}
+        with open(out_dir / "triplets.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return {"status": "recorded"}
+
+    @r.get("/api/training/triplet/stats")
+    def triplet_stats(req: Request):
+        p = dirs.training / "triplets" / "triplets.jsonl"
+        n = sum(1 for _ in open(p)) if p.exists() else 0
+        return {"total_triplets": n}
+
+    # -- learn ("Lameness Duolingo", routers/training.py:652-814) -----------
+    @r.get("/api/training/learn/progress", auth=True)
+    def learn_progress(req: Request):
+        user = req.user["username"]
+        comps = db.query(
+            "SELECT COUNT(*) n FROM pairwise_comparisons pc "
+            "JOIN users u ON pc.rater_id = u.id WHERE u.username=?", (user,))
+        stats = None
+        if ctx.reliability:
+            stats = ctx.reliability.rater_stats.get(user)
+        return {"username": user, "comparisons": comps[0]["n"],
+                "tier": stats.tier if stats else "bronze",
+                "gold_accuracy": stats.gold_task_accuracy if stats else None,
+                "level": min(10, comps[0]["n"] // 10 + 1)}
+
+    @r.get("/api/training/learn/leaderboard")
+    def leaderboard(req: Request):
+        rows = db.query(
+            "SELECT u.username, COUNT(pc.id) n FROM users u "
+            "LEFT JOIN pairwise_comparisons pc ON pc.rater_id = u.id "
+            "GROUP BY u.username ORDER BY n DESC LIMIT 20")
+        return rows
+
+    # ============================ models ==================================
+    @r.get("/api/models/parameters")
+    def model_parameters(req: Request):
+        return {
+            "tcn": {"channels": [64, 64, 64, 64], "kernel_size": 3,
+                    "receptive_field": 61, "input_dim": 44},
+            "transformer": {"d_model": 64, "num_layers": 4, "nhead": 4,
+                            "ffn": 256, "input_dim": 44},
+            "gnn": {"model": "EnhancedGraphGPS", "hidden_dim": 128,
+                    "num_layers": 4, "num_heads": 8, "pe": "laplacian+rw"},
+            "graph_transformer": {"model": "CowLamenessGraphormer",
+                                  "hidden_dim": 128, "num_layers": 6,
+                                  "num_heads": 8, "ffn": 512,
+                                  "virtual_node": True},
+            "ml": ctx.ml_config(),
+            "yolo": {"variant": "yolov8n", "input": 640,
+                     "conf_threshold": ctx.config.yolo.confidence_threshold},
+            "sam": {"variant": ctx.config.sam.variant, "image_size": 1024},
+            "dino": {"model": "dinov2-base", "dim": 768},
+        }
+
+    # ============================ shap ====================================
+    @r.get("/api/shap/{video_id}/local")
+    def shap_local(req: Request):
+        f = dirs.results / "shap" / f"{req.params['video_id']}_shap.json"
+        if not f.exists():
+            raise HTTPError(404, "no shap result")
+        return json.load(open(f))
+
+    @r.get("/api/shap/global")
+    def shap_global(req: Request):
+        if ctx.shap_service is None or ctx.ensemble is None or \
+                not ctx.ensemble.has_models:
+            raise HTTPError(503, "ensemble not trained")
+        from ..xai.shapley import global_importance
+        bg = ctx.shap_service._background("", dim=12)
+        if bg.shape[0] < 2:
+            raise HTTPError(404, "not enough ml results for global shap")
+        names = [f"f{i}" for i in range(bg.shape[1])]
+        return global_importance(ctx.shap_service._predict, bg[:10], bg, names)
+
+    @r.post("/api/shap/{video_id}/what-if")
+    def shap_what_if(req: Request):
+        b = req.body or {}
+        ml = ctx.read_result("ml", req.params["video_id"])
+        if ml is None:
+            raise HTTPError(404, "no ml result")
+        if ctx.shap_service is None:
+            raise HTTPError(503, "shap unavailable")
+        from ..xai.shapley import what_if
+        feats = np.asarray(ml["features"], float)
+        idx = int(b.get("feature_index", 0))
+        values = b.get("values") or list(np.linspace(0, 1, 5))
+        return what_if(ctx.shap_service._predict, feats, idx, values)
+
+    # ============================ pipeline ================================
+    @r.post("/api/pipeline/heartbeat")
+    def heartbeat(req: Request):
+        b = req.body or {}
+        name = b.get("service_name")
+        if not name:
+            raise HTTPError(422, "service_name required")
+        db.upsert_heartbeat(name, b.get("status", "healthy"),
+                            b.get("active_jobs", 0),
+                            b.get("success_count", 0),
+                            b.get("error_count", 0), b.get("last_error"))
+        ctx.ws.broadcast("pipeline", {"type": "heartbeat",
+                                      "service": name,
+                                      "status": b.get("status", "healthy")})
+        return {"status": "recorded"}
+
+    @r.get("/api/pipeline/status")
+    def pipeline_status(req: Request):
+        return db.query("SELECT * FROM service_heartbeats")
+
+    @r.post("/api/pipeline/retrigger/{service}/{video_id}",
+            roles=["admin", "researcher"])
+    def retrigger(req: Request):
+        service = req.params["service"]
+        vid = req.params["video_id"]
+        subj = {
+            "yolo": ctx.config.subjects.video_preprocessed,
+            "all": ctx.config.subjects.video_preprocessed,
+            "ml": ctx.config.subjects.pipeline_dinov3,
+            "fusion": ctx.config.subjects.pipeline_ml,
+        }.get(service, ctx.config.subjects.video_preprocessed)
+        processed = dirs.processed / f"{vid}_cropped.mp4"
+        ctx.bus.publish_sync(subj, {"video_id": vid,
+                                    "processed_path": str(processed),
+                                    "retriggered": True})
+        return {"status": "retriggered", "service": service,
+                "video_id": vid}
+
+    @r.get("/api/pipeline/queue")
+    def pipeline_queue(req: Request):
+        jobs = db.query("SELECT status, COUNT(*) n FROM processing_jobs "
+                        "GROUP BY status")
+        return {"jobs_by_status": {j["status"]: j["n"] for j in jobs},
+                "bus_messages": len(ctx.bus.history),
+                "bus_errors": len(ctx.bus.errors)}
+
+    # ============================ health ==================================
+    @r.get("/api/health/overview")
+    def health_overview(req: Request):
+        du = shutil.disk_usage(str(dirs.root))
+        pct = du.used / du.total * 100
+        disk_status = ("critical" if pct > 90 else
+                       "warning" if pct > 75 else "healthy")
+        hb = db.query("SELECT service_name, status FROM service_heartbeats")
+        return {
+            "bus": {"status": "healthy" if True else "down",
+                    "messages": len(ctx.bus.history),
+                    "errors": len(ctx.bus.errors)},
+            "vector_store": {
+                "status": "healthy",
+                "collections": ctx.store.collection_names()
+                if ctx.store else []},
+            "disk": {"percent_used": round(pct, 1), "status": disk_status,
+                     "free_gb": round(du.free / 1e9, 2)},
+            "services": {h["service_name"]: h["status"] for h in hb},
+            "uptime_s": round(time.time() - ctx.start_time, 1),
+        }
+
+    @r.get("/api/health/throughput")
+    def throughput(req: Request):
+        window = float(req.query.get("window_s", 3600))
+        cutoff = time.time() - window
+        recent = [m for m in ctx.bus.history if m["ts"] > cutoff]
+        per_subject: Dict[str, int] = {}
+        for m in recent:
+            per_subject[m["subject"]] = per_subject.get(m["subject"], 0) + 1
+        done = per_subject.get("analysis.complete", 0)
+        return {"window_s": window, "messages": len(recent),
+                "per_subject": per_subject,
+                "videos_analyzed": done,
+                "videos_per_hour": done / window * 3600}
+
+    # ============================ ml-config ===============================
+    @r.get("/api/ml-config")
+    def get_ml_config(req: Request):
+        return {"config": ctx.ml_config(), "schema": ML_CONFIG_SCHEMA}
+
+    @r.put("/api/ml-config", roles=["admin", "researcher"])
+    def put_ml_config(req: Request):
+        b = req.body or {}
+        cfg = ctx.ml_config()
+        for section, values in b.items():
+            if section not in cfg or not isinstance(values, dict):
+                raise HTTPError(422, f"unknown section {section}")
+            cfg[section].update(values)
+        ctx.save_ml_config(cfg)
+        return {"config": cfg}
+
+    # ============================ elo =====================================
+    def _rater_weight(user_row) -> float:
+        tier = (user_row or {}).get("rater_tier") or "bronze"
+        return {"gold": 1.5, "silver": 1.0, "bronze": 0.75}.get(tier, 1.0)
+
+    @r.post("/api/elo/comparison", auth=True)
+    def submit_comparison(req: Request):
+        """routers/elo_ranking.py:318-436: Elo update + comparison record +
+        rater-reliability propagation."""
+        b = req.body or {}
+        v1, v2 = b.get("video_id_1"), b.get("video_id_2")
+        winner = b.get("winner")
+        if not v1 or not v2 or winner not in (0, 1, 2):
+            raise HTTPError(422, "video_id_1, video_id_2, winner required")
+        degree = int(b.get("degree", 1))
+        user = db.one("SELECT * FROM users WHERE id=?", (req.user["sub"],))
+        weight = _rater_weight(user)
+        ra = db.get_or_create_elo(v1)
+        rb = db.get_or_create_elo(v2)
+        na, nb, ua, ub = elo_mod.update_ratings(
+            ra["elo_rating"], rb["elo_rating"], ra["elo_uncertainty"],
+            rb["elo_uncertainty"], ra["total_comparisons"],
+            rb["total_comparisons"], winner, degree, weight)
+        db.update_elo(v1, na, ua, {1: "win", 2: "loss", 0: "tie"}[winner])
+        db.update_elo(v2, nb, ub, {1: "loss", 2: "win", 0: "tie"}[winner])
+        db.insert("pairwise_comparisons", {
+            "video_id_1": v1, "video_id_2": v2, "winner": winner,
+            "degree": degree, "confidence": b.get("confidence", "confident"),
+            "rater_id": req.user["sub"], "rater_weight": weight})
+        if ctx.reliability is not None:
+            ctx.reliability.handle_comparison_submitted({
+                "video_id_1": v1, "video_id_2": v2,
+                "rater_id": req.user["username"], "winner": winner})
+        ctx.bus.publish_sync(ctx.config.subjects.hitl_comparison_submitted, {
+            "video_id_1": v1, "video_id_2": v2, "winner": winner,
+            "degree": degree, "rater_id": req.user["username"]})
+        ctx.ws.broadcast("rater", {"type": "comparison",
+                                   "rater": req.user["username"]})
+        return {"video_id_1": {"rating": na, "uncertainty": ua},
+                "video_id_2": {"rating": nb, "uncertainty": ub}}
+
+    @r.get("/api/elo/hierarchy")
+    def hierarchy(req: Request):
+        """David's scores + steepness over all comparisons
+        (elo_ranking.py:437-499)."""
+        comps = db.query("SELECT * FROM pairwise_comparisons")
+        ds = elo_mod.davids_scores(comps)
+        st, se = elo_mod.steepness(ds)
+        icc = elo_mod.inter_rater_agreement(comps)
+        ranked = sorted(ds.items(), key=lambda kv: kv[1], reverse=True)
+        for pos, (vid, score) in enumerate(ranked, start=1):
+            row = db.get_or_create_elo(vid)
+            db.update("video_elo_ratings", row["id"],
+                      {"normalized_score": score, "rank_position": pos})
+        return {
+            "ranking": [{"video_id": v, "davids_score": s,
+                         "rank": i + 1}
+                        for i, (v, s) in enumerate(ranked)],
+            "steepness": st, "steepness_se": se,
+            "inter_rater_reliability": icc,
+            "total_comparisons": len(comps),
+        }
+
+    @r.get("/api/elo/next-pair", auth=True)
+    def next_pair(req: Request):
+        return pairwise_next(req)
+
+    @r.get("/api/elo/stats")
+    def elo_stats(req: Request):
+        rows = db.query("SELECT * FROM video_elo_ratings")
+        comps = db.query("SELECT COUNT(*) n FROM pairwise_comparisons")
+        ratings = [r["elo_rating"] for r in rows]
+        return {"total_videos": len(rows),
+                "total_comparisons": comps[0]["n"],
+                "rating_mean": float(np.mean(ratings)) if ratings else None,
+                "rating_std": float(np.std(ratings)) if ratings else None}
+
+    @r.post("/api/elo/snapshot", roles=["admin", "researcher"])
+    def snapshot(req: Request):
+        comps = db.query("SELECT * FROM pairwise_comparisons")
+        ds = elo_mod.davids_scores(comps)
+        st, se = elo_mod.steepness(ds)
+        icc = elo_mod.inter_rater_agreement(comps)
+        sid = db.insert("hierarchy_snapshots", {
+            "name": (req.body or {}).get("name", f"snapshot-{_now()}"),
+            "description": (req.body or {}).get("description"),
+            "total_videos": len(ds), "total_comparisons": len(comps),
+            "steepness": st, "steepness_std": se,
+            "inter_rater_reliability": icc,
+            "ranking_data": json.dumps(ds),
+            "created_by": req.user["sub"]})
+        return {"snapshot_id": sid, "steepness": st}
+
+    @r.get("/api/elo/history/{video_id}")
+    def elo_history(req: Request):
+        return db.query("SELECT * FROM elo_history WHERE video_id=? "
+                        "ORDER BY recorded_at", (req.params["video_id"],))
+
+    @r.post("/api/elo/recalculate", roles=["admin"])
+    def recalculate(req: Request):
+        """Replay every comparison from scratch (elo_ranking.py:740-817)."""
+        comps = db.query("SELECT * FROM pairwise_comparisons "
+                         "ORDER BY created_at")
+        db.execute("DELETE FROM video_elo_ratings")
+        db.execute("DELETE FROM elo_history")
+        for c in comps:
+            ra = db.get_or_create_elo(c["video_id_1"])
+            rb = db.get_or_create_elo(c["video_id_2"])
+            na, nb, ua, ub = elo_mod.update_ratings(
+                ra["elo_rating"], rb["elo_rating"], ra["elo_uncertainty"],
+                rb["elo_uncertainty"], ra["total_comparisons"],
+                rb["total_comparisons"], c["winner"], c["degree"],
+                c["rater_weight"])
+            db.update_elo(c["video_id_1"], na, ua,
+                          {1: "win", 2: "loss", 0: "tie"}[c["winner"]])
+            db.update_elo(c["video_id_2"], nb, ub,
+                          {1: "loss", 2: "win", 0: "tie"}[c["winner"]])
+        return {"recalculated": len(comps)}
+
+    # ============================ tutorial ================================
+    @r.get("/api/tutorial/tasks")
+    def tutorial_tasks(req: Request):
+        return db.query("SELECT * FROM gold_tasks WHERE is_active=1 "
+                        "ORDER BY is_tutorial DESC, tutorial_order")
+
+    @r.post("/api/tutorial/tasks", roles=["admin", "researcher"])
+    def create_gold_task(req: Request):
+        b = req.body or {}
+        for k in ("video_id_1", "video_id_2", "correct_winner"):
+            if b.get(k) is None:
+                raise HTTPError(422, f"missing {k}")
+        tid = db.insert("gold_tasks", {
+            "video_id_1": b["video_id_1"], "video_id_2": b["video_id_2"],
+            "correct_winner": b["correct_winner"],
+            "correct_degree": b.get("correct_degree", 2),
+            "difficulty": b.get("difficulty", "medium"),
+            "description": b.get("description"), "hint": b.get("hint"),
+            "is_tutorial": int(b.get("is_tutorial", False)),
+            "tutorial_order": b.get("tutorial_order"),
+            "created_by": req.user["sub"]})
+        return {"id": tid}
+
+    @r.delete("/api/tutorial/tasks/{task_id}", roles=["admin", "researcher"])
+    def delete_gold_task(req: Request):
+        db.update("gold_tasks", req.params["task_id"], {"is_active": 0})
+        return {"status": "deactivated"}
+
+    @r.post("/api/tutorial/auto-generate", roles=["admin", "researcher"])
+    def auto_generate(req: Request):
+        """Build gold tasks from extreme Elo-gap pairs (tutorial.py)."""
+        rows = db.query("SELECT * FROM video_elo_ratings "
+                        "WHERE total_comparisons >= 3 "
+                        "ORDER BY elo_rating DESC")
+        created = []
+        n = int((req.body or {}).get("count", 3))
+        for i in range(min(n, len(rows) // 2)):
+            hi, lo = rows[i], rows[-(i + 1)]
+            if hi["video_id"] == lo["video_id"]:
+                break
+            tid = db.insert("gold_tasks", {
+                "video_id_1": hi["video_id"], "video_id_2": lo["video_id"],
+                "correct_winner": 1, "correct_degree": 3,
+                "difficulty": "easy",
+                "description": "auto-generated from Elo extremes",
+                "created_by": req.user["sub"]})
+            created.append(tid)
+        return {"created": created}
+
+    # ============================ cows ====================================
+    @r.get("/api/cows")
+    def list_cows(req: Request):
+        return db.query("SELECT * FROM cow_identities WHERE is_active=1 "
+                        "ORDER BY last_seen DESC")
+
+    @r.get("/api/cows/{cow_id}")
+    def cow_detail(req: Request):
+        cow = db.one("SELECT * FROM cow_identities WHERE cow_id=?",
+                     (req.params["cow_id"],))
+        if not cow:
+            raise HTTPError(404, "cow not found")
+        return cow
+
+    @r.get("/api/cows/{cow_id}/lameness-history")
+    def cow_history(req: Request):
+        return db.lameness_history(req.params["cow_id"])
+
+    @r.get("/api/cows/{cow_id}/videos")
+    def cow_videos(req: Request):
+        cow = db.one("SELECT * FROM cow_identities WHERE cow_id=?",
+                     (req.params["cow_id"],))
+        if not cow:
+            raise HTTPError(404, "cow not found")
+        return db.query("SELECT * FROM track_history WHERE cow_id=?",
+                        (cow["id"],))
+
+    @r.get("/api/cows/{cow_id}/prediction")
+    def cow_prediction(req: Request):
+        f = dirs.results / "cow_predictions" / \
+            f"{req.params['cow_id']}_prediction.json"
+        if not f.exists():
+            raise HTTPError(404, "no cow prediction")
+        return json.load(open(f))
+
+    @r.patch("/api/cows/{cow_id}", roles=["admin", "researcher"])
+    def patch_cow(req: Request):
+        cow = db.one("SELECT * FROM cow_identities WHERE cow_id=?",
+                     (req.params["cow_id"],))
+        if not cow:
+            raise HTTPError(404, "cow not found")
+        allowed = {k: v for k, v in (req.body or {}).items()
+                   if k in ("tag_number", "notes", "is_active")}
+        db.update("cow_identities", cow["id"], allowed)
+        return db.one("SELECT * FROM cow_identities WHERE id=?", (cow["id"],))
+
+    @r.get("/api/cows/summary/stats")
+    def cow_summary(req: Request):
+        cows = db.query("SELECT COUNT(*) n FROM cow_identities "
+                        "WHERE is_active=1")
+        lame = db.query(
+            "SELECT COUNT(DISTINCT cow_id) n FROM lameness_records "
+            "WHERE is_lame=1")
+        return {"total_cows": cows[0]["n"], "cows_with_lameness": lame[0]["n"]}
+
+    # ============================ misc ====================================
+    @r.get("/health")
+    def root_health(req: Request):
+        return {"status": "healthy", "service": "lameness-tpu-admin"}
+
+    return r
+
+
+def make_server(ctx: AdminContext, host: str = "127.0.0.1",
+                port: int = 0) -> AdminHTTPServer:
+    router = build_admin_api(ctx)
+    return AdminHTTPServer(router, ctx.tokens, ctx.ws, host, port)

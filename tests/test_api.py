@@ -1,0 +1,230 @@
+"""Admin REST API over a live stdlib server: auth, routers, WS broadcast."""
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+try:
+    import httpx
+except ImportError:  # pragma: no cover
+    httpx = None
+
+from lameness_tpu.core.config import Subjects
+from lameness_tpu.io.bus import MessageBus
+from lameness_tpu.io.db import Database
+from lameness_tpu.io.vecstore import VectorStore
+from lameness_tpu.serve.api import AdminContext, make_server
+from lameness_tpu.serve.http import hash_password, verify_password, TokenCodec
+
+pytestmark = pytest.mark.skipif(httpx is None, reason="httpx unavailable")
+
+
+@pytest.fixture()
+def server(tmp_data_root, tmp_path):
+    cfg = tmp_data_root
+    db = Database(tmp_path / "api.db")
+    bus = MessageBus()
+    from lameness_tpu.hitl.reliability import RaterReliabilityService
+    rel = RaterReliabilityService(cfg.dirs.rater_reliability, bus=bus,
+                                  subjects=Subjects())
+    ctx = AdminContext(cfg, db, bus, reliability=rel,
+                       store=VectorStore())
+    ctx.seed_users()
+    srv = make_server(ctx)
+    port = srv.start()
+    yield f"http://127.0.0.1:{port}", ctx
+    srv.stop()
+
+
+def _login(base, username="admin", password="admin123"):
+    r = httpx.post(f"{base}/api/auth/login",
+                   json={"username": username, "password": password})
+    assert r.status_code == 200, r.text
+    return r.json()["access_token"]
+
+
+def _auth(token):
+    return {"Authorization": f"Bearer {token}"}
+
+
+def test_password_and_token_primitives():
+    h = hash_password("secret")
+    assert verify_password("secret", h)
+    assert not verify_password("wrong", h)
+    tc = TokenCodec()
+    tok = tc.encode({"sub": "u1", "role": "admin"})
+    assert tc.decode(tok)["sub"] == "u1"
+    assert tc.decode(tok + "x") is None
+    assert TokenCodec().decode(tok) is None       # different secret
+
+
+def test_auth_flow(server):
+    base, ctx = server
+    token = _login(base)
+    me = httpx.get(f"{base}/api/auth/me", headers=_auth(token)).json()
+    assert me["username"] == "admin" and me["role"] == "admin"
+    # bad credentials
+    r = httpx.post(f"{base}/api/auth/login",
+                   json={"username": "admin", "password": "nope"})
+    assert r.status_code == 401
+    # role gating: rater cannot start training
+    rater_tok = _login(base, "rater", "rater123")
+    r = httpx.post(f"{base}/api/training/start/ml",
+                   headers=_auth(rater_tok))
+    assert r.status_code == 403
+    # admin can
+    r = httpx.post(f"{base}/api/training/start/ml", headers=_auth(token))
+    assert r.status_code == 200
+    assert ctx.bus.messages_on("training.ml.requested")
+
+
+def test_video_upload_and_label(server):
+    base, ctx = server
+    token = _login(base)
+    r = httpx.post(f"{base}/api/videos/upload?filename=test.mp4",
+                   content=b"fakevideo")
+    assert r.status_code == 200
+    vid = r.json()["video_id"]
+    listing = httpx.get(f"{base}/api/videos").json()
+    assert any(v["id"] == vid for v in listing)
+    r = httpx.post(f"{base}/api/videos/{vid}/label",
+                   json={"label": 1}, headers=_auth(token))
+    assert r.status_code == 200
+    row = httpx.get(f"{base}/api/videos/{vid}").json()
+    assert row["label"] == 1
+    assert (ctx.dirs.training / "labels" / f"{vid}_label.json").exists()
+    # invalid label rejected
+    r = httpx.post(f"{base}/api/videos/{vid}/label",
+                   json={"label": 7}, headers=_auth(token))
+    assert r.status_code == 422
+
+
+def test_elo_comparison_and_hierarchy(server):
+    base, ctx = server
+    token = _login(base)
+    for v1, v2, w in (("a", "b", 1), ("b", "c", 1), ("a", "c", 1),
+                      ("a", "b", 1)):
+        r = httpx.post(f"{base}/api/elo/comparison",
+                       json={"video_id_1": v1, "video_id_2": v2,
+                             "winner": w, "degree": 2},
+                       headers=_auth(token))
+        assert r.status_code == 200, r.text
+    h = httpx.get(f"{base}/api/elo/hierarchy").json()
+    ranking = {row["video_id"]: row["rank"] for row in h["ranking"]}
+    assert ranking["a"] < ranking["b"] < ranking["c"]
+    assert h["total_comparisons"] == 4
+    stats = httpx.get(f"{base}/api/elo/stats").json()
+    assert stats["total_videos"] == 3
+    hist = httpx.get(f"{base}/api/elo/history/a").json()
+    assert len(hist) == 3
+    # snapshot + recalculate round-trips
+    r = httpx.post(f"{base}/api/elo/snapshot", json={"name": "s1"},
+                   headers=_auth(token))
+    assert r.status_code == 200
+    r = httpx.post(f"{base}/api/elo/recalculate", headers=_auth(token))
+    assert r.json()["recalculated"] == 4
+
+
+def test_pipeline_heartbeat_and_health(server):
+    base, ctx = server
+    r = httpx.post(f"{base}/api/pipeline/heartbeat",
+                   json={"service_name": "engine", "status": "healthy",
+                         "active_jobs": 1})
+    assert r.status_code == 200
+    status = httpx.get(f"{base}/api/pipeline/status").json()
+    assert status[0]["service_name"] == "engine"
+    overview = httpx.get(f"{base}/api/health/overview").json()
+    assert overview["disk"]["status"] in ("healthy", "warning", "critical")
+    assert overview["services"]["engine"] == "healthy"
+    tp = httpx.get(f"{base}/api/health/throughput").json()
+    assert "videos_per_hour" in tp
+
+
+def test_ml_config_roundtrip(server):
+    base, ctx = server
+    token = _login(base, "researcher", "researcher123")
+    cfg = httpx.get(f"{base}/api/ml-config").json()
+    assert cfg["config"]["catboost"]["n_estimators"] == 200
+    assert "catboost.n_estimators" in cfg["schema"]
+    r = httpx.put(f"{base}/api/ml-config",
+                  json={"catboost": {"n_estimators": 300}},
+                  headers=_auth(token))
+    assert r.status_code == 200
+    cfg2 = httpx.get(f"{base}/api/ml-config").json()
+    assert cfg2["config"]["catboost"]["n_estimators"] == 300
+    r = httpx.put(f"{base}/api/ml-config", json={"bogus": {}},
+                  headers=_auth(token))
+    assert r.status_code == 422
+
+
+def test_analysis_and_cows_endpoints(server):
+    base, ctx = server
+    from lameness_tpu.io import schemas
+    schemas.write_result(ctx.dirs.results_for("tcn") / "vidX_tcn.json",
+                         {"video_id": "vidX", "severity_score": 0.8})
+    r = httpx.get(f"{base}/api/analysis/vidX/tcn").json()
+    assert r["severity_score"] == 0.8
+    allr = httpx.get(f"{base}/api/analysis/vidX").json()
+    assert "tcn" in allr
+    assert httpx.get(f"{base}/api/analysis/nothere").status_code == 404
+
+    ctx.db.record_sighting("COW-0001", "vidX", 0, 0.9, 0, 50, 0.8)
+    cows = httpx.get(f"{base}/api/cows").json()
+    assert cows[0]["cow_id"] == "COW-0001"
+    detail = httpx.get(f"{base}/api/cows/COW-0001").json()
+    assert detail["total_sightings"] == 1
+    token = _login(base)
+    r = httpx.patch(f"{base}/api/cows/COW-0001",
+                    json={"tag_number": "T42"}, headers=_auth(token))
+    assert r.json()["tag_number"] == "T42"
+    summary = httpx.get(f"{base}/api/cows/summary/stats").json()
+    assert summary["total_cows"] == 1
+
+
+def test_tutorial_gold_tasks(server):
+    base, ctx = server
+    token = _login(base, "researcher", "researcher123")
+    r = httpx.post(f"{base}/api/tutorial/tasks",
+                   json={"video_id_1": "a", "video_id_2": "b",
+                         "correct_winner": 1, "is_tutorial": True,
+                         "hint": "look at the back arch"},
+                   headers=_auth(token))
+    assert r.status_code == 200
+    tasks = httpx.get(f"{base}/api/tutorial/tasks").json()
+    assert len(tasks) == 1 and tasks[0]["hint"] == "look at the back arch"
+    tid = tasks[0]["id"]
+    httpx.delete(f"{base}/api/tutorial/tasks/{tid}", headers=_auth(token))
+    assert httpx.get(f"{base}/api/tutorial/tasks").json() == []
+
+
+def test_websocket_broadcast(server):
+    base, ctx = server
+    import base64 as b64
+    host, port = base.replace("http://", "").split(":")
+    s = socket.create_connection((host, int(port)))
+    key = b64.b64encode(b"0123456789abcdef").decode()
+    s.sendall((f"GET /api/ws/pipeline HTTP/1.1\r\nHost: {host}\r\n"
+               f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+               f"Sec-WebSocket-Key: {key}\r\n"
+               f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+    resp = s.recv(1024).decode()
+    assert "101" in resp.split("\r\n")[0]
+    import time
+    deadline = time.time() + 2
+    while ctx.ws.connection_count("pipeline") == 0 and time.time() < deadline:
+        time.sleep(0.02)
+    n = ctx.ws.broadcast("pipeline", {"type": "test", "x": 1})
+    assert n == 1
+    frame = s.recv(1024)
+    assert frame[0] == 0x81                      # text frame
+    payload = frame[2:2 + (frame[1] & 0x7F)]
+    assert json.loads(payload) == {"type": "test", "x": 1}
+    s.close()
+
+
+def test_unknown_route_404(server):
+    base, _ = server
+    assert httpx.get(f"{base}/api/nope").status_code == 404
+    assert httpx.get(f"{base}/health").json()["status"] == "healthy"

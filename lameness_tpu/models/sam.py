@@ -78,6 +78,8 @@ class VisionAttention(nn.Module):
     dim: int
     heads: int
     input_size: Tuple[int, int]    # (H, W) tokens this layer attends over
+    fused: Optional[bool] = None   # None = auto (Pallas kernel on TPU for
+                                   # square global grids)
 
     @nn.compact
     def __call__(self, x):
@@ -92,13 +94,29 @@ class VisionAttention(nn.Module):
                            (2 * self.input_size[0] - 1, hd))
         rel_w = self.param("rel_pos_w", nn.initializers.zeros,
                            (2 * self.input_size[1] - 1, hd))
-        bias = _rel_pos_bias((h, w), rel_h, rel_w, q)
 
-        scale = hd ** -0.5
-        attn = jnp.einsum("bqnd,bknd->bnqk", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn + bias, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bnqk,bknd->bqnd", attn, v)
+        use_fused = self.fused
+        if use_fused is None:
+            use_fused = (jax.default_backend() == "tpu"
+                         and h == w == self.input_size[0] and h >= 32)
+        if use_fused:
+            # fused Pallas path: never materialises the (N, N) bias
+            from ..ops.sam_attention import (project_rel_tables,
+                                             sam_global_attention)
+            interp = jax.default_backend() != "tpu"
+            qf = q.transpose(0, 2, 1, 3).reshape(b * self.heads, h * w, hd)
+            kf = k.transpose(0, 2, 1, 3).reshape(b * self.heads, h * w, hd)
+            vf = v.transpose(0, 2, 1, 3).reshape(b * self.heads, h * w, hd)
+            rh, rw = project_rel_tables(qf, rel_h, rel_w, h)
+            of = sam_global_attention(qf, kf, vf, rh, rw, interpret=interp)
+            out = of.reshape(b, self.heads, h * w, hd).transpose(0, 2, 1, 3)
+        else:
+            bias = _rel_pos_bias((h, w), rel_h, rel_w, q)
+            scale = hd ** -0.5
+            attn = jnp.einsum("bqnd,bknd->bnqk", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn + bias, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bnqk,bknd->bqnd", attn, v)
         out = out.reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, name="proj")(out)
 
@@ -130,6 +148,7 @@ class VisionLayer(nn.Module):
     mlp_ratio: float
     window_size: int               # 0 => global attention
     global_input_size: Tuple[int, int]
+    fused_global: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
@@ -139,9 +158,12 @@ class VisionLayer(nn.Module):
             orig_hw = (h.shape[1], h.shape[2])
             h, padded = window_partition(h, self.window_size)
             size = (self.window_size, self.window_size)
+            fused = False
         else:
             size = self.global_input_size
-        h = VisionAttention(self.dim, self.heads, size, name="attn")(h)
+            fused = self.fused_global
+        h = VisionAttention(self.dim, self.heads, size, fused,
+                            name="attn")(h)
         if self.window_size > 0:
             h = window_unpartition(h, self.window_size, padded, orig_hw)
         x = shortcut + h
@@ -161,6 +183,7 @@ class SamVisionEncoder(nn.Module):
     out_chans: int = 256
     window_size: int = 14
     global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
+    fused_global: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
@@ -174,7 +197,7 @@ class SamVisionEncoder(nn.Module):
         for i in range(self.depth):
             win = 0 if i in self.global_attn_indexes else self.window_size
             x = VisionLayer(self.dim, self.heads, self.mlp_ratio, win,
-                            (g, g), name=f"layer{i}")(x)
+                            (g, g), self.fused_global, name=f"layer{i}")(x)
         # neck: 1x1 conv (no bias) -> LN2d -> 3x3 conv (no bias) -> LN2d
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, name="neck_conv1")(x)
         x = LayerNorm2d(name="neck_ln1")(x)
@@ -457,13 +480,14 @@ class Sam(nn.Module):
     encoder_heads: int = 12
     global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
     window_size: int = 14
+    fused_global: Optional[bool] = None
 
     def setup(self):
         self.vision_encoder = SamVisionEncoder(
             img_size=self.img_size, dim=self.encoder_dim,
             depth=self.encoder_depth, heads=self.encoder_heads,
             global_attn_indexes=self.global_attn_indexes,
-            window_size=self.window_size)
+            window_size=self.window_size, fused_global=self.fused_global)
         self.prompt_encoder = SamPromptEncoder(
             input_image_size=self.img_size,
             image_embedding_size=self.img_size // 16)

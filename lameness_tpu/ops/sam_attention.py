@@ -1,0 +1,113 @@
+"""Pallas kernel: SAM global attention with fused decomposed rel-pos bias.
+
+The ViTDet global-attention layers add a decomposed relative-position bias
+b[q, k] = q·Rh[qh, kh] + q·Rw[qw, kw] to every score.  Materialised
+naively that is an (HW, HW) = 4096² f32 array per head per frame —
+~800 MB/frame, 17 GB for a 2-FPS clip batch — which is why the engine had
+to serialise SAM frame-by-frame (engine.py).
+
+This kernel never materialises it: the q-projected tables
+rel_h[qh, qw, kh] and rel_w[qh, qw, kw] are only (G, G, G) each
+(G = 64 → 1 MB), and each grid program owns one qh row of the token grid,
+rebuilding its (G, G²) bias tile in VMEM from two (G, G) slices:
+
+  bias[qw, kh·G + kw] = rel_h[qh, qw, kh] + rel_w[qh, qw, kw]
+
+Grid: (B·heads, G).  Per program VMEM: q tile (G, D) + K/V (G², D) +
+scores (G, G²) ≈ 4 MB f32 — fits with room to spare.  HBM traffic per
+(frame, head) drops from ~1.6 GB (bias+scores) to ~2 MB (K/V + out),
+which is what lets the engine batch all clip frames through SAM at once.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float):
+    q = q_ref[0]                    # (G, D)   — one qh row (qw = 0..G-1)
+    k = k_ref[0]                    # (G*G, D)
+    v = v_ref[0]                    # (G*G, D)
+    rh = rh_ref[0, 0]               # (G, G)   [qw, kh]
+    rw = rw_ref[0, 0]               # (G, G)   [qw, kw]
+    g = rh.shape[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    bias = (rh[:, :, None] + rw[:, None, :]).reshape(g, g * g)
+    s = s + bias.astype(jnp.float32)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def sam_global_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         rel_h: jnp.ndarray, rel_w: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Fused biased attention over the (G, G) token grid.
+
+    q, k, v: (BH, G*G, D); rel_h, rel_w: (BH, G, G, G) q-projected tables
+    ([qh, qw, kh] / [qh, qw, kw]).  Returns (BH, G*G, D).
+    """
+    bh, n, d = q.shape
+    g = rel_h.shape[1]
+    assert n == g * g, (n, g)
+    scale = d ** -0.5
+    grid = (bh, g)
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, g, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * g, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * g, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, g), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, g), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, rel_h, rel_w)
+
+
+def project_rel_tables(q: jnp.ndarray, rel_pos_h: jnp.ndarray,
+                       rel_pos_w: jnp.ndarray, g: int):
+    """q: (BH, G*G, D); rel tables (2G-1, D) -> projected (BH, G, G, G).
+
+    rel_h[bh, qh, qw, kh] = Σ_d q[bh, qh·G+qw, d] · Rh[(qh−kh)+G−1, d]
+    """
+    idx = (np.arange(g)[:, None] - np.arange(g)[None, :]) + (g - 1)
+    rh = rel_pos_h[idx]             # (G, G, D) [qh, kh, d]
+    rw = rel_pos_w[idx]             # (G, G, D) [qw, kw, d]
+    qg = q.reshape(q.shape[0], g, g, -1)
+    rel_h = jnp.einsum("bhwd,hkd->bhwk", qg, rh)
+    rel_w = jnp.einsum("bhwd,wkd->bhwk", qg, rw)
+    # rel_w is [qh, qw, kw] after moving qw axis: einsum gives [b, qh, qw, kw]
+    return rel_h, rel_w
+
+
+def sam_attention_reference(q, k, v, rel_h, rel_w):
+    """Unfused reference (materialises the full bias) for parity tests."""
+    bh, n, d = q.shape
+    g = rel_h.shape[1]
+    s = jnp.einsum("bqd,bkd->bqk", q, k) * (d ** -0.5)
+    bias = (rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+            ).reshape(bh, n, n)
+    p = jax.nn.softmax(s + bias, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, v)

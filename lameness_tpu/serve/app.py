@@ -1,0 +1,191 @@
+"""LamenessApp: the whole platform in one process.
+
+The reference runs 22 containers wired by NATS subjects
+(``docker-compose.yml``); this is the equivalent single-process runtime:
+every service's subscription is a bus handler here, the hot path runs on
+the device engine, and the admin API serves the same REST/WS surface.
+
+Subject wiring (mirrors SURVEY.md §2.3's subscription sites):
+  video.uploaded       → curation (side branch) + preprocessing
+  video.preprocessed   → fused feature stages (yolo+sam+dino+tleap+tcn+tr)
+  pipeline.yolo        → tracking
+  pipeline.dinov3      → Re-ID join + graph heads
+  pipeline.ml          → fusion
+  analysis.complete    → SHAP + LLM explanation + lameness record (DB)
+  training.ml.requested→ tabular ensemble training
+  hitl.comparison.submitted → rater reliability
+"""
+from __future__ import annotations
+
+import json
+import threading
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+from ..core.config import Config
+from ..hitl.reliability import RaterReliabilityService
+from ..io.bus import MessageBus
+from ..io.db import Database
+from ..io.vecstore import VectorStore
+from ..ml.training import TrainingService
+from ..xai.llm import LLMExplanationService
+from ..xai.shap_service import ShapService
+from .annotation import AnnotationRenderer
+from .api import AdminContext, make_server
+from .driver import PipelineDriver
+
+
+class LamenessApp:
+    def __init__(self, config: Optional[Config] = None, engine=None,
+                 reactive: bool = True, serve_api: bool = False,
+                 api_port: int = 0):
+        self.config = config or Config()
+        self.dirs = self.config.dirs.ensure()
+        self.bus = MessageBus(
+            journal_path=Path(self.dirs.root) / "bus_journal.jsonl")
+        self.db = Database(Path(self.dirs.root) / "lameness.db")
+        self.store = VectorStore(Path(self.dirs.root) / "vector_store.json")
+        self.driver = PipelineDriver(config=self.config, engine=engine,
+                                     bus=self.bus, store=self.store)
+        self.reliability = RaterReliabilityService(
+            self.dirs.rater_reliability, bus=self.bus,
+            subjects=self.config.subjects)
+        self.training = TrainingService(self.dirs, bus=self.bus,
+                                        subjects=self.config.subjects)
+        self.shap = ShapService(self.dirs, self.driver.ensemble)
+        self.llm = LLMExplanationService(self.dirs)
+        self.renderer = AnnotationRenderer(self.dirs)
+        self.server = None
+        self._processing = threading.Lock()
+
+        # write consensus files where fusion reads them
+        self._consensus_dir = self.dirs.rater_reliability / "consensus"
+        self._consensus_dir.mkdir(parents=True, exist_ok=True)
+
+        if reactive:
+            self._wire_bus()
+        if serve_api:
+            ctx = AdminContext(self.config, self.db, self.bus,
+                               reliability=self.reliability,
+                               ensemble=self.driver.ensemble,
+                               shap_service=self.shap, llm_service=self.llm,
+                               driver=self.driver, store=self.store)
+            ctx.seed_users()
+            self.ctx = ctx
+            self.server = make_server(ctx, port=api_port)
+            self.server.start()
+
+    # ------------------------------------------------------------------
+    def _wire_bus(self):
+        s = self.config.subjects
+        self.bus.subscribe_sync(s.video_uploaded, self._on_uploaded)
+        self.bus.subscribe_sync(s.video_preprocessed, self._on_preprocessed)
+        self.bus.subscribe_sync(s.pipeline_yolo, self._on_yolo)
+        self.bus.subscribe_sync(s.pipeline_dinov3, self._on_dinov3)
+        self.bus.subscribe_sync(s.pipeline_ml, self._on_ml)
+        self.bus.subscribe_sync(s.analysis_complete, self._on_complete)
+        self.bus.subscribe_sync(s.training_ml_requested,
+                                self.training.handle_training_request)
+        self.bus.subscribe_sync(s.hitl_comparison_submitted,
+                                self.reliability.handle_comparison_submitted)
+
+    def _heartbeat(self, service: str, **kw):
+        try:
+            self.db.upsert_heartbeat(service, **kw)
+        except Exception:
+            pass
+
+    # -- handlers ------------------------------------------------------------
+    def _on_uploaded(self, msg: Dict[str, Any]):
+        vid = msg.get("video_id")
+        if not vid or msg.get("_from_app"):
+            return
+        self._heartbeat("video-preprocessing", active_jobs=1)
+        # side-branch curation (clip-curation subscribes video.uploaded too)
+        raw = next(iter(self.dirs.videos.glob(f"{vid}.*")), None)
+        if raw is not None:
+            try:
+                self.driver.curator.curate_video(raw, vid)
+            except Exception:
+                pass
+        self.driver.preprocess(vid)
+        self._heartbeat("video-preprocessing", active_jobs=0,
+                        success_count=1)
+
+    def _on_preprocessed(self, msg: Dict[str, Any]):
+        vid = msg.get("video_id")
+        path = msg.get("processed_path")
+        if not vid or not path or self.driver.engine is None:
+            return
+        with self._processing:
+            self._heartbeat("fused-engine", active_jobs=1)
+            self.driver.run_feature_stages(vid, Path(path))
+            self._heartbeat("fused-engine", active_jobs=0, success_count=1)
+
+    def _on_yolo(self, msg: Dict[str, Any]):
+        vid = msg.get("video_id")
+        if vid:
+            self.driver.run_tracking(vid)
+            self._heartbeat("tracking-service", success_count=1)
+
+    def _on_dinov3(self, msg: Dict[str, Any]):
+        vid = msg.get("video_id")
+        if not vid:
+            return
+        try:
+            self.driver._ensure_graph_runner().process_video(vid)
+        except Exception:
+            pass
+        # ml triggers on pipeline.dinov3 in the reference (ml:373-376)
+        self.driver.run_ml(vid)
+        self._heartbeat("graph-heads", success_count=1)
+
+    def _on_ml(self, msg: Dict[str, Any]):
+        vid = msg.get("video_id")
+        if vid:
+            # refresh human consensus file for fusion's reader
+            c = self.reliability.compute_weighted_consensus(vid)
+            if c is not None:
+                json.dump({"probability": c.probability,
+                           "confidence": c.confidence,
+                           "num_raters": c.num_raters},
+                          open(self._consensus_dir / f"{vid}.json", "w"))
+            self.driver.fusion.process_video(
+                vid, timestamp=datetime.now(timezone.utc).isoformat())
+            self._heartbeat("fusion-service", success_count=1)
+
+    def _on_complete(self, msg: Dict[str, Any]):
+        vid = msg.get("video_id")
+        if not vid:
+            return
+        self.shap.process_analysis(msg)
+        self.llm.handle_analysis_complete(msg)
+        cow_id = msg.get("cow_id")
+        if cow_id:
+            fusion = msg.get("fusion_result", {})
+            full = self.driver.fusion.collect_pipeline_predictions(vid)
+            self.db.get_or_create_cow(cow_id)
+            self.db.add_lameness_record(cow_id, vid, fusion, full)
+        self._heartbeat("xai-services", success_count=1)
+
+    # -- public --------------------------------------------------------------
+    def submit_video(self, video_path: Path,
+                     video_id: Optional[str] = None) -> str:
+        """Upload a video; the reactive chain does the rest."""
+        return self.driver.ingest(video_path, video_id)
+
+    def wait_for_analysis(self, video_id: str,
+                          timeout_s: float = 120.0) -> Optional[Dict]:
+        deadline = time.time() + timeout_s
+        f = self.dirs.results_for("fusion") / f"{video_id}_fusion.json"
+        while time.time() < deadline:
+            if f.exists():
+                return json.load(open(f))
+            time.sleep(0.2)
+        return None
+
+    def close(self):
+        if self.server is not None:
+            self.server.stop()

@@ -834,6 +834,14 @@ def build_admin_api(ctx: AdminContext) -> Router:
     def root_health(req: Request):
         return {"status": "healthy", "service": "lameness-tpu-admin"}
 
+    @r.get("/")
+    def index(req: Request):
+        """The admin UI (single-page replacement for the React frontend)."""
+        page = Path(__file__).parent / "static" / "index.html"
+        if not page.exists():
+            raise HTTPError(404, "UI not bundled")
+        return (200, page.read_bytes(), "text/html; charset=utf-8")
+
     return r
 
 

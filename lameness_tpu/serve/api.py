@@ -268,6 +268,51 @@ def build_admin_api(ctx: AdminContext) -> Router:
             raise HTTPError(404, "no pose results")
         return res
 
+    @r.get("/api/videos/{video_id}/frame")
+    def extract_frame(req: Request):
+        """Frame extraction endpoint (routers/videos.py:507): JPEG at the
+        requested frame index."""
+        import cv2
+        vid = req.params["video_id"]
+        frame_idx = int(req.query.get("frame", 0))
+        matches = (list(dirs.processed.glob(f"{vid}_cropped.mp4"))
+                   + list(dirs.videos.glob(f"{vid}.*")))
+        if not matches:
+            raise HTTPError(404, "video file not found")
+        cap = cv2.VideoCapture(str(matches[0]))
+        cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
+        ok, frame = cap.read()
+        cap.release()
+        if not ok:
+            raise HTTPError(404, f"frame {frame_idx} not readable")
+        ok, buf = cv2.imencode(".jpg", frame)
+        return (200, buf.tobytes(), "image/jpeg")
+
+    @r.post("/api/videos/{video_id}/annotate", auth=True)
+    def annotate_video(req: Request):
+        """Trigger annotated-video rendering (routers/videos.py:545)."""
+        from .annotation import AnnotationRenderer
+        renderer = getattr(ctx, "_renderer", None)
+        if renderer is None:
+            renderer = AnnotationRenderer(dirs)
+            ctx._renderer = renderer
+        out = renderer.render(req.params["video_id"])
+        status = renderer.status.get(req.params["video_id"], {})
+        if out is None:
+            raise HTTPError(404, status.get("error", "render failed"))
+        if db.one("SELECT id FROM videos WHERE id=?",
+                  (req.params["video_id"],)):
+            db.update("videos", req.params["video_id"], {"has_annotated": 1})
+        return status
+
+    @r.get("/api/videos/{video_id}/annotated")
+    def stream_annotated(req: Request):
+        f = Path(dirs.root) / "annotated" / \
+            f"{req.params['video_id']}_annotated.mp4"
+        if not f.exists():
+            raise HTTPError(404, "not rendered yet")
+        return (200, f.read_bytes(), "video/mp4")
+
     @r.post("/api/videos/{video_id}/label", auth=True)
     def label_video(req: Request):
         b = req.body or {}
@@ -585,10 +630,12 @@ def build_admin_api(ctx: AdminContext) -> Router:
         for m in recent:
             per_subject[m["subject"]] = per_subject.get(m["subject"], 0) + 1
         done = per_subject.get("analysis.complete", 0)
+        from ..utils.timing import TIMERS
         return {"window_s": window, "messages": len(recent),
                 "per_subject": per_subject,
                 "videos_analyzed": done,
-                "videos_per_hour": done / window * 3600}
+                "videos_per_hour": done / window * 3600,
+                "stage_timings": TIMERS.summary()}
 
     # ============================ ml-config ===============================
     @r.get("/api/ml-config")

@@ -34,6 +34,7 @@ from ..ml.features import extract_features
 from ..models import pose as pose_mod
 from ..track.bytetrack import ByteTracker, Detection
 from ..track.reid import CowReIDMatcher
+from ..utils.timing import TIMERS
 from ..video.decode import VideoReader, write_video
 from ..video.curation import ClipCurator
 
@@ -91,6 +92,11 @@ class PipelineDriver:
                    detector=None) -> Optional[Dict[str, Any]]:
         """Median-bbox crop of the first 10 detected frames + 50 px pad
         (video-preprocessing/app/main.py:39-149)."""
+        with TIMERS.time("preprocess"):
+            return self._preprocess(video_id, detector)
+
+    def _preprocess(self, video_id: str,
+                    detector=None) -> Optional[Dict[str, Any]]:
         matches = list(self.dirs.videos.glob(f"{video_id}.*"))
         if not matches:
             return None
@@ -154,10 +160,12 @@ class PipelineDriver:
         """Run the fused engine once, then write the yolo/sam3/dinov3/tleap/
         tcn/transformer result files and publish their subjects."""
         assert self.engine is not None, "driver needs an engine"
-        frames, scale, info = self._load_engine_frames(processed_path)
+        with TIMERS.time("decode"):
+            frames, scale, info = self._load_engine_frames(processed_path)
         if frames is None:
             return None
-        out = self.engine.process_clip_batch(frames)
+        with TIMERS.time("engine"):
+            out = self.engine.process_clip_batch(frames)
         sx, sy = scale
         s = self.engine.spec
         fps = info["fps"] or s.fps
@@ -364,6 +372,8 @@ class PipelineDriver:
         yolo_file = self.dirs.results_for("yolo") / f"{video_id}_yolo.json"
         if not yolo_file.exists():
             return None
+        timer_cm = TIMERS.time("tracking")
+        timer_cm.__enter__()
         yolo_data = json.load(open(yolo_file))
         tracker = self.trackers.setdefault(video_id, ByteTracker(
             high_thresh=0.6, low_thresh=0.1, match_thresh=0.8))
@@ -416,6 +426,7 @@ class PipelineDriver:
                             "track_id": t["track_id"], "cow_id": m.cow_id,
                             "is_new": m.is_new_identity})
         result["reid_results"] = reid_results
+        timer_cm.__exit__(None, None, None)
         path = schemas.write_result(
             self.dirs.results_for("tracking") / f"{video_id}_tracking.json",
             result)

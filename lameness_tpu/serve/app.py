@@ -102,6 +102,14 @@ class LamenessApp:
         vid = msg.get("video_id")
         if not vid or msg.get("_from_app"):
             return
+        # queue bookkeeping (processing_jobs table, routers/pipeline.py)
+        try:
+            self.db.insert("processing_jobs", {
+                "video_id": vid, "status": "processing",
+                "started_at": datetime.now(timezone.utc).isoformat(),
+                "current_pipeline": "preprocess"})
+        except Exception:
+            pass
         self._heartbeat("video-preprocessing", active_jobs=1)
         # side-branch curation (clip-curation subscribes video.uploaded too)
         raw = next(iter(self.dirs.videos.glob(f"{vid}.*")), None)
@@ -160,6 +168,17 @@ class LamenessApp:
         vid = msg.get("video_id")
         if not vid:
             return
+        try:
+            job = self.db.one(
+                "SELECT job_id FROM processing_jobs WHERE video_id=? "
+                "AND status='processing'", (vid,))
+            if job:
+                self.db.update("processing_jobs", job["job_id"], {
+                    "status": "completed", "progress": 1.0,
+                    "completed_at": datetime.now(timezone.utc).isoformat(),
+                    "current_pipeline": None}, pk="job_id")
+        except Exception:
+            pass
         self.shap.process_analysis(msg)
         self.llm.handle_analysis_complete(msg)
         cow_id = msg.get("cow_id")

@@ -59,14 +59,14 @@ def test_app_with_api_round_trip(tmp_data_root, tmp_path, engine):
                                          w=160, h=90, fps=5)
         data = vid_path.read_bytes()
         r = httpx.post(f"{base}/api/videos/upload?filename=cow.mp4",
-                       content=data, timeout=120)
+                       content=data, timeout=600)
         assert r.status_code == 200
         vid = r.json()["video_id"]
         # analysis available through the API
-        r = httpx.get(f"{base}/api/analysis/{vid}/fusion", timeout=30)
+        r = httpx.get(f"{base}/api/analysis/{vid}/fusion", timeout=120)
         assert r.status_code == 200
         assert "fusion_result" in r.json()
-        r = httpx.get(f"{base}/api/analysis/{vid}/tcn", timeout=30)
+        r = httpx.get(f"{base}/api/analysis/{vid}/tcn", timeout=120)
         assert 0 <= r.json()["severity_score"] <= 1
         # health shows the engine heartbeat
         overview = httpx.get(f"{base}/api/health/overview").json()

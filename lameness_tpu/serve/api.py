@@ -334,6 +334,50 @@ def build_admin_api(ctx: AdminContext) -> Router:
             "video_id": vid, "label": label})
         return {"video_id": vid, "label": label}
 
+    @r.post("/api/videos/upload-url")
+    def upload_url(req: Request):
+        """S3-presign flow (routers/videos.py:124-291).  With local storage
+        the 'presigned URL' is the local upload endpoint; with boto3 + a
+        bucket configured it would presign — keeping the 3-call contract."""
+        b = req.body or {}
+        filename = b.get("filename", "upload.mp4")
+        video_id = str(uuid.uuid4())
+        return {"video_id": video_id,
+                "upload_url": f"/api/videos/upload?filename={filename}"
+                              f"&video_id={video_id}",
+                "storage_backend": "local",
+                "expires_in": 3600}
+
+    @r.post("/api/videos/{video_id}/confirm-upload")
+    def confirm_upload(req: Request):
+        matches = list(dirs.videos.glob(f"{req.params['video_id']}.*"))
+        if not matches:
+            raise HTTPError(404, "upload not found")
+        return {"video_id": req.params["video_id"], "status": "confirmed",
+                "file_size": matches[0].stat().st_size}
+
+    @r.get("/api/videos/{video_id}/stream-url")
+    def stream_url(req: Request):
+        return {"url": f"/api/videos/{req.params['video_id']}/stream",
+                "storage_backend": "local"}
+
+    @r.post("/api/videos/migrate-to-db", roles=["admin"])
+    def migrate_to_db(req: Request):
+        """Backfill DB rows for video files on disk (routers/videos.py:783)."""
+        added = 0
+        for f in dirs.videos.iterdir():
+            if f.suffix.lower() not in (".mp4", ".avi", ".mov", ".mkv"):
+                continue
+            vid = f.stem
+            if db.one("SELECT id FROM videos WHERE id=?", (vid,)):
+                continue
+            db.insert("videos", {"id": vid, "filename": f.name,
+                                 "file_size": f.stat().st_size,
+                                 "file_path": str(f), "status": "uploaded",
+                                 "uploaded_at": _now()})
+            added += 1
+        return {"migrated": added}
+
     # ============================ analysis ================================
     @r.get("/api/analysis/{video_id}")
     def analysis_all(req: Request):
@@ -443,18 +487,47 @@ def build_admin_api(ctx: AdminContext) -> Router:
                         "ORDER BY elo_rating DESC")
 
     # -- triplets (routers/training.py:459-650) ------------------------------
+    def _completed_triplets(username: str) -> set:
+        p = dirs.training / "triplets" / "triplets.jsonl"
+        done = set()
+        if p.exists():
+            for line in open(p):
+                try:
+                    rec = json.loads(line)
+                    if rec.get("rater") == username:
+                        done.add((rec["reference"],
+                                  tuple(sorted((rec["option_a"],
+                                                rec["option_b"])))))
+                except Exception:
+                    continue
+        return done
+
     @r.get("/api/training/triplet/next", auth=True)
     def triplet_next(req: Request):
+        """Full ref×(A,B) enumeration minus this rater's completed triplets,
+        random task type, position swap (routers/training.py:459-539)."""
         vids = [v["id"] for v in db.query(
-            "SELECT id FROM videos ORDER BY uploaded_at DESC LIMIT 100")]
+            "SELECT id FROM videos ORDER BY uploaded_at DESC LIMIT 60")]
         if len(vids) < 3:
             raise HTTPError(404, "not enough videos for a triplet")
-        ref, a, b = random.sample(vids, 3)
+        done = _completed_triplets(req.user["username"])
+        candidates = []
+        for ref in vids:
+            others = [v for v in vids if v != ref]
+            for i in range(len(others)):
+                for j in range(i + 1, len(others)):
+                    key = (ref, tuple(sorted((others[i], others[j]))))
+                    if key not in done:
+                        candidates.append((ref, others[i], others[j]))
+        if not candidates:
+            raise HTTPError(404, "all triplets completed")
+        ref, a, b = candidates[random.randrange(len(candidates))]
         task_type = random.choice(["similarity", "dissimilarity"])
         pair = [a, b]
         random.shuffle(pair)
         return {"reference": ref, "option_a": pair[0], "option_b": pair[1],
-                "task_type": task_type}
+                "task_type": task_type,
+                "remaining": len(candidates)}
 
     @r.post("/api/training/triplet/submit", auth=True)
     def triplet_submit(req: Request):
@@ -553,6 +626,31 @@ def build_admin_api(ctx: AdminContext) -> Router:
         values = b.get("values") or list(np.linspace(0, 1, 5))
         return what_if(ctx.shap_service._predict, feats, idx, values)
 
+    @r.get("/api/training/queue")
+    def training_queue(req: Request):
+        """Processing-job queue view (routers/training.py:80-148)."""
+        jobs = db.query("SELECT * FROM processing_jobs "
+                        "ORDER BY created_at DESC LIMIT 100")
+        by_status: Dict[str, int] = {}
+        for j in jobs:
+            by_status[j["status"]] = by_status.get(j["status"], 0) + 1
+        return {"jobs": jobs, "by_status": by_status}
+
+    @r.get("/api/shap/{video_id}/force-plot")
+    def shap_force_plot(req: Request):
+        """Force-plot data: base value + ordered contributions
+        (routers/shap.py)."""
+        f = dirs.results / "shap" / f"{req.params['video_id']}_shap.json"
+        if not f.exists():
+            raise HTTPError(404, "no shap result")
+        data = json.load(open(f))
+        sv = data.get("shap_values", {})
+        ordered = sorted(sv.items(), key=lambda kv: -abs(kv[1]))
+        return {"base_value": data.get("base_value"),
+                "prediction": data.get("prediction"),
+                "contributions": [{"feature": k, "value": v}
+                                  for k, v in ordered]}
+
     # ============================ pipeline ================================
     @r.post("/api/pipeline/heartbeat")
     def heartbeat(req: Request):
@@ -590,6 +688,17 @@ def build_admin_api(ctx: AdminContext) -> Router:
                                     "retriggered": True})
         return {"status": "retriggered", "service": service,
                 "video_id": vid}
+
+    @r.get("/api/pipeline/logs/{service}")
+    def pipeline_logs(req: Request):
+        """Per-service 'logs': the bus journal filtered to the service's
+        subjects (routers/pipeline.py log view)."""
+        service = req.params["service"]
+        limit = int(req.query.get("limit", 50))
+        rel = [m for m in ctx.bus.history
+               if service in m["subject"]][-limit:]
+        errs = [e for e in ctx.bus.errors if service in e["subject"]][-limit:]
+        return {"service": service, "messages": rel, "errors": errs}
 
     @r.get("/api/pipeline/queue")
     def pipeline_queue(req: Request):

@@ -1,0 +1,128 @@
+"""Extended router surface: S3-flow stubs, triplet enumeration, logs, queue."""
+import json
+
+import numpy as np
+import pytest
+
+try:
+    import httpx
+except ImportError:
+    httpx = None
+
+from lameness_tpu.core.config import Subjects
+from lameness_tpu.io.bus import MessageBus
+from lameness_tpu.io.db import Database
+from lameness_tpu.io.vecstore import VectorStore
+from lameness_tpu.serve.api import AdminContext, make_server
+
+pytestmark = pytest.mark.skipif(httpx is None, reason="httpx unavailable")
+
+
+@pytest.fixture()
+def server(tmp_data_root, tmp_path):
+    cfg = tmp_data_root
+    ctx = AdminContext(cfg, Database(tmp_path / "x.db"), MessageBus(),
+                       store=VectorStore())
+    ctx.seed_users()
+    srv = make_server(ctx)
+    srv.start()
+    yield f"http://127.0.0.1:{srv.port}", ctx
+    srv.stop()
+
+
+def _login(base, u="admin", p="admin123"):
+    return httpx.post(f"{base}/api/auth/login",
+                      json={"username": u, "password": p}
+                      ).json()["access_token"]
+
+
+def _auth(t):
+    return {"Authorization": f"Bearer {t}"}
+
+
+def test_s3_flow_stubs(server):
+    base, ctx = server
+    r = httpx.post(f"{base}/api/videos/upload-url",
+                   json={"filename": "a.mp4"}).json()
+    assert "upload_url" in r and r["storage_backend"] == "local"
+    # confirm fails before upload
+    assert httpx.post(
+        f"{base}/api/videos/{r['video_id']}/confirm-upload"
+    ).status_code == 404
+    # upload then confirm
+    up = httpx.post(f"{base}/api/videos/upload?filename=a.mp4",
+                    content=b"xyz").json()
+    c = httpx.post(f"{base}/api/videos/{up['video_id']}/confirm-upload")
+    assert c.json()["file_size"] == 3
+    s = httpx.get(f"{base}/api/videos/{up['video_id']}/stream-url").json()
+    assert s["url"].endswith("/stream")
+
+
+def test_migrate_to_db(server):
+    base, ctx = server
+    (ctx.dirs.videos / "loose.mp4").write_bytes(b"data")
+    token = _login(base)
+    r = httpx.post(f"{base}/api/videos/migrate-to-db",
+                   headers=_auth(token)).json()
+    assert r["migrated"] == 1
+    # idempotent
+    r2 = httpx.post(f"{base}/api/videos/migrate-to-db",
+                    headers=_auth(token)).json()
+    assert r2["migrated"] == 0
+
+
+def test_triplet_enumeration_excludes_completed(server):
+    base, ctx = server
+    token = _login(base)
+    for name in ("a", "b", "c"):
+        ctx.db.insert("videos", {"id": name, "filename": f"{name}.mp4",
+                                 "file_size": 1, "uploaded_at": "2026"})
+    # 3 videos -> 3 possible triplets (each as reference once)
+    r = httpx.get(f"{base}/api/training/triplet/next",
+                  headers=_auth(token)).json()
+    assert r["remaining"] == 3
+    httpx.post(f"{base}/api/training/triplet/submit", headers=_auth(token),
+               json={"reference": r["reference"], "option_a": r["option_a"],
+                     "option_b": r["option_b"], "choice": "a",
+                     "task_type": r["task_type"]})
+    r2 = httpx.get(f"{base}/api/training/triplet/next",
+                   headers=_auth(token)).json()
+    assert r2["remaining"] == 2
+    assert (r2["reference"],
+            tuple(sorted((r2["option_a"], r2["option_b"])))) != \
+        (r["reference"], tuple(sorted((r["option_a"], r["option_b"]))))
+
+
+def test_pipeline_logs_and_training_queue(server):
+    base, ctx = server
+    ctx.bus.publish_sync("pipeline.yolo", {"video_id": "v"})
+    logs = httpx.get(f"{base}/api/pipeline/logs/yolo").json()
+    assert logs["messages"][0]["payload"]["video_id"] == "v"
+    ctx.db.insert("processing_jobs", {"video_id": "v",
+                                      "status": "completed"})
+    q = httpx.get(f"{base}/api/training/queue").json()
+    assert q["by_status"] == {"completed": 1}
+
+
+def test_shap_force_plot(server):
+    base, ctx = server
+    from lameness_tpu.io import schemas
+    schemas.write_result(ctx.dirs.results / "shap" / "v_shap.json", {
+        "base_value": 0.4, "prediction": 0.7,
+        "shap_values": {"f1": 0.25, "f2": -0.05}})
+    fp = httpx.get(f"{base}/api/shap/v/force-plot").json()
+    assert fp["base_value"] == 0.4
+    assert fp["contributions"][0]["feature"] == "f1"
+
+
+def test_frame_extraction(server, tmp_path):
+    base, ctx = server
+    from tests.test_video import _synthetic_walk_video
+    vid_path = _synthetic_walk_video(tmp_path / "f.mp4", n_frames=10,
+                                     w=160, h=90, fps=5)
+    import shutil
+    shutil.copy(vid_path, ctx.dirs.videos / "fv.mp4")
+    r = httpx.get(f"{base}/api/videos/fv/frame?frame=3")
+    assert r.status_code == 200
+    assert r.headers["content-type"] == "image/jpeg"
+    assert r.content[:2] == b"\xff\xd8"      # JPEG magic

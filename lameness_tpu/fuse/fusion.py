@@ -19,7 +19,6 @@ from __future__ import annotations
 import json
 import pickle
 from datetime import datetime, timezone
-from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np

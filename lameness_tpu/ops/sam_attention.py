@@ -21,7 +21,6 @@ which is what lets the engine batch all clip frames through SAM at once.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

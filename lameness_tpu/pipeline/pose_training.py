@@ -15,14 +15,14 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.yolo import VARIANTS, YoloV8, decode_predictions, init_params
+from ..models.yolo import YoloV8, init_params
 from .checkpoint import save_params
 
 STRIDES = (8, 16, 32)

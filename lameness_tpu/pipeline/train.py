@@ -18,7 +18,6 @@ DINO-embedding regulariser that keeps the encoder fine-tunable end to end.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax

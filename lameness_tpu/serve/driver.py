@@ -14,7 +14,6 @@ fixed canonical geometry; boxes/keypoints are scaled back).
 from __future__ import annotations
 
 import json
-import shutil
 import time
 import uuid
 from datetime import datetime, timezone

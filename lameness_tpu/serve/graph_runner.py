@@ -14,7 +14,6 @@ vectors for these consumers).
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 import jax

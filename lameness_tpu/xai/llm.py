@@ -10,7 +10,6 @@ from the data alone, so explanations exist even with zero egress.
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Any, Dict, Optional
 
 SYSTEM_PROMPT = """You are a veterinary AI assistant explaining lameness predictions for dairy cows.

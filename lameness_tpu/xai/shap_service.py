@@ -9,13 +9,12 @@ serves, routers/shap.py).
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 import numpy as np
 
 from ..io import schemas
-from .shapley import exact_shapley, shap_report
+from .shapley import shap_report
 
 
 class ShapService:

@@ -37,8 +37,40 @@ def load_clip_frames():
     return rng.integers(0, 255, (1, 125, 720, 1280, 3), dtype=np.uint8)
 
 
+def _device_watchdog(timeout_s: float = 150.0) -> None:
+    """Fail fast if the accelerator can't run a trivial op (a wedged remote
+    TPU tunnel otherwise hangs the whole bench)."""
+    import threading
+    result = {}
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+        x = jnp.ones((128, 128))
+        result["ok"] = float((x @ x)[0, 0]) == 128.0
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not result.get("ok"):
+        raise RuntimeError(
+            f"device unresponsive: trivial matmul did not complete in "
+            f"{timeout_s}s (backend tunnel wedged?)")
+
+
 def main():
     import jax
+    # persistent compilation cache: the ~3 min stage compiles amortise
+    # across processes/runs
+    try:
+        import pathlib
+        cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+        cache_dir.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+    _device_watchdog()
     from lameness_tpu.pipeline.engine import EngineSpec, LamenessEngine
 
     frames = load_clip_frames()

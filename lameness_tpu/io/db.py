@@ -302,10 +302,14 @@ class Database:
         inc = {"win": ("wins", row["wins"] + 1),
                "loss": ("losses", row["losses"] + 1),
                "tie": ("ties", row["ties"] + 1)}[outcome]
+        total = row["total_comparisons"] + 1
+        wins = row["wins"] + (1 if outcome == "win" else 0)
+        ties = row["ties"] + (1 if outcome == "tie" else 0)
         self.update("video_elo_ratings", row["id"], {
             "elo_rating": rating, "elo_uncertainty": uncertainty,
             inc[0]: inc[1],
-            "total_comparisons": row["total_comparisons"] + 1,
+            "total_comparisons": total,
+            "win_probability": (wins + 0.5 * ties) / total,
             "updated_at": _now()})
         self.insert("elo_history", {
             "video_id": video_id, "elo_rating": rating,

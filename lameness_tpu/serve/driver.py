@@ -165,6 +165,32 @@ class PipelineDriver:
             return None
         with TIMERS.time("engine"):
             out = self.engine.process_clip_batch(frames)
+        return self._write_stage_results(video_id, out, 0, scale, info)
+
+    def run_feature_stages_batch(self, jobs):
+        """Throughput path: N clips -> ONE engine call -> N result sets.
+        jobs: list of (video_id, processed_path)."""
+        assert self.engine is not None, "driver needs an engine"
+        frames_list, metas = [], []
+        for video_id, path in jobs:
+            with TIMERS.time("decode"):
+                frames, scale, info = self._load_engine_frames(Path(path))
+            if frames is None:
+                continue
+            frames_list.append(frames[0])
+            metas.append((video_id, scale, info))
+        if not frames_list:
+            return []
+        batch = np.stack(frames_list)
+        with TIMERS.time("engine_batch"):
+            out = self.engine.process_clip_batch(batch)
+        results = []
+        for b_idx, (video_id, scale, info) in enumerate(metas):
+            results.append(self._write_stage_results(video_id, out, b_idx,
+                                                     scale, info))
+        return results
+
+    def _write_stage_results(self, video_id, out, bi, scale, info):
         sx, sy = scale
         s = self.engine.spec
         fps = info["fps"] or s.fps
@@ -180,16 +206,16 @@ class PipelineDriver:
                 break
             dets = []
             for k in range(s.max_det):
-                if not out["det_valid"][0, ti, k]:
+                if not out["det_valid"][bi, ti, k]:
                     continue
-                b = out["det_boxes"][0, ti, k] * [sx, sy, sx, sy]
+                b = out["det_boxes"][bi, ti, k] * [sx, sy, sx, sy]
                 dets.append(schemas.yolo_detection_entry(
-                    int(fr), b, float(out["det_scores"][0, ti, k]),
-                    f"class_{int(out['det_classes'][0, ti, k])}"
-                    if int(out["det_classes"][0, ti, k]) != 19 else "cow",
-                    int(out["det_classes"][0, ti, k])))
+                    int(fr), b, float(out["det_scores"][bi, ti, k]),
+                    f"class_{int(out['det_classes'][bi, ti, k])}"
+                    if int(out["det_classes"][bi, ti, k]) != 19 else "cow",
+                    int(out["det_classes"][bi, ti, k])))
                 all_boxes.append(b)
-                all_confs.append(float(out["det_scores"][0, ti, k]))
+                all_confs.append(float(out["det_scores"][bi, ti, k]))
             if dets:
                 det_entries.append(schemas.yolo_frame_entry(int(fr), fps, dets))
         feats = schemas.yolo_features(
@@ -207,9 +233,9 @@ class PipelineDriver:
         for ti, fr in enumerate(np.asarray(s.det_idx)):
             if fr >= n_real:
                 break
-            has_det = bool(out["primary_valid"][0, ti])
+            has_det = bool(out["primary_valid"][bi, ti])
             if has_det:
-                mask = np.asarray(out["masks"][0, ti], np.uint8)
+                mask = np.asarray(out["masks"][bi, ti], np.uint8)
                 ff = self._mask_features(mask, info)
                 ff["frame"] = int(fr)
                 ff["time"] = fr / fps if fps > 0 else 0
@@ -233,7 +259,7 @@ class PipelineDriver:
             if fr >= n_real:
                 break
             emb_entries.append(schemas.dinov3_embedding_entry(
-                int(fr), fps, out["embeddings"][0, ti]))
+                int(fr), fps, out["embeddings"][bi, ti]))
         if emb_entries:
             avg_emb = np.mean([e["embedding"] for e in emb_entries], axis=0)
             similar = self._search_similar(avg_emb, video_id)
@@ -264,16 +290,16 @@ class PipelineDriver:
                 break
             kps = []
             for k in range(20):
-                kp = out["keypoints"][0, ti, k]
+                kp = out["keypoints"][bi, ti, k]
                 kps.append({"name": pose_mod.H_NAMES[k],
                             "x": float(kp[0] * sx), "y": float(kp[1] * sy),
                             "confidence": float(kp[2])})
-            pb = out["pose_boxes"][0, ti] * [sx, sy, sx, sy]
+            pb = out["pose_boxes"][bi, ti] * [sx, sy, sx, sy]
             pose_seqs.append({
                 "frame": int(fr), "time": fr / fps if fps > 0 else 0,
                 "bbox": [float(v) for v in pb], "keypoints": kps,
                 "detection_confidence": float(
-                    out["primary_scores"][0, min(ti, len(s.det_idx) - 1)]),
+                    out["primary_scores"][bi, min(ti, len(s.det_idx) - 1)]),
             })
         loco = pose_mod.compute_locomotion_features(pose_seqs)
         tleap_result = schemas.tleap_result(
@@ -291,8 +317,8 @@ class PipelineDriver:
 
         # ---- tcn + transformer results (tcn:330-393, transformer:394-464) -
         tcn_result = schemas.tcn_result(
-            video_id, float(out["tcn_probability"][0]),
-            float(out["tcn_uncertainty"][0]),
+            video_id, float(out["tcn_probability"][bi]),
+            float(out["tcn_uncertainty"][bi]),
             int(out["seq_features"].shape[1]), 44,
             self.engine.tcn.receptive_field)
         schemas.write_result(
@@ -302,12 +328,12 @@ class PipelineDriver:
             "severity_score": tcn_result["severity_score"],
             "uncertainty": tcn_result["uncertainty"]})
 
-        masked = int(np.asarray(out["seq_mask"][0]).sum())
+        masked = int(np.asarray(out["seq_mask"][bi]).sum())
         tr_result = schemas.transformer_result(
-            video_id, float(out["gait_probability"][0]),
-            float(out["gait_uncertainty"][0]),
+            video_id, float(out["gait_probability"][bi]),
+            float(out["gait_uncertainty"][bi]),
             int(out["seq_features"].shape[1]), 44, masked,
-            np.asarray(out["gait_saliency"][0]),
+            np.asarray(out["gait_saliency"][bi]),
             self.engine.gait.d_model, self.engine.gait.num_layers,
             self.engine.gait.heads)
         schemas.write_result(

@@ -17,6 +17,14 @@ import jax  # noqa: E402
 # The environment pins JAX_PLATFORMS=axon (the TPU tunnel); override for tests.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: repeated suite runs skip the big compiles
+import pathlib as _pathlib  # noqa: E402
+
+_cache = _pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

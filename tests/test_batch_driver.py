@@ -1,0 +1,43 @@
+"""Batched multi-clip driver path: one engine call, N result sets."""
+import json
+
+import numpy as np
+import pytest
+
+from lameness_tpu.io import schemas
+from lameness_tpu.pipeline.engine import make_test_engine
+from lameness_tpu.serve.driver import PipelineDriver
+from tests.test_video import _square_detector, _synthetic_walk_video
+
+
+def test_batch_matches_single(tmp_data_root, tmp_path):
+    from lameness_tpu.video.curation import ClipCurator
+    cfg = tmp_data_root
+    engine = make_test_engine()
+    curator = ClipCurator(cfg.dirs, detector=_square_detector)
+    driver = PipelineDriver(config=cfg, engine=engine, curator=curator)
+
+    jobs = []
+    for i in range(3):
+        vp = _synthetic_walk_video(tmp_path / f"b{i}.mp4", n_frames=40,
+                                   w=160, h=90, fps=5)
+        vid = driver.ingest(vp, f"batch{i}")
+        pre = driver.preprocess(vid)
+        jobs.append((vid, pre["processed_path"]))
+
+    results = driver.run_feature_stages_batch(jobs)
+    assert len(results) == 3
+    for vid, _ in jobs:
+        for kind in ("yolo", "sam3", "dinov3", "tleap", "tcn", "transformer"):
+            f = cfg.dirs.results_for(kind) / f"{vid}_{kind}.json"
+            assert f.exists(), (vid, kind)
+            assert schemas.validate(kind, json.load(open(f))) == [], kind
+
+    # single-path on the same video produces the same tcn score
+    tcn_batch = json.load(open(
+        cfg.dirs.results_for("tcn") / "batch0_tcn.json"))
+    driver.run_feature_stages("batch0", jobs[0][1])
+    tcn_single = json.load(open(
+        cfg.dirs.results_for("tcn") / "batch0_tcn.json"))
+    assert tcn_single["severity_score"] == pytest.approx(
+        tcn_batch["severity_score"], abs=2e-4)

@@ -73,10 +73,17 @@ def main():
     _device_watchdog()
     from lameness_tpu.pipeline.engine import EngineSpec, LamenessEngine
 
+    import os
     frames = load_clip_frames()
+    batch = int(os.environ.get("LAMENESS_BENCH_BATCH", "1"))
+    if batch > 1:
+        frames = np.repeat(frames, batch, axis=0)
     spec = EngineSpec()
     t0 = time.time()
     engine = LamenessEngine(spec=spec)
+    if os.environ.get("LAMENESS_BF16") == "1":
+        from lameness_tpu.pipeline.precision import apply_engine_policy
+        apply_engine_policy(engine)
     build_s = time.time() - t0
 
     rng = jax.random.PRNGKey(0)
@@ -105,7 +112,7 @@ def main():
         out, _ = run_once(frames)
         times.append(time.time() - t0)
     p50 = float(np.median(times))
-    clips_per_min = 60.0 / p50
+    clips_per_min = 60.0 / p50 * batch
 
     result = {
         "metric": "clips_per_min_per_chip",
@@ -113,6 +120,7 @@ def main():
         "unit": "clips/min",
         "vs_baseline": round(clips_per_min / BASELINE_CLIPS_PER_MIN, 3),
         "p50_clip_latency_s": round(p50, 4),
+        "batch": batch,
         "compile_s": round(compile_s, 1),
         "build_s": round(build_s, 1),
         "backend": jax.default_backend(),

@@ -129,7 +129,21 @@ class LamenessApp:
             return
         with self._processing:
             self._heartbeat("fused-engine", active_jobs=1)
-            self.driver.run_feature_stages(vid, Path(path))
+            try:
+                self.driver.run_feature_stages(vid, Path(path))
+            except Exception as e:
+                # failure detection: record the failed job (SURVEY §5.3 —
+                # the reference drops the video silently on consumer crash)
+                self._heartbeat("fused-engine", active_jobs=0, error_count=1,
+                                last_error=repr(e)[:300])
+                job = self.db.one(
+                    "SELECT job_id FROM processing_jobs WHERE video_id=? "
+                    "AND status='processing'", (vid,))
+                if job:
+                    self.db.update("processing_jobs", job["job_id"], {
+                        "status": "failed",
+                        "error_message": repr(e)[:500]}, pk="job_id")
+                raise
             self._heartbeat("fused-engine", active_jobs=0, success_count=1)
 
     def _on_yolo(self, msg: Dict[str, Any]):

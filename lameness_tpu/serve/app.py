@@ -90,6 +90,18 @@ class LamenessApp:
                                 self.training.handle_training_request)
         self.bus.subscribe_sync(s.hitl_comparison_submitted,
                                 self.reliability.handle_comparison_submitted)
+        self.bus.subscribe_sync(s.tracking_reid_match, self._on_reid_match)
+
+    def _on_reid_match(self, msg: Dict[str, Any]):
+        """Persist the cow registry + track history like the reference's
+        tracking service does to Postgres (tracking:383-430)."""
+        cow_id = msg.get("cow_id")
+        if not cow_id:
+            return
+        self.db.record_sighting(
+            cow_id, msg.get("video_id", ""), msg.get("track_id", 0),
+            msg.get("similarity", 0.0), msg.get("start_frame", 0),
+            msg.get("end_frame", 0), msg.get("confidence", 0.0))
 
     def _heartbeat(self, service: str, **kw):
         try:

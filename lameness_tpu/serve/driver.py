@@ -427,19 +427,30 @@ class PipelineDriver:
         result = schemas.tracking_result(video_id, summaries, all_tracks,
                                          tracker.get_statistics())
 
-        # re-id with the whole-video embedding (tracking:330-375)
+        # Re-ID: per-track embedding = mean of the frame embeddings inside
+        # the track's frame window — an upgrade over the reference's single
+        # whole-video embedding for every track (quirk §2.9.7; the reference
+        # concedes "In production, you'd extract per-track embeddings",
+        # tracking:333-335).  Falls back to the video average when the
+        # window covers no embedding frames.
         dino_file = self.dirs.results_for("dinov3") / f"{video_id}_dinov3.json"
         reid_results = []
         if dino_file.exists() and summaries:
             dino_data = json.load(open(dino_file))
+            frame_embs = [(e["frame"], np.asarray(e["embedding"], float))
+                          for e in dino_data.get("canonical_frames", [])
+                          if "embedding" in e]
             emb = dino_data.get("embedding")
-            if emb is None and dino_data.get("canonical_frames"):
-                emb = np.mean([f["embedding"] for f
-                               in dino_data["canonical_frames"]], axis=0)
+            if emb is None and frame_embs:
+                emb = np.mean([e for _, e in frame_embs], axis=0)
             if emb is not None:
                 for t in summaries:
+                    window = [e for fr, e in frame_embs
+                              if t["start_frame"] <= fr <= t["end_frame"]]
+                    track_emb = np.mean(window, axis=0) if window \
+                        else np.asarray(emb, float)
                     m = self.reid.match_or_create(
-                        np.asarray(emb, float), video_id, t["track_id"],
+                        track_emb, video_id, t["track_id"],
                         metadata={"start_frame": t["start_frame"],
                                   "end_frame": t["end_frame"]})
                     reid_results.append(schemas.reid_entry(
@@ -449,7 +460,11 @@ class PipelineDriver:
                         self.config.subjects.tracking_reid_match, {
                             "video_id": video_id,
                             "track_id": t["track_id"], "cow_id": m.cow_id,
-                            "is_new": m.is_new_identity})
+                            "is_new": m.is_new_identity,
+                            "similarity": m.similarity,
+                            "confidence": t["avg_confidence"],
+                            "start_frame": t["start_frame"],
+                            "end_frame": t["end_frame"]})
         result["reid_results"] = reid_results
         timer_cm.__exit__(None, None, None)
         path = schemas.write_result(

@@ -342,6 +342,36 @@ class LamenessEngine:
             out = self.run_staged(frames_dev, rng)
         return jax.tree_util.tree_map(np.asarray, out)
 
+    def shard_inference(self, mesh) -> None:
+        """Data-parallel inference over a device mesh: params replicated,
+        clip batches sharded over the ``data`` axis.  XLA partitions every
+        stage automatically from the input shardings (no per-op annotations
+        needed — the batch axis threads through all stages)."""
+        from ..parallel.mesh import replicate_params
+        self.params = replicate_params(mesh, self.params)
+        self._mesh = mesh
+        self._build_jits()
+
+    def process_clip_batch_sharded(self, frames: np.ndarray,
+                                   rng: Optional[jax.Array] = None
+                                   ) -> Dict[str, np.ndarray]:
+        """Multi-chip variant of process_clip_batch: pads the batch to the
+        data-axis size, shards, runs the staged pipeline, unpads."""
+        assert getattr(self, "_mesh", None) is not None, \
+            "call shard_inference(mesh) first"
+        from ..parallel.mesh import (DATA_AXIS, batch_sharding,
+                                     pad_batch_to_multiple)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        dp = self._mesh.shape[DATA_AXIS]
+        padded, orig_b = pad_batch_to_multiple(np.asarray(frames), dp)
+        frames_dev = jax.device_put(jnp.asarray(padded),
+                                    batch_sharding(self._mesh))
+        with self._mesh:
+            out = self.run_staged(frames_dev, rng)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        return jax.tree_util.tree_map(lambda x: x[:orig_b], out)
+
     def fused_fn(self):
         """(fn, example_args) for compile checking — the graft entry point.
         Uses the detection+heads core (the SAM/DINO encoders compile-check

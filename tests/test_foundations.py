@@ -129,3 +129,22 @@ def test_mesh_2d_model_axis():
     from lameness_tpu.parallel import mesh as pm
     m = pm.make_mesh(8, model_parallel=2)
     assert m.shape == {"data": 4, "model": 2}
+
+
+def test_structural_smoke(tmp_data_root):
+    """The reference's test_setup.py equivalent: required directories exist
+    and the config tree is constructible + YAML-overlayable."""
+    cfg = tmp_data_root
+    for p in (cfg.dirs.videos, cfg.dirs.processed, cfg.dirs.canonical,
+              cfg.dirs.results, cfg.dirs.quality_reports, cfg.dirs.training,
+              cfg.dirs.rater_reliability, cfg.dirs.models):
+        assert p.exists(), p
+    assert cfg.subjects.video_uploaded == "video.uploaded"
+    # package layout sanity (SURVEY §7 proposed tree)
+    import lameness_tpu
+    import pathlib
+    root = pathlib.Path(lameness_tpu.__file__).parent
+    for sub in ("core", "ops", "models", "parallel", "video", "track",
+                "graph", "ml", "fuse", "hitl", "xai", "io", "serve",
+                "pipeline", "utils"):
+        assert (root / sub / "__init__.py").exists(), sub

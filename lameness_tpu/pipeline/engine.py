@@ -190,6 +190,17 @@ class LamenessEngine:
             "primary_valid": primary_valid.reshape(b, td),
         }
 
+    def _sam_fused_active(self) -> bool:
+        """Whether the SAM encoder's global layers use the fused Pallas
+        kernel (mirrors VisionAttention's auto rule)."""
+        if self.sam is None:
+            return False
+        fused = self.sam.fused_global
+        if fused is None:
+            g = self.spec.sam_size // 16
+            fused = jax.default_backend() == "tpu" and g >= 32
+        return bool(fused)
+
     # -- stage 2: segmentation ----------------------------------------------
     def _sam_stage(self, params, frames, primary_bt):
         """frames: (B, T, H, W, 3); primary_bt: (B, Td, 4)."""
@@ -205,13 +216,19 @@ class LamenessEngine:
             sam_in = prep.normalize(sam_in).astype(s.dtype)
             sam_ratio = s.sam_size / max(h, w)
             sam_boxes = primary * sam_ratio
-            # encode frame-by-frame: the global-attention rel-pos bias is
-            # (12, 4096, 4096) f32 per frame — batching all frames would
-            # materialize ~17 GB of bias in HBM
-            emb = jax.lax.map(
-                lambda f: self.sam.apply(params["sam"], f[None],
-                                         method=self.sam.encode)[0],
-                sam_in)
+            if self._sam_fused_active():
+                # fused Pallas rel-pos attention never materialises the
+                # (N, N) bias — all clip frames encode in one batch
+                emb = self.sam.apply(params["sam"], sam_in,
+                                     method=self.sam.encode)
+            else:
+                # unfused path: the global-attention bias is (12, 4096,
+                # 4096) f32 per frame — batching all frames would
+                # materialize ~17 GB in HBM, so encode frame-by-frame
+                emb = jax.lax.map(
+                    lambda f: self.sam.apply(params["sam"], f[None],
+                                             method=self.sam.encode)[0],
+                    sam_in)
             masks, iou_pred = self.sam.apply(
                 params["sam"], emb, sam_boxes, method=self.sam.decode_boxes)
             masks = masks[:, 0]

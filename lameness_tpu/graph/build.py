@@ -209,3 +209,22 @@ def degrees(edge_mask: np.ndarray, node_mask: np.ndarray
     """(in_degree, out_degree) over directed dense edges."""
     em = edge_mask & node_mask[:, None] & node_mask[None, :]
     return em.sum(axis=0).astype(np.int64), em.sum(axis=1).astype(np.int64)
+
+
+def standardize_features(x: np.ndarray, node_mask: np.ndarray) -> np.ndarray:
+    """Z-score node features over the valid nodes (padded rows stay zero).
+
+    The 50-d node vector mixes raw pixel areas (~1e4) with probabilities
+    (~1e-1); without standardisation the large-scale features drown the
+    informative ones for both training and attention.  Must be applied
+    identically at train and inference time.
+    """
+    x = np.asarray(x, np.float32).copy()
+    valid = x[node_mask]
+    if len(valid) == 0:
+        return x
+    mu = valid.mean(axis=0)
+    sd = valid.std(axis=0)
+    sd = np.where(sd < 1e-6, 1.0, sd)
+    x[node_mask] = (valid - mu) / sd
+    return x

@@ -101,7 +101,12 @@ class VirtualNode(nn.Module):
                            name="attn")(x_ext, ext_bias, mask_ext,
                                         deterministic)
         vn_out = out[0:1]
-        x_out = out[1:]
+        # Residual on the real nodes — a deliberate fix over the reference,
+        # whose VirtualNodeAttention OVERWRITES node features with the
+        # attention output (attention.py:216-226).  Non-residual overwrite
+        # makes the stack untrainable (signal washes out over 6 layers);
+        # the reference never trains this model, so the flaw is latent there.
+        x_out = x + out[1:]
         h = nn.Dense(self.hidden_dim * 2, name="vn_fc1")(vn_out)
         h = nn.gelu(h)
         h = nn.Dense(self.hidden_dim, name="vn_fc2")(h)

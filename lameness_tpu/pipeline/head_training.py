@@ -83,7 +83,7 @@ def train_heads(dirs, models_dir: Path, epochs: int = 50,
         "gait": gait.init(k2, jnp.zeros((1, seqf.TARGET_LEN, 44)),
                           jnp.zeros((1, seqf.TARGET_LEN), bool)),
     }
-    tx = optax.adamw(lr)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr))
     opt_state = tx.init(params)
 
     def loss_fn(p, batch, key):

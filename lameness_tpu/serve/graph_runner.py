@@ -190,6 +190,7 @@ class GraphHeadRunner:
             np.stack(feats), np.stack(embs), video_ids=video_ids,
             cow_ids=cow_ids, timestamps=ts,
             k=self.config.graphgps.k_nn, max_nodes=n_pad)
+        g["x"] = gb.standardize_features(g["x"], g["node_mask"])
         target_idx = video_ids.index(video_id)
         target_cow = cow_ids[target_idx]
         rng = jax.random.PRNGKey(hash(video_id) % (2 ** 31))

@@ -593,6 +593,26 @@ def build_admin_api(ctx: AdminContext) -> Router:
         }
 
     # ============================ shap ====================================
+    @r.get("/api/analysis/similarity/map")
+    def similarity_map(req: Request):
+        """2-D PCA projection of the stored video embeddings — the data
+        behind the SimilarityMap page."""
+        if ctx.store is None:
+            raise HTTPError(503, "vector store unavailable")
+        coll = ctx.config.reid.collection_embeddings
+        c = ctx.store._collections.get(coll)
+        if c is None or c.vectors is None or len(c.ids) < 2:
+            raise HTTPError(404, "need at least two embedded videos")
+        x = c.vectors - c.vectors.mean(axis=0)
+        # top-2 principal directions via SVD
+        _, _, vt = np.linalg.svd(x, full_matrices=False)
+        coords = x @ vt[:2].T
+        return {"points": [
+            {"video_id": c.ids[i], "x": float(coords[i, 0]),
+             "y": float(coords[i, 1]),
+             "label": c.payloads.get(c.ids[i], {}).get("label")}
+            for i in range(len(c.ids))]}
+
     @r.get("/api/shap/{video_id}/local")
     def shap_local(req: Request):
         f = dirs.results / "shap" / f"{req.params['video_id']}_shap.json"

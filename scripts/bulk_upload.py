@@ -78,6 +78,11 @@ def main():
         report = train_heads(config.dirs, config.dirs.models)
         print(f"  {report['status']}: "
               f"acc={report.get('train_accuracy')}")
+        print("training graph heads...")
+        from lameness_tpu.pipeline.graph_training import train_graph_heads
+        report = train_graph_heads(config.dirs, config.dirs.models)
+        print(f"  {report['status']}: "
+              f"acc={report.get('train_accuracy')}")
 
 
 if __name__ == "__main__":

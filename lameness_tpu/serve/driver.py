@@ -136,23 +136,34 @@ class PipelineDriver:
     # ------------------------------------------------ fused device stages ---
     def _load_engine_frames(self, video_path: Path):
         """Decode + resize to the engine's static geometry; returns
-        (frames (1, T, H, W, 3), scale (sx, sy), native info)."""
+        (frames (1, T, H, W, 3), scale (sx, sy), native info).
+
+        Only the frames the stage subsets consume (det ∪ dino ∪ pose,
+        ~36 of 125 for a canonical clip) are decoded+resized; the rest of
+        the tensor is zero — no stage ever reads those rows.
+        """
         s = self.engine.spec
+        union = sorted({int(i) for arr in (s.det_idx, s.dino_idx, s.pose_idx)
+                        for i in np.asarray(arr)})
         with VideoReader(video_path) as vr:
             info = vr.info
-            frames, idx = vr.read_sampled(interval=1,
-                                          max_frames=s.clip_frames)
-        if frames.shape[0] == 0:
+            frames_map = vr.read_selected(union)
+        if not frames_map:
             return None, None, info
-        resized = np.stack([cv2.resize(f, (s.frame_width, s.frame_height))
-                            for f in frames])
-        n = resized.shape[0]
-        if n < s.clip_frames:                 # pad by repeating last frame
-            pad = np.repeat(resized[-1:], s.clip_frames - n, axis=0)
-            resized = np.concatenate([resized, pad])
+        out = np.zeros((s.clip_frames, s.frame_height, s.frame_width, 3),
+                       np.uint8)
+        last = None
+        for idx in union:
+            f = frames_map.get(idx)
+            if f is not None:
+                last = cv2.resize(f, (s.frame_width, s.frame_height))
+            if last is not None:
+                # missing tail frames repeat the last decoded one (the
+                # previous pad-by-repeat semantics)
+                out[idx] = last
         sx = info["width"] / s.frame_width
         sy = info["height"] / s.frame_height
-        return resized[None], (sx, sy), info
+        return out[None], (sx, sy), info
 
     def run_feature_stages(self, video_id: str,
                            processed_path: Path) -> Optional[Dict[str, Any]]:
@@ -188,6 +199,51 @@ class PipelineDriver:
         for b_idx, (video_id, scale, info) in enumerate(metas):
             results.append(self._write_stage_results(video_id, out, b_idx,
                                                      scale, info))
+        return results
+
+    def process_stream(self, jobs, batch_size: int = 1):
+        """Throughput path with decode/compute overlap: a background thread
+        decodes the next batch's frames while the engine runs the current
+        one (host decode is ~1-2 s/clip vs ~0.9 s engine — without overlap
+        decode dominates the pipeline).
+
+        jobs: iterable of (video_id, processed_path).  Returns per-video
+        result dicts in completion order.
+        """
+        import queue as _queue
+        import threading as _threading
+        jobs = list(jobs)
+        q: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+        def producer():
+            batch = []
+            for video_id, path in jobs:
+                with TIMERS.time("decode"):
+                    frames, scale, info = self._load_engine_frames(Path(path))
+                if frames is None:
+                    continue
+                batch.append((video_id, frames[0], scale, info))
+                if len(batch) >= batch_size:
+                    q.put(batch)
+                    batch = []
+            if batch:
+                q.put(batch)
+            q.put(None)
+
+        t = _threading.Thread(target=producer, daemon=True)
+        t.start()
+        results = []
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            stacked = np.stack([b[1] for b in batch])
+            with TIMERS.time("engine_stream"):
+                out = self.engine.process_clip_batch(stacked)
+            for bi, (video_id, _, scale, info) in enumerate(batch):
+                results.append(self._write_stage_results(
+                    video_id, out, bi, scale, info))
+        t.join()
         return results
 
     def _write_stage_results(self, video_id, out, bi, scale, info):

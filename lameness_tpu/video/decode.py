@@ -64,6 +64,41 @@ class VideoReader:
             return (np.zeros((0, 0, 0, 3), np.uint8), np.zeros(0, np.int64))
         return np.stack(out), np.asarray(indices, np.int64)
 
+    def read_selected(self, indices, rgb: bool = True):
+        """Decode only the requested frame indices (sorted), using cheap
+        ``grab()`` to skip frames that are never consumed — the engine's
+        stage subsets touch ~36 of a canonical clip's 125 frames, so this
+        cuts host decode work ~3x.
+
+        Returns dict {index: frame (H, W, 3) uint8}.
+        """
+        import cv2 as _cv2
+        wanted = sorted(set(int(i) for i in indices))
+        out = {}
+        if not wanted:
+            return out
+        last = wanted[-1]
+        pos = 0
+        w_iter = iter(wanted)
+        nxt = next(w_iter)
+        while pos <= last:
+            if pos == nxt:
+                ok, frame = self.cap.read()
+                if not ok:
+                    break
+                if rgb:
+                    frame = _cv2.cvtColor(frame, _cv2.COLOR_BGR2RGB)
+                out[pos] = frame
+                try:
+                    nxt = next(w_iter)
+                except StopIteration:
+                    break
+            else:
+                if not self.cap.grab():
+                    break
+            pos += 1
+        return out
+
     def release(self):
         self.cap.release()
 

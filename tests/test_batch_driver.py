@@ -41,3 +41,39 @@ def test_batch_matches_single(tmp_data_root, tmp_path):
         cfg.dirs.results_for("tcn") / "batch0_tcn.json"))
     assert tcn_single["severity_score"] == pytest.approx(
         tcn_batch["severity_score"], abs=2e-4)
+
+
+def test_process_stream_overlapped(tmp_data_root, tmp_path):
+    from lameness_tpu.video.curation import ClipCurator
+    from lameness_tpu.io import schemas as sch
+    cfg = tmp_data_root
+    engine = make_test_engine()
+    curator = ClipCurator(cfg.dirs, detector=_square_detector)
+    driver = PipelineDriver(config=cfg, engine=engine, curator=curator)
+    jobs = []
+    for i in range(4):
+        vp = _synthetic_walk_video(tmp_path / f"s{i}.mp4", n_frames=40,
+                                   w=160, h=90, fps=5)
+        vid = driver.ingest(vp, f"stream{i}")
+        pre = driver.preprocess(vid)
+        jobs.append((vid, pre["processed_path"]))
+    results = driver.process_stream(jobs, batch_size=2)
+    assert len(results) == 4
+    for vid, _ in jobs:
+        f = cfg.dirs.results_for("tcn") / f"{vid}_tcn.json"
+        assert f.exists()
+        assert sch.validate("tcn", json.load(open(f))) == []
+
+
+def test_selective_decode_matches_full(tmp_data_root, tmp_path):
+    """The union-only decode produces the same consumed frames."""
+    from lameness_tpu.video.decode import VideoReader
+    vp = _synthetic_walk_video(tmp_path / "sel.mp4", n_frames=30,
+                               w=160, h=90, fps=5)
+    with VideoReader(vp) as vr:
+        full, idx = vr.read_sampled(interval=1)
+    with VideoReader(vp) as vr:
+        sel = vr.read_selected([0, 7, 13, 29])
+    for i in (0, 7, 13, 29):
+        np.testing.assert_array_equal(sel[i], full[i])
+    assert set(sel) == {0, 7, 13, 29}

@@ -76,6 +76,35 @@ class LamenessApp:
             self.ctx = ctx
             self.server = make_server(ctx, port=api_port)
             self.server.start()
+            self._wire_ws_mirror()
+
+    def _wire_ws_mirror(self):
+        """Push pipeline progress + analysis results to the WS channels the
+        frontend subscribes to (websocket/handler.py channels)."""
+        s = self.config.subjects
+        ws = self.ctx.ws
+
+        def mk(channel, event):
+            def push(msg):
+                ws.broadcast(channel, {"type": event,
+                                       "video_id": msg.get("video_id"),
+                                       "data": {k: v for k, v in msg.items()
+                                                if isinstance(v, (int, float,
+                                                                  str, bool))
+                                                }})
+            return push
+
+        for subject in (s.video_uploaded, s.video_preprocessed,
+                        s.pipeline_yolo, s.pipeline_sam3, s.pipeline_dinov3,
+                        s.pipeline_tleap, s.pipeline_tcn,
+                        s.pipeline_transformer, s.pipeline_gnn,
+                        s.pipeline_graph_transformer, s.pipeline_ml,
+                        s.tracking_complete):
+            self.bus.subscribe_sync(subject, mk("pipeline", subject))
+        self.bus.subscribe_sync(s.analysis_complete,
+                                mk("queue", "analysis.complete"))
+        self.bus.subscribe_sync(s.rater_reliability_updated,
+                                mk("rater", "rater.reliability.updated"))
 
     # ------------------------------------------------------------------
     def _wire_bus(self):

@@ -142,8 +142,22 @@ class GraphHeadRunner:
                 jnp.asarray(g["timestamps"]), jnp.asarray(g["node_mask"]))
 
     # ------------------------------------------------------------------
+    def _cow_for(self, vid: str) -> Optional[str]:
+        tr_file = self.dirs.results_for("tracking") / f"{vid}_tracking.json"
+        if tr_file.exists():
+            try:
+                tr = json.load(open(tr_file))
+                for r in tr.get("reid_results", []):
+                    if r.get("cow_id"):
+                        return r["cow_id"]
+            except Exception:
+                pass
+        return None
+
     def collect_graph(self, target_video: str):
-        """All known videos' features + cow ids (from tracking results)."""
+        """Per-cow graph when the target video maps to a cow (only that
+        cow's videos, gnn:1442-1453), else the global graph of all known
+        videos — the reference's exact fallback semantics."""
         video_ids: List[str] = []
         feats: List[np.ndarray] = []
         embs: List[np.ndarray] = []
@@ -155,22 +169,17 @@ class GraphHeadRunner:
             if dino_dir.exists() else []
         if target_video not in candidates:
             candidates.append(target_video)
+        target_cow = self._cow_for(target_video)
+        if target_cow is not None:
+            candidates = [v for v in candidates
+                          if v == target_video or
+                          self._cow_for(v) == target_cow]
         for vid in candidates[-self.max_nodes:]:
             nf = node_features_for_video(self.dirs, vid)
             emb = embedding_for_video(self.dirs, vid)
             if nf is None or emb is None:
                 continue
-            tr_file = self.dirs.results_for("tracking") / f"{vid}_tracking.json"
-            cow = None
-            if tr_file.exists():
-                try:
-                    tr = json.load(open(tr_file))
-                    for r in tr.get("reid_results", []):
-                        if r.get("cow_id"):
-                            cow = r["cow_id"]
-                            break
-                except Exception:
-                    pass
+            cow = self._cow_for(vid)
             mtime = (self.dirs.results_for("dinov3")
                      / f"{vid}_dinov3.json").stat().st_mtime
             video_ids.append(vid)

@@ -62,8 +62,10 @@ def test_graph_runner_writes_both_heads(tmp_data_root, rng):
     assert gnn["cow_id"] == "COW-0001"
     assert gnn["model"] == "EnhancedGraphGPS"
     assert 0 <= gnn["severity_score"] <= 1
-    assert gnn["graph_info"]["num_nodes"] == 4
-    assert set(gnn["videos_in_graph"]) == {"g0", "g1", "g2", "g3"}
+    # per-cow graph semantics (gnn:1442-1453): only COW-0001's videos
+    assert gnn["graph_info"]["num_nodes"] == 2
+    assert set(gnn["videos_in_graph"]) == {"g0", "g1"}
+    assert gnn["graph_info"]["per_cow_graph"] is True
 
     gt = json.load(open(cfg.dirs.results_for("graph_transformer")
                         / "g1_graph_transformer.json"))

@@ -114,12 +114,35 @@ def main():
     p50 = float(np.median(times))
     clips_per_min = 60.0 / p50 * batch
 
+    # secondary: true end-to-end through the driver (selective decode +
+    # engine + schema-exact result writing) on the golden clip
+    driver_e2e = None
+    try:
+        import pathlib
+        import tempfile
+        golden = pathlib.Path(
+            "/root/reference/data/canonical/"
+            "5c3864af-b292-43e7-a319-becb0e98c230_canonical.mp4")
+        if golden.exists():
+            from lameness_tpu.core.config import Config
+            from lameness_tpu.serve.driver import PipelineDriver
+            cfg = Config.load(data_root=tempfile.mkdtemp() + "/data")
+            cfg.dirs.ensure()
+            drv = PipelineDriver(config=cfg, engine=engine)
+            drv.run_feature_stages("warm", golden)       # warm the writers
+            t0 = time.time()
+            drv.run_feature_stages("bench", golden)
+            driver_e2e = round(time.time() - t0, 3)
+    except Exception:
+        pass
+
     result = {
         "metric": "clips_per_min_per_chip",
         "value": round(clips_per_min, 2),
         "unit": "clips/min",
         "vs_baseline": round(clips_per_min / BASELINE_CLIPS_PER_MIN, 3),
         "p50_clip_latency_s": round(p50, 4),
+        "driver_e2e_s_incl_decode": driver_e2e,
         "batch": batch,
         "compile_s": round(compile_s, 1),
         "build_s": round(build_s, 1),

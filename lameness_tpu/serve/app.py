@@ -40,9 +40,15 @@ from .driver import PipelineDriver
 class LamenessApp:
     def __init__(self, config: Optional[Config] = None, engine=None,
                  reactive: bool = True, serve_api: bool = False,
-                 api_port: int = 0):
+                 api_port: int = 0, restore_checkpoints: bool = True):
         self.config = config or Config()
         self.dirs = self.config.dirs.ensure()
+        if engine is not None and restore_checkpoints:
+            try:
+                from ..pipeline.checkpoint import restore_engine
+                restore_engine(engine, self.dirs.models)
+            except Exception:
+                pass
         self.bus = MessageBus(
             journal_path=Path(self.dirs.root) / "bus_journal.jsonl")
         self.db = Database(Path(self.dirs.root) / "lameness.db")

@@ -14,6 +14,7 @@ def engine():
     return make_test_engine()
 
 
+@pytest.mark.slow
 def test_reactive_chain_end_to_end(tmp_data_root, tmp_path, engine):
     cfg = tmp_data_root
     app = LamenessApp(config=cfg, engine=engine, reactive=True)
@@ -47,6 +48,7 @@ def test_reactive_chain_end_to_end(tmp_data_root, tmp_path, engine):
         assert len(hist) == 1
 
 
+@pytest.mark.slow
 def test_app_with_api_round_trip(tmp_data_root, tmp_path, engine):
     httpx = pytest.importorskip("httpx")
     cfg = tmp_data_root

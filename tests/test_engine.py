@@ -39,6 +39,7 @@ def test_engine_output_shapes(engine, frames):
                   & (out["tcn_probability"] <= 1))
 
 
+@pytest.mark.slow
 def test_staged_equals_monolith(engine, frames):
     rng = jax.random.PRNGKey(3)
     staged = engine.process_clip_batch(frames, rng=rng, mode="staged")

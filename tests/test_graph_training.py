@@ -37,6 +37,7 @@ def test_build_graph_dataset_insufficient(tmp_data_root, rng):
     assert build_graph_dataset(tmp_data_root.dirs) is None
 
 
+@pytest.mark.slow
 def test_train_graph_heads(tmp_data_root, rng):
     cfg = tmp_data_root
     _labeled_graph_data(cfg.dirs, rng, 10)

@@ -52,6 +52,7 @@ def test_build_dataset_insufficient(tmp_data_root, rng):
     assert build_dataset(tmp_data_root.dirs) is None
 
 
+@pytest.mark.slow
 def test_train_heads_learns_and_checkpoints(tmp_data_root):
     cfg = tmp_data_root
     local_rng = np.random.default_rng(7)   # independent of the shared fixture

@@ -34,6 +34,7 @@ def test_assign_targets_one_positive_cell(rng):
         assert np.all(t[f"box{li}"][pos] >= -1e-4)
 
 
+@pytest.mark.slow
 def test_pose_training_loss_decreases(rng):
     images, boxes, kpts = _synthetic_pose_data(rng, n=8)
     report = train_pose_model(images, boxes, kpts, epochs=8, batch_size=4,
@@ -44,6 +45,7 @@ def test_pose_training_loss_decreases(rng):
     assert np.isfinite(hist[-1])
 
 
+@pytest.mark.slow
 def test_pose_training_checkpoints(tmp_path, rng):
     images, boxes, kpts = _synthetic_pose_data(rng, n=4)
     train_pose_model(images, boxes, kpts, models_dir=tmp_path, epochs=2,

@@ -8,6 +8,7 @@ from lameness_tpu.parallel.mesh import make_mesh
 from lameness_tpu.pipeline.engine import make_test_engine
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     eng_ref = make_test_engine()
     s = eng_ref.spec

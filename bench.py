@@ -100,8 +100,9 @@ def main():
                 + float(out["det_scores"][0, 0, 0]))
         return out, sink
 
-    # warmup / compile
+    # warmup / compile: all four stage programs compile concurrently
     t0 = time.time()
+    stage_compiles = engine.warmup(batch=batch)
     out, _ = run_once(frames)
     compile_s = time.time() - t0
 
@@ -145,6 +146,7 @@ def main():
         "driver_e2e_s_incl_decode": driver_e2e,
         "batch": batch,
         "compile_s": round(compile_s, 1),
+        "stage_compiles_s": stage_compiles,
         "build_s": round(build_s, 1),
         "backend": jax.default_backend(),
         "stages": "yolo+sam_vitb+dino_vitb+pose+tcn+gait (fused, 1 jit)",

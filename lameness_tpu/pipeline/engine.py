@@ -359,6 +359,45 @@ class LamenessEngine:
             out = self.run_staged(frames_dev, rng)
         return jax.tree_util.tree_map(np.asarray, out)
 
+    def warmup(self, batch: int = 1) -> Dict[str, float]:
+        """Compile all four stage programs concurrently on dummy inputs —
+        the stages are independent, so cold-start wall time drops from the
+        sum of the compiles to roughly the slowest one.  Returns per-stage
+        compile seconds."""
+        import threading
+        import time as _time
+        s = self.spec
+        frames = jnp.zeros((batch, s.clip_frames, s.frame_height,
+                            s.frame_width, 3), jnp.uint8)
+        td = len(s.det_idx)
+        boxes = jnp.tile(jnp.asarray([[1.0, 1.0, 10.0, 10.0]]),
+                         (batch, td, 1))
+        scores = jnp.full((batch, td), 0.5)
+        rng = jax.random.PRNGKey(0)
+        timings: Dict[str, float] = {}
+
+        def run(name, fn, *args):
+            t0 = _time.time()
+            out = fn(*args)
+            jax.tree_util.tree_leaves(out)[0].block_until_ready()
+            timings[name] = round(_time.time() - t0, 1)
+
+        threads = [
+            threading.Thread(target=run, args=(
+                "detect", self._jit_detect, self.params, frames)),
+            threading.Thread(target=run, args=(
+                "sam", self._jit_sam, self.params, frames, boxes)),
+            threading.Thread(target=run, args=(
+                "dino", self._jit_dino, self.params, frames)),
+            threading.Thread(target=run, args=(
+                "heads", self._jit_heads, self.params, boxes, scores, rng)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return timings
+
     def shard_inference(self, mesh) -> None:
         """Data-parallel inference over a device mesh: params replicated,
         clip batches sharded over the ``data`` axis.  XLA partitions every

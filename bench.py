@@ -149,7 +149,7 @@ def main():
         "stage_compiles_s": stage_compiles,
         "build_s": round(build_s, 1),
         "backend": jax.default_backend(),
-        "stages": "yolo+sam_vitb+dino_vitb+pose+tcn+gait (fused, 1 jit)",
+        "stages": "yolo+sam_vitb+dino_vitb+pose+tcn+gait (4 staged jits, device-resident)",
         "tcn_probability": float(out["tcn_probability"][0]),
     }
     print(json.dumps(result))

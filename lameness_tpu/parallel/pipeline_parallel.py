@@ -102,7 +102,7 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
     fn = shard_map(per_stage, mesh=mesh,
                    in_specs=(stage_spec, P(STAGE_AXIS)),
                    out_specs=P(STAGE_AXIS),
-                   check_rep=False)
+                   check_vma=False)
     micro_rep = jnp.broadcast_to(micro[None],
                                  (n_stages, *micro.shape))
     outputs = fn(stacked_params, micro_rep)     # (S, M, mb, ...)

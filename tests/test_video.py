@@ -131,3 +131,18 @@ def test_quality_report_matches_golden_schema(tmp_data_root, tmp_path):
         set(ours["selected_window"].keys())
     assert set(golden["selected_window"]["metrics"].keys()) == \
         set(ours["selected_window"]["metrics"].keys())
+
+
+def test_second_golden_clip_decodes():
+    import pathlib
+    p = pathlib.Path("/root/reference/data/canonical/"
+                     "7e41cf93-185b-459b-8d53-e3c9aba9a97e_canonical.mp4")
+    if not p.exists():
+        pytest.skip("second golden clip unavailable")
+    with VideoReader(p) as vr:
+        info = vr.info
+        assert (info["width"], info["height"]) == (1280, 720)
+        assert info["fps"] == 25.0
+        sel = vr.read_selected([0, 60, 124])
+    assert set(sel) == {0, 60, 124}
+    assert sel[0].shape == (720, 1280, 3)

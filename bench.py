@@ -156,6 +156,18 @@ def main():
 
 
 if __name__ == "__main__":
+    # hard wall: if anything (compile RPC, device dispatch) wedges after the
+    # watchdog passed, still emit a JSON line instead of hanging forever
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("bench exceeded the 540s wall-clock budget")
+
+    try:
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(540)
+    except Exception:
+        pass
     try:
         main()
     except Exception as e:  # never leave the driver without a JSON line

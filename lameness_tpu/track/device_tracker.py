@@ -1,0 +1,235 @@
+"""Device-resident ByteTrack fast path: one ``lax.scan`` over frames.
+
+The host tracker (``bytetrack.py``) is the exact reference-semantics
+implementation (LAPJV assignment, Python lifecycle).  This module is the
+TPU-native fast path for clip batches: fixed track slots, greedy
+best-IoU association (the K-step argmax/suppress pattern NMS uses), the
+same high/low confidence split and TENTATIVE→CONFIRMED→LOST→DELETED
+counters, Kalman predict/update as batched matrix algebra — all under one
+jitted scan so per-frame tracking of every clip in a batch costs one
+device program.
+
+Greedy vs Hungarian: for cow scenes (≤ a handful of concurrent tracks,
+high IoU separation) greedy and optimal assignment agree except under
+heavy overlap; the host tracker remains the authoritative path for the
+tracking result files, and the equivalence is tested on separated-target
+scenarios.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.boxes import pairwise_iou
+
+# Kalman matrices (same numerics as track/kalman.py)
+_F = np.eye(7)
+_F[0, 4] = _F[1, 5] = _F[2, 6] = 1.0
+_H = np.zeros((4, 7))
+_H[0, 0] = _H[1, 1] = _H[2, 2] = _H[3, 3] = 1.0
+_R = np.diag([1.0, 1.0, 10.0, 10.0])
+_Q = np.diag([1.0, 1.0, 1.0, 1.0, 0.01, 0.01, 1e-4])
+_P0 = np.diag([10.0, 10.0, 10.0, 10.0, 1e4, 1e4, 1e4])
+
+# lifecycle states
+EMPTY, TENTATIVE, CONFIRMED, LOST = 0, 1, 2, 3
+
+
+def _bbox_to_z(b):
+    w = b[..., 2] - b[..., 0]
+    h = b[..., 3] - b[..., 1]
+    return jnp.stack([b[..., 0] + w / 2, b[..., 1] + h / 2, w * h,
+                      w / (h + 1e-6)], -1)
+
+
+def _z_to_bbox(z):
+    s = jnp.maximum(z[..., 2], 1e-6)
+    r = jnp.maximum(z[..., 3], 1e-6)
+    w = jnp.sqrt(s * r)
+    h = s / (w + 1e-6)
+    return jnp.stack([z[..., 0] - w / 2, z[..., 1] - h / 2,
+                      z[..., 0] + w / 2, z[..., 1] + h / 2], -1)
+
+
+def init_state(max_tracks: int) -> Dict[str, jnp.ndarray]:
+    return {
+        "mean": jnp.zeros((max_tracks, 7)),
+        "cov": jnp.tile(jnp.asarray(_P0)[None], (max_tracks, 1, 1)),
+        "track_id": jnp.zeros(max_tracks, jnp.int32),
+        "state": jnp.full(max_tracks, EMPTY, jnp.int32),
+        "hits": jnp.zeros(max_tracks, jnp.int32),
+        "tsu": jnp.zeros(max_tracks, jnp.int32),     # time_since_update
+        "score": jnp.zeros(max_tracks),
+        "next_id": jnp.ones((), jnp.int32),
+    }
+
+
+def _greedy_match(cost: jnp.ndarray, row_ok: jnp.ndarray,
+                  col_ok: jnp.ndarray, thresh: float, n_steps: int):
+    """Greedy min-cost matching: repeatedly take the global best pair.
+    cost (R, C); returns col_for_row (R,) with -1 = unmatched."""
+    big = 1e9
+    cost = jnp.where(row_ok[:, None] & col_ok[None, :], cost, big)
+    col_for_row = jnp.full(cost.shape[0], -1, jnp.int32)
+
+    def step(carry, _):
+        cost, col_for_row = carry
+        flat = cost.reshape(-1)
+        idx = jnp.argmin(flat)
+        r, c = idx // cost.shape[1], idx % cost.shape[1]
+        ok = flat[idx] <= thresh
+        col_for_row = jnp.where(
+            ok, col_for_row.at[r].set(c.astype(jnp.int32)), col_for_row)
+        cost = jnp.where(ok, cost.at[r, :].set(big).at[:, c].set(big), cost)
+        return (cost, col_for_row), None
+
+    (cost, col_for_row), _ = jax.lax.scan(
+        step, (cost, col_for_row), None, length=n_steps)
+    return col_for_row
+
+
+def _kalman_predict(state):
+    f = jnp.asarray(_F)
+    q = jnp.asarray(_Q)
+    vs_bad = state["mean"][:, 6] + state["mean"][:, 2] <= 0
+    mean = state["mean"].at[:, 6].set(
+        jnp.where(vs_bad, 0.0, state["mean"][:, 6]))
+    mean = mean @ f.T
+    cov = f @ state["cov"] @ f.T + q
+    return dict(state, mean=mean, cov=cov)
+
+
+def _kalman_update_where(state, boxes, update_mask):
+    """Batched measurement update applied only where update_mask."""
+    h = jnp.asarray(_H)
+    r = jnp.asarray(_R)
+    z = _bbox_to_z(boxes)
+    mean, cov = state["mean"], state["cov"]
+    y = z - mean @ h.T
+    s = h @ cov @ h.T + r
+    k = cov @ h.T @ jnp.linalg.inv(s)
+    new_mean = mean + jnp.einsum("nij,nj->ni", k, y)
+    new_cov = (jnp.eye(7) - k @ h) @ cov
+    m = update_mask[:, None]
+    return dict(state,
+                mean=jnp.where(m, new_mean, mean),
+                cov=jnp.where(update_mask[:, None, None], new_cov, cov))
+
+
+def tracker_step(state: Dict[str, jnp.ndarray], boxes: jnp.ndarray,
+                 scores: jnp.ndarray, valid: jnp.ndarray,
+                 high_thresh: float = 0.6, low_thresh: float = 0.1,
+                 match_iou: float = 0.2, match_iou_low: float = 0.5,
+                 min_hits: int = 3, max_missed_lost: int = 30,
+                 max_missed_delete: int = 90):
+    """One frame: fixed-K detections (K, 4) + (K,) scores/valid ->
+    updated state + per-slot assigned boxes."""
+    max_tracks = state["mean"].shape[0]
+    k_det = boxes.shape[0]
+    state = _kalman_predict(state)
+    track_boxes = _z_to_bbox(state["mean"][:, :4])
+    live = state["state"] > EMPTY
+
+    iou = pairwise_iou(track_boxes, boxes)           # (S, K)
+    cost = 1.0 - iou
+
+    # stage 1: high-confidence detections vs live tracks
+    high_ok = valid & (scores >= high_thresh)
+    col1 = _greedy_match(cost, live, high_ok, 1.0 - match_iou,
+                         min(max_tracks, k_det))
+    matched1 = col1 >= 0
+    det_taken = ((col1[:, None] == jnp.arange(k_det)[None, :])
+                 & matched1[:, None]).any(axis=0)
+
+    # stage 2: low-confidence detections vs remaining tracks (IoU gate 0.5)
+    low_ok = valid & (scores >= low_thresh) & (scores < high_thresh) \
+        & ~det_taken
+    col2 = _greedy_match(cost, live & ~matched1, low_ok, 1.0 - match_iou_low,
+                         min(max_tracks, k_det))
+    matched2 = col2 >= 0
+    det_taken = det_taken | ((col2[:, None] == jnp.arange(k_det)[None, :])
+                             & matched2[:, None]).any(axis=0)
+
+    matched = matched1 | matched2
+    det_idx = jnp.where(matched1, col1, jnp.where(matched2, col2, 0))
+    det_box = boxes[det_idx]
+    det_score = scores[det_idx]
+
+    # kalman + lifecycle updates for matched slots
+    state = _kalman_update_where(state, det_box, matched)
+    hits = jnp.where(matched, state["hits"] + 1, state["hits"])
+    tsu = jnp.where(matched, 0, state["tsu"] + 1)
+    score = jnp.where(matched, det_score, state["score"])
+    st = state["state"]
+    st = jnp.where(matched & (st == TENTATIVE) & (hits >= min_hits),
+                   CONFIRMED, st)
+    st = jnp.where(matched & (st == LOST), CONFIRMED, st)
+    st = jnp.where(~matched & (st == CONFIRMED) & (tsu > max_missed_lost),
+                   LOST, st)
+    st = jnp.where(~matched & (st == TENTATIVE) & (tsu > 3), EMPTY, st)
+    st = jnp.where(~matched & (st == LOST) & (tsu > max_missed_delete),
+                   EMPTY, st)
+
+    # births: unmatched high-conf detections claim empty slots in order
+    free = st == EMPTY
+    unclaimed = high_ok & ~det_taken
+    free_rank = jnp.cumsum(free) - 1                # slot's index among free
+    det_rank = jnp.cumsum(unclaimed) - 1            # det's index among new
+    # slot s takes detection d where ranks align
+    slot_det = jnp.full(max_tracks, -1, jnp.int32)
+    det_of_rank = jnp.full(k_det, -1, jnp.int32)
+    det_of_rank = det_of_rank.at[jnp.where(unclaimed, det_rank, k_det - 1)
+                                 ].set(jnp.where(unclaimed,
+                                                 jnp.arange(k_det), -1))
+    cand = det_of_rank[jnp.clip(free_rank, 0, k_det - 1)]
+    birth = free & (cand >= 0) & (free_rank < jnp.sum(unclaimed))
+    birth_idx = jnp.clip(cand, 0, k_det - 1)
+    birth_box = boxes[birth_idx]
+    birth_z = _bbox_to_z(birth_box)
+    new_mean = jnp.concatenate([birth_z, jnp.zeros_like(birth_z[:, :3])], -1)
+    state_mean = jnp.where(birth[:, None], new_mean, state["mean"])
+    state_cov = jnp.where(birth[:, None, None],
+                          jnp.asarray(_P0)[None], state["cov"])
+    n_births = jnp.sum(birth)
+    birth_order = jnp.cumsum(birth) - 1
+    new_ids = state["next_id"] + birth_order.astype(jnp.int32)
+    track_id = jnp.where(birth, new_ids, state["track_id"])
+    st = jnp.where(birth, TENTATIVE, st)
+    hits = jnp.where(birth, 1, hits)
+    tsu = jnp.where(birth, 0, tsu)
+    score = jnp.where(birth, scores[birth_idx], score)
+
+    out_state = {
+        "mean": state_mean, "cov": state_cov, "track_id": track_id,
+        "state": st, "hits": hits, "tsu": tsu, "score": score,
+        "next_id": state["next_id"] + n_births.astype(jnp.int32),
+    }
+    out_boxes = _z_to_bbox(state_mean[:, :4])
+    return out_state, {"boxes": out_boxes, "track_id": track_id,
+                       "state": st, "score": score,
+                       "confirmed": st == CONFIRMED}
+
+
+@functools.partial(jax.jit, static_argnames=("max_tracks",))
+def track_clip(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
+               max_tracks: int = 8):
+    """Track one clip: (T, K, 4) boxes + (T, K) scores/valid ->
+    per-frame slot outputs under one scan.  vmap for clip batches."""
+    state = init_state(max_tracks)
+
+    def step(st, frame):
+        b, s, v = frame
+        return tracker_step(st, b, s, v)
+
+    final, outs = jax.lax.scan(step, state, (boxes, scores, valid))
+    return final, outs
+
+
+def track_clip_batch(boxes, scores, valid, max_tracks: int = 8):
+    """(B, T, K, ...) batched tracking: vmapped scan."""
+    fn = functools.partial(track_clip, max_tracks=max_tracks)
+    return jax.vmap(fn)(boxes, scores, valid)

@@ -1,0 +1,100 @@
+"""Device ByteTrack fast path: lifecycle + agreement with the host tracker."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lameness_tpu.track.bytetrack import ByteTracker, Detection
+from lameness_tpu.track.device_tracker import (CONFIRMED, EMPTY, LOST,
+                                               TENTATIVE, init_state,
+                                               track_clip, track_clip_batch,
+                                               tracker_step)
+
+
+def _two_walkers(t=12, k=4):
+    """Two well-separated objects moving gently; fixed-K padding."""
+    boxes = np.zeros((t, k, 4), np.float32)
+    scores = np.zeros((t, k), np.float32)
+    valid = np.zeros((t, k), bool)
+    for i in range(t):
+        boxes[i, 0] = [5.0 * i, 0, 5.0 * i + 60, 60]
+        boxes[i, 1] = [300 - 5.0 * i, 200, 380 - 5.0 * i, 280]
+        scores[i, :2] = [0.9, 0.85]
+        valid[i, :2] = True
+    return boxes, scores, valid
+
+
+def test_device_tracker_confirms_and_keeps_ids():
+    boxes, scores, valid = _two_walkers()
+    final, outs = track_clip(jnp.asarray(boxes), jnp.asarray(scores),
+                             jnp.asarray(valid), max_tracks=8)
+    st = np.asarray(outs["state"])          # (T, S)
+    ids = np.asarray(outs["track_id"])
+    # two tracks confirmed by frame 2 and stable thereafter
+    assert (st[2] == CONFIRMED).sum() == 2
+    live = st[-1] == CONFIRMED
+    assert live.sum() == 2
+    # ids stay constant once assigned
+    for s in np.where(live)[0]:
+        assert len(set(ids[2:, s])) == 1
+    assert int(np.asarray(final["next_id"])) == 3   # ids 1 and 2 issued
+
+
+def test_device_tracker_tracks_positions():
+    boxes, scores, valid = _two_walkers(t=10)
+    _, outs = track_clip(jnp.asarray(boxes), jnp.asarray(scores),
+                         jnp.asarray(valid), max_tracks=8)
+    ob = np.asarray(outs["boxes"])
+    st = np.asarray(outs["state"])
+    s0 = np.where(st[-1] == CONFIRMED)[0]
+    # slot boxes track the ground truth within a few pixels by the end
+    last_boxes = ob[-1, s0]
+    gt = boxes[-1, :2]
+    d = np.abs(last_boxes[:, None] - gt[None]).sum(-1).min(axis=1)
+    assert np.all(d < 20), d
+
+
+def test_device_tracker_lifecycle_deletion():
+    t, k = 40, 2
+    boxes = np.zeros((t, k, 4), np.float32)
+    scores = np.zeros((t, k), np.float32)
+    valid = np.zeros((t, k), bool)
+    for i in range(4):                       # detections then disappearance
+        boxes[i, 0] = [0, 0, 60, 60]
+        scores[i, 0] = 0.9
+        valid[i, 0] = True
+    _, outs = track_clip(jnp.asarray(boxes), jnp.asarray(scores),
+                         jnp.asarray(valid), max_tracks=4)
+    st = np.asarray(outs["state"])
+    assert st[3, 0] == CONFIRMED
+    assert (st[:, 0] == LOST).any()          # >30 misses -> LOST
+    assert st[-1, 0] == LOST                 # not yet deleted at 36 misses
+
+
+def test_device_matches_host_on_separated_targets():
+    boxes, scores, valid = _two_walkers(t=12)
+    host = ByteTracker()
+    host_ids_per_frame = []
+    for i in range(12):
+        dets = [Detection(boxes[i, j], float(scores[i, j]))
+                for j in range(4) if valid[i, j]]
+        tracks = host.update(dets, frame_idx=i)
+        host_ids_per_frame.append({t.track_id for t in tracks})
+    _, outs = track_clip(jnp.asarray(boxes), jnp.asarray(scores),
+                         jnp.asarray(valid), max_tracks=8)
+    st = np.asarray(outs["state"])
+    # same number of confirmed tracks per frame from frame 2 on
+    for i in range(2, 12):
+        assert (st[i] == CONFIRMED).sum() == len(host_ids_per_frame[i]), i
+
+
+def test_device_tracker_batched():
+    boxes, scores, valid = _two_walkers(t=8)
+    b = 3
+    bb = jnp.asarray(np.tile(boxes[None], (b, 1, 1, 1)))
+    ss = jnp.asarray(np.tile(scores[None], (b, 1, 1)))
+    vv = jnp.asarray(np.tile(valid[None], (b, 1, 1)))
+    final, outs = track_clip_batch(bb, ss, vv, max_tracks=8)
+    assert np.asarray(outs["state"]).shape == (b, 8, 8)
+    st = np.asarray(outs["state"])
+    assert np.all((st[:, -1] == CONFIRMED).sum(axis=1) == 2)

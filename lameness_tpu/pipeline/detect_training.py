@@ -76,11 +76,12 @@ class FlatPreds(NamedTuple):
     boxes: jnp.ndarray         # (B, A, 4) xyxy pixels (DFL expectation)
     anchors: jnp.ndarray       # (A, 2) pixel centers
     strides: jnp.ndarray       # (A,)
+    kpts: jnp.ndarray | None   # (B, A, K, 3): xy pixels + visibility logit
 
 
 def flatten_levels(levels, reg_max: int = 16,
                    strides: Sequence[int] = (8, 16, 32)) -> FlatPreds:
-    cls_l, dist_l, box_l, anc_l, str_l = [], [], [], [], []
+    cls_l, dist_l, box_l, anc_l, str_l, kpt_l = [], [], [], [], [], []
     for level, stride in zip(levels, strides):
         box_map, cls_map = level["box"], level["cls"]
         b, h, w, _ = box_map.shape
@@ -96,9 +97,16 @@ def flatten_levels(levels, reg_max: int = 16,
         dist_l.append(dist)
         anc_l.append(anchors * stride)
         str_l.append(stride_v)
+        if "kpt" in level:
+            kpt = level["kpt"].reshape(b, h * w, -1, 3)
+            # same decode as models/yolo.py decode_predictions
+            xy = (kpt[..., :2] * 2.0 + (anchors[None, :, None, :] - 0.5)) \
+                * stride_v[None, :, None, None]
+            kpt_l.append(jnp.concatenate([xy, kpt[..., 2:]], -1))
     return FlatPreds(jnp.concatenate(cls_l, 1), jnp.concatenate(dist_l, 1),
                      jnp.concatenate(box_l, 1), jnp.concatenate(anc_l, 0),
-                     jnp.concatenate(str_l, 0))
+                     jnp.concatenate(str_l, 0),
+                     jnp.concatenate(kpt_l, 1) if kpt_l else None)
 
 
 # ---------------------------------------------------------------------------
@@ -116,7 +124,8 @@ def task_aligned_assign(pd_scores: jnp.ndarray, pd_boxes: jnp.ndarray,
     xyxy pixels; gt_mask (B, M) bool for padded slots.
 
     Returns target_labels (B, A), target_boxes (B, A, 4),
-    target_scores (B, A, C) soft targets, fg_mask (B, A).
+    target_scores (B, A, C) soft targets, fg_mask (B, A), and
+    gt_idx (B, A) — the winning gt slot per anchor (valid where fg).
     """
     b, a, c = pd_scores.shape
     m = gt_boxes.shape[1]
@@ -171,7 +180,7 @@ def task_aligned_assign(pd_scores: jnp.ndarray, pd_boxes: jnp.ndarray,
     soft = (align_sel * pos_iou.max(-1, keepdims=True) / norm).max(1)
     onehot = jax.nn.one_hot(target_labels, c)
     target_scores = onehot * jnp.where(fg_mask, soft, 0.0)[..., None]
-    return target_labels, target_boxes, target_scores, fg_mask
+    return target_labels, target_boxes, target_scores, fg_mask, gt_idx
 
 
 # ---------------------------------------------------------------------------
@@ -192,17 +201,38 @@ def dfl_loss(dist_logits: jnp.ndarray, target_ltrb: jnp.ndarray,
     return -(wl * ll + wr * lr).mean(-1)
 
 
+def keypoint_loss(pd_kpts: jnp.ndarray, gt_kpts: jnp.ndarray,
+                  gt_area: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """OKS-style location loss + visibility BCE, per anchor.
+
+    pd_kpts (B, A, K, 3) xy pixels + vis logit; gt_kpts (B, A, K, 3)
+    xy + vis flag (already gathered per anchor); gt_area (B, A).
+    """
+    vis = gt_kpts[..., 2] > 0                            # (B, A, K)
+    d2 = ((pd_kpts[..., :2] - gt_kpts[..., :2]) ** 2).sum(-1)
+    e = d2 / (2.0 * (gt_area[..., None] + 1e-9) * 4.0)   # sigma² folded in
+    loc = ((1.0 - jnp.exp(-e)) * vis).sum(-1) / \
+        jnp.maximum(vis.sum(-1), 1.0)
+    kobj = optax.sigmoid_binary_cross_entropy(
+        pd_kpts[..., 2], vis.astype(pd_kpts.dtype)).mean(-1)
+    return loc, kobj
+
+
 def detection_loss(levels, gt_labels, gt_boxes, gt_mask,
                    num_classes: int, reg_max: int = 16,
                    strides: Sequence[int] = (8, 16, 32),
                    box_w: float = 7.5, cls_w: float = 0.5,
-                   dfl_w: float = 1.5) -> Tuple[jnp.ndarray, Dict]:
-    """Total = box_w*CIoU + cls_w*BCE + dfl_w*DFL (ultralytics gains)."""
+                   dfl_w: float = 1.5, gt_kpts=None,
+                   kpt_w: float = 12.0, kobj_w: float = 1.0
+                   ) -> Tuple[jnp.ndarray, Dict]:
+    """Total = box_w*CIoU + cls_w*BCE + dfl_w*DFL (ultralytics gains);
+    with ``gt_kpts`` (B, M, K, 3) adds the pose-branch OKS + vis-BCE
+    terms (kpt_w/kobj_w are the ultralytics pose gains)."""
     fp = flatten_levels(levels, reg_max, strides)
     pd_scores = jax.nn.sigmoid(fp.cls_logits)
     # assignment is a no-grad step (TOOD): detaching also avoids the inf
     # gradient of score**0.5 at underflowed sigmoids
-    tl_, tb, ts, fg = task_aligned_assign(
+    tl_, tb, ts, fg, gt_idx = task_aligned_assign(
         jax.lax.stop_gradient(pd_scores), jax.lax.stop_gradient(fp.boxes),
         fp.anchors, gt_labels, gt_boxes, gt_mask)
 
@@ -220,8 +250,22 @@ def detection_loss(levels, gt_labels, gt_boxes, gt_mask,
     dfl = (dfl_loss(fp.dist_logits, ltrb, reg_max) * w * fg).sum() / tsum
 
     total = box_w * box + cls_w * cls + dfl_w * dfl
-    return total, {"box": box, "cls": cls, "dfl": dfl,
-                   "n_fg": fg.sum(), "total": total}
+    aux = {"box": box, "cls": cls, "dfl": dfl, "n_fg": fg.sum()}
+
+    if gt_kpts is not None and fp.kpts is not None:
+        # gather each fg anchor's gt keypoints (same gt as its box target)
+        bi = jnp.arange(gt_boxes.shape[0])[:, None]
+        tk = gt_kpts[bi, gt_idx]                         # (B, A, K, 3)
+        area = jnp.clip(tb[..., 2] - tb[..., 0], 0) * \
+            jnp.clip(tb[..., 3] - tb[..., 1], 0)
+        loc, kobj = keypoint_loss(fp.kpts, tk, area)
+        kpt_l = (loc * w * fg).sum() / tsum
+        kobj_l = (kobj * w * fg).sum() / tsum
+        total = total + kpt_w * kpt_l + kobj_w * kobj_l
+        aux.update(kpt=kpt_l, kobj=kobj_l)
+
+    aux["total"] = total
+    return total, aux
 
 
 # ---------------------------------------------------------------------------
@@ -238,21 +282,27 @@ class DetectTrainer:
         self.params = params
         self.opt_state = self.tx.init(params)
 
-        @jax.jit
-        def step(params, opt_state, images, gt_labels, gt_boxes, gt_mask):
+        @functools.partial(jax.jit, static_argnames=("has_kpts",))
+        def step(params, opt_state, images, gt_labels, gt_boxes, gt_mask,
+                 gt_kpts, has_kpts):
             def loss_fn(p):
                 out = self.model.apply({"params": p}, images)
                 return detection_loss(out["levels"], gt_labels, gt_boxes,
                                       gt_mask, self.model.num_classes,
-                                      self.model.reg_max)
+                                      self.model.reg_max,
+                                      gt_kpts=gt_kpts if has_kpts else None)
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, aux
         self._step = step
 
-    def train_step(self, images, gt_labels, gt_boxes, gt_mask) -> Dict:
+    def train_step(self, images, gt_labels, gt_boxes, gt_mask,
+                   gt_kpts=None) -> Dict:
+        has_kpts = gt_kpts is not None
+        if not has_kpts:                     # static placeholder for jit
+            gt_kpts = jnp.zeros(gt_boxes.shape[:2] + (1, 3))
         self.params, self.opt_state, aux = self._step(
             self.params, self.opt_state, images, gt_labels, gt_boxes,
-            gt_mask)
+            gt_mask, gt_kpts, has_kpts)
         return {k: float(v) for k, v in aux.items()}

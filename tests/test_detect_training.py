@@ -34,8 +34,8 @@ def test_assigner_picks_anchors_inside_gt():
     gt_mask = jnp.asarray([[True]])
     pd_boxes = jnp.tile(gt_boxes, (1, a_n, 1)).reshape(b, a_n, 4)
     pd_scores = jnp.full((b, a_n, c), 0.9)
-    tl, tb, ts, fg = task_aligned_assign(pd_scores, pd_boxes, anchors,
-                                         gt_labels, gt_boxes, gt_mask)
+    tl, tb, ts, fg, gt_idx = task_aligned_assign(
+        pd_scores, pd_boxes, anchors, gt_labels, gt_boxes, gt_mask)
     fg = np.asarray(fg[0])
     inside = np.asarray((anchors[:, 0] > 4) & (anchors[:, 0] < 20)
                         & (anchors[:, 1] > 4) & (anchors[:, 1] < 20))
@@ -54,7 +54,7 @@ def test_assigner_respects_padding_mask():
     gt_labels = jnp.asarray([[0, 0]])
     pd_boxes = jnp.asarray([[[0.0, 0, 16, 16], [16.0, 16, 32, 32]]])
     pd_scores = jnp.full((1, 2, 1), 0.9)
-    _, _, _, fg = task_aligned_assign(
+    _, _, _, fg, _ = task_aligned_assign(
         pd_scores, pd_boxes, anchors, gt_labels, gt_boxes,
         jnp.asarray([[True, False]]))
     assert bool(fg[0, 0]) and not bool(fg[0, 1])
@@ -111,6 +111,41 @@ def test_detect_trainer_overfits_toy_squares():
             best = max(best, inter / max(ua, 1e-6))
         ok += best > 0.25
     assert ok >= b - 1, f"only {ok}/{b} images localise the square"
+
+
+@pytest.mark.slow
+def test_detect_trainer_pose_branch_learns_keypoints():
+    """Pose-variant trainer: keypoint loss drives predicted kpts toward
+    the square's corners."""
+    rng_np = np.random.default_rng(5)
+    s, b, max_boxes, nk = 96, 2, 1, 3
+    images = np.full((b, s, s, 3), 0.2, np.float32)
+    gt_boxes = np.zeros((b, max_boxes, 4), np.float32)
+    gt_labels = np.zeros((b, max_boxes), np.int64)
+    gt_mask = np.ones((b, max_boxes), bool)
+    gt_kpts = np.zeros((b, max_boxes, nk, 3), np.float32)
+    for i in range(b):
+        x, y = rng_np.integers(10, 35, 2)
+        w, h = rng_np.integers(35, 45, 2)
+        images[i, y:y + h, x:x + w] = 0.9
+        gt_boxes[i, 0] = [x, y, x + w, y + h]
+        # keypoints: two corners + center, all visible
+        gt_kpts[i, 0] = [[x, y, 2], [x + w, y + h, 2],
+                         [x + w / 2, y + h / 2, 2]]
+
+    model = YoloV8(variant="n", num_classes=1, num_keypoints=nk)
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, s, s, 3)))["params"]
+    trainer = DetectTrainer(model, params, lr=2e-3)
+    args = (jnp.asarray(images), jnp.asarray(gt_labels),
+            jnp.asarray(gt_boxes), jnp.asarray(gt_mask),
+            jnp.asarray(gt_kpts))
+    first = trainer.train_step(*args)
+    assert "kpt" in first and np.isfinite(first["kpt"])
+    for _ in range(60):
+        last = trainer.train_step(*args)
+    assert last["kpt"] < 0.7 * first["kpt"], (first["kpt"], last["kpt"])
+    assert last["total"] < 0.6 * first["total"]
 
 
 def test_detection_loss_finite_with_empty_gt():

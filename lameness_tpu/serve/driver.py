@@ -447,41 +447,58 @@ class PipelineDriver:
         return out[:self.config.dino.top_k_similar]
 
     # ---------------------------------------------------------- tracking ---
-    def run_tracking(self, video_id: str) -> Optional[Dict[str, Any]]:
+    def run_tracking(self, video_id: str,
+                     backend: str = "host") -> Optional[Dict[str, Any]]:
         """ByteTrack over the yolo result + Re-ID via the video embedding
-        (tracking-service/app/main.py:114-430)."""
+        (tracking-service/app/main.py:114-430).
+
+        ``backend="device"`` routes association through the jitted
+        fixed-slot tracker (track/device_tracker.py) — one device program
+        per clip instead of a Python loop; the host path stays the
+        reference-exact default.
+        """
         yolo_file = self.dirs.results_for("yolo") / f"{video_id}_yolo.json"
         if not yolo_file.exists():
             return None
         timer_cm = TIMERS.time("tracking")
         timer_cm.__enter__()
         yolo_data = json.load(open(yolo_file))
-        tracker = self.trackers.setdefault(video_id, ByteTracker(
-            high_thresh=0.6, low_thresh=0.1, match_thresh=0.8))
-        all_tracks = []
-        for frame_entry in yolo_data.get("detections", []):
-            dets = [Detection(np.asarray(d["bbox"], float), d["confidence"],
-                              d.get("class_id", 0))
-                    for d in frame_entry.get("detections", [])]
-            tracks = tracker.update(dets, frame_idx=frame_entry["frame"])
-            for t in tracks:
-                all_tracks.append({
-                    "frame": frame_entry["frame"], "track_id": t.track_id,
-                    "bbox": np.asarray(t.bbox).tolist(),
-                    "confidence": t.confidence, "state": t.state.name})
-        summaries = []
-        for t in tracker.tracks:
-            if t.hits >= 3:
-                summaries.append({
-                    "track_id": t.track_id,
-                    "start_frame": t.frame_history[0] if t.frame_history else 0,
-                    "end_frame": t.frame_history[-1] if t.frame_history else 0,
-                    "total_frames": len(t.frame_history),
-                    "avg_confidence": float(np.mean(
-                        [t.confidence] * max(1, len(t.bbox_history)))),
-                })
-        result = schemas.tracking_result(video_id, summaries, all_tracks,
-                                         tracker.get_statistics())
+        if backend == "device":
+            from ..track.device_tracker import track_detection_frames
+            all_tracks, summaries, stats = track_detection_frames(
+                yolo_data.get("detections", []))
+            result = schemas.tracking_result(video_id, summaries,
+                                             all_tracks, stats)
+        else:
+            tracker = self.trackers.setdefault(video_id, ByteTracker(
+                high_thresh=0.6, low_thresh=0.1, match_thresh=0.8))
+            all_tracks = []
+            for frame_entry in yolo_data.get("detections", []):
+                dets = [Detection(np.asarray(d["bbox"], float),
+                                  d["confidence"], d.get("class_id", 0))
+                        for d in frame_entry.get("detections", [])]
+                tracks = tracker.update(dets, frame_idx=frame_entry["frame"])
+                for t in tracks:
+                    all_tracks.append({
+                        "frame": frame_entry["frame"],
+                        "track_id": t.track_id,
+                        "bbox": np.asarray(t.bbox).tolist(),
+                        "confidence": t.confidence, "state": t.state.name})
+            summaries = []
+            for t in tracker.tracks:
+                if t.hits >= 3:
+                    summaries.append({
+                        "track_id": t.track_id,
+                        "start_frame":
+                            t.frame_history[0] if t.frame_history else 0,
+                        "end_frame":
+                            t.frame_history[-1] if t.frame_history else 0,
+                        "total_frames": len(t.frame_history),
+                        "avg_confidence": float(np.mean(
+                            [t.confidence] * max(1, len(t.bbox_history)))),
+                    })
+            result = schemas.tracking_result(video_id, summaries, all_tracks,
+                                             tracker.get_statistics())
 
         # Re-ID: per-track embedding = mean of the frame embeddings inside
         # the track's frame window — an upgrade over the reference's single

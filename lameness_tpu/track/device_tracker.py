@@ -233,3 +233,63 @@ def track_clip_batch(boxes, scores, valid, max_tracks: int = 8):
     """(B, T, K, ...) batched tracking: vmapped scan."""
     fn = functools.partial(track_clip, max_tracks=max_tracks)
     return jax.vmap(fn)(boxes, scores, valid)
+
+
+def track_detection_frames(frame_entries, max_tracks: int = 8,
+                           max_det: int = 16):
+    """Host-facing wrapper over ``track_clip`` for yolo-result frames.
+
+    ``frame_entries`` is the yolo result's ``detections`` list (each entry
+    ``{"frame": int, "detections": [{"bbox", "confidence"}, ...]}``).
+    Returns (frame_tracks, summaries, statistics) in the same structure
+    the host ByteTracker path emits, so the two backends are drop-in
+    interchangeable in the driver.
+    """
+    t = len(frame_entries)
+    boxes = np.zeros((t, max_det, 4), np.float32)
+    scores = np.zeros((t, max_det), np.float32)
+    valid = np.zeros((t, max_det), bool)
+    frames = []
+    for i, entry in enumerate(frame_entries):
+        frames.append(int(entry.get("frame", i)))
+        for j, d in enumerate(entry.get("detections", [])[:max_det]):
+            boxes[i, j] = d["bbox"]
+            scores[i, j] = d["confidence"]
+            valid[i, j] = True
+    final, outs = track_clip(jnp.asarray(boxes), jnp.asarray(scores),
+                             jnp.asarray(valid), max_tracks=max_tracks)
+    st = np.asarray(outs["state"])            # (T, S)
+    ids = np.asarray(outs["track_id"])
+    ob = np.asarray(outs["boxes"])
+    sc = np.asarray(outs["score"])
+
+    frame_tracks = []
+    per_track: Dict[int, Dict] = {}
+    for i in range(t):
+        for s in np.where(st[i] == CONFIRMED)[0]:
+            tid = int(ids[i, s])
+            frame_tracks.append({
+                "frame": frames[i], "track_id": tid,
+                "bbox": ob[i, s].tolist(),
+                "confidence": float(sc[i, s]), "state": "CONFIRMED"})
+            rec = per_track.setdefault(tid, {"frames": [], "confs": []})
+            rec["frames"].append(frames[i])
+            rec["confs"].append(float(sc[i, s]))
+    summaries = [{
+        "track_id": tid,
+        "start_frame": rec["frames"][0], "end_frame": rec["frames"][-1],
+        "total_frames": len(rec["frames"]),
+        "avg_confidence": float(np.mean(rec["confs"])),
+    } for tid, rec in sorted(per_track.items())]
+    fs = np.asarray(final["state"])
+    statistics = {
+        "total_tracks": int(np.asarray(final["next_id"])) - 1,
+        "active_tracks": int((fs == CONFIRMED).sum()),
+        "confirmed": int((fs == CONFIRMED).sum()),
+        "tentative": int((fs == TENTATIVE).sum()),
+        "lost": int((fs == LOST).sum()),
+        "frame_id": frames[-1] + 1 if frames else 0,
+        "high_thresh": 0.6,
+        "backend": "device",
+    }
+    return frame_tracks, summaries, statistics

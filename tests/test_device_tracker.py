@@ -88,6 +88,30 @@ def test_device_matches_host_on_separated_targets():
         assert (st[i] == CONFIRMED).sum() == len(host_ids_per_frame[i]), i
 
 
+def test_track_detection_frames_matches_host_shape():
+    """Driver-facing wrapper emits the host path's structures."""
+    from lameness_tpu.track.device_tracker import track_detection_frames
+    boxes, scores, valid = _two_walkers(t=12)
+    entries = [{"frame": i * 12,
+                "detections": [{"bbox": boxes[i, j].tolist(),
+                                "confidence": float(scores[i, j])}
+                               for j in range(4) if valid[i, j]]}
+               for i in range(12)]
+    frame_tracks, summaries, stats = track_detection_frames(entries)
+    assert len(summaries) == 2
+    assert {s["track_id"] for s in summaries} == {1, 2}
+    for s in summaries:
+        assert s["end_frame"] == 132 and s["total_frames"] == 10
+        assert 0.8 <= s["avg_confidence"] <= 0.95
+    assert stats["total_tracks"] == 2
+    assert stats["active_tracks"] == 2
+    assert stats["backend"] == "device"
+    # frame_tracks carry the host keys
+    assert set(frame_tracks[0]) == {"frame", "track_id", "bbox",
+                                    "confidence", "state"}
+    assert all(ft["state"] == "CONFIRMED" for ft in frame_tracks)
+
+
 def test_device_tracker_batched():
     boxes, scores, valid = _two_walkers(t=8)
     b = 3

@@ -34,7 +34,8 @@ class MessageBus:
     failures are recorded in ``self.errors`` so tests can assert on them.
     """
 
-    def __init__(self, journal_path: Optional[Path] = None):
+    def __init__(self, journal_path: Optional[Path] = None,
+                 async_dispatch: bool = False, workers: int = 4):
         self._subs: Dict[str, List[Handler]] = defaultdict(list)
         self._lock = threading.Lock()
         self.journal_path = journal_path
@@ -42,6 +43,22 @@ class MessageBus:
         self.history: List[Dict[str, Any]] = []
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self.connected = False
+        # async dispatch: publishes enqueue; a worker pool drains them off
+        # the publisher's thread (the NATS deployment's concurrency model —
+        # each reference service consumes its subjects independently).
+        self.async_dispatch = async_dispatch
+        self._queue: Optional["queue.Queue"] = None
+        self._workers: List[threading.Thread] = []
+        self._inflight = 0
+        self._idle = threading.Condition()
+        if async_dispatch:
+            import queue as _queue
+            self._queue = _queue.Queue()
+            for i in range(max(1, workers)):
+                t = threading.Thread(target=self._worker, daemon=True,
+                                     name=f"bus-worker-{i}")
+                t.start()
+                self._workers.append(t)
 
     # -- NATS-compatible surface -------------------------------------------
     async def connect(self) -> None:
@@ -87,6 +104,14 @@ class MessageBus:
         decoded = self._record(subject, payload)
         with self._lock:
             handlers = list(self._subs.get(subject, ()))
+        if self.async_dispatch and self._queue is not None:
+            with self._idle:
+                self._inflight += 1
+            self._queue.put((subject, decoded, handlers))
+            return
+        self._dispatch(subject, decoded, handlers)
+
+    def _dispatch(self, subject, decoded, handlers) -> None:
         for h in handlers:
             try:
                 result = h(decoded)
@@ -94,6 +119,45 @@ class MessageBus:
                     self._run_coro(result)
             except Exception as e:  # at-most-once, swallow like the reference
                 self.errors.append({"subject": subject, "error": repr(e)})
+
+    # -- async worker pool ----------------------------------------------------
+    def _worker(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            subject, decoded, handlers = item
+            try:
+                self._dispatch(subject, decoded, handlers)
+            finally:
+                with self._idle:
+                    self._inflight -= 1
+                    if self._inflight == 0:
+                        self._idle.notify_all()
+
+    def flush(self, timeout_s: float = 60.0) -> bool:
+        """Block until every enqueued message (and any it triggered) has
+        been handled.  No-op in synchronous mode."""
+        if not self.async_dispatch:
+            return True
+        deadline = time.time() + timeout_s
+        with self._idle:
+            while self._inflight > 0:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    return False
+                self._idle.wait(min(remaining, 0.5))
+        return True
+
+    def shutdown(self) -> None:
+        """Stop the worker pool (pending messages are drained first)."""
+        if self._queue is not None:
+            self.flush()
+            for _ in self._workers:
+                self._queue.put(None)
+            for t in self._workers:
+                t.join(timeout=5)
+            self._workers = []
 
     def _run_coro(self, coro: Awaitable) -> None:
         if self._loop is None or self._loop.is_closed():

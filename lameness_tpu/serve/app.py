@@ -40,7 +40,8 @@ from .driver import PipelineDriver
 class LamenessApp:
     def __init__(self, config: Optional[Config] = None, engine=None,
                  reactive: bool = True, serve_api: bool = False,
-                 api_port: int = 0, restore_checkpoints: bool = True):
+                 api_port: int = 0, restore_checkpoints: bool = True,
+                 async_dispatch: bool = False, bus_workers: int = 4):
         self.config = config or Config()
         self.dirs = self.config.dirs.ensure()
         if engine is not None and restore_checkpoints:
@@ -50,7 +51,8 @@ class LamenessApp:
             except Exception:
                 pass
         self.bus = MessageBus(
-            journal_path=Path(self.dirs.root) / "bus_journal.jsonl")
+            journal_path=Path(self.dirs.root) / "bus_journal.jsonl",
+            async_dispatch=async_dispatch, workers=bus_workers)
         self.db = Database(Path(self.dirs.root) / "lameness.db")
         self.store = VectorStore(Path(self.dirs.root) / "vector_store.json")
         self.driver = PipelineDriver(config=self.config, engine=engine,
@@ -65,6 +67,9 @@ class LamenessApp:
         self.renderer = AnnotationRenderer(self.dirs)
         self.server = None
         self._processing = threading.Lock()
+        # serialises tracking/Re-ID: match_or_create is check-then-create
+        # over the shared identity registry, racy under async dispatch
+        self._tracking = threading.Lock()
 
         # write consensus files where fusion reads them
         self._consensus_dir = self.dirs.rater_reliability / "consensus"
@@ -196,7 +201,8 @@ class LamenessApp:
     def _on_yolo(self, msg: Dict[str, Any]):
         vid = msg.get("video_id")
         if vid:
-            self.driver.run_tracking(vid)
+            with self._tracking:
+                self.driver.run_tracking(vid)
             self._heartbeat("tracking-service", success_count=1)
 
     def _on_dinov3(self, msg: Dict[str, Any]):
@@ -267,5 +273,6 @@ class LamenessApp:
         return None
 
     def close(self):
+        self.bus.shutdown()
         if self.server is not None:
             self.server.stop()

@@ -1,0 +1,93 @@
+"""Async bus dispatch: worker pool semantics + end-to-end app chain."""
+import threading
+import time
+
+import pytest
+
+from lameness_tpu.io.bus import MessageBus
+from lameness_tpu.pipeline.engine import make_test_engine
+from lameness_tpu.serve.app import LamenessApp
+from tests.test_video import _square_detector, _synthetic_walk_video
+
+
+def test_async_bus_runs_handlers_off_publisher_thread():
+    bus = MessageBus(async_dispatch=True, workers=2)
+    seen = []
+
+    def handler(msg):
+        seen.append((msg["n"], threading.current_thread().name))
+
+    bus.subscribe_sync("t.sub", handler)
+    for n in range(5):
+        bus.publish_sync("t.sub", {"n": n})
+    assert bus.flush(timeout_s=10)
+    assert sorted(m[0] for m in seen) == [0, 1, 2, 3, 4]
+    assert all(name.startswith("bus-worker") for _, name in seen)
+    bus.shutdown()
+
+
+def test_async_bus_flush_waits_for_chained_publishes():
+    bus = MessageBus(async_dispatch=True, workers=2)
+    done = []
+
+    def first(msg):
+        time.sleep(0.05)
+        bus.publish_sync("t.second", {})
+
+    def second(msg):
+        time.sleep(0.05)
+        done.append(1)
+
+    bus.subscribe_sync("t.first", first)
+    bus.subscribe_sync("t.second", second)
+    bus.publish_sync("t.first", {})
+    assert bus.flush(timeout_s=10)
+    assert done == [1]
+    bus.shutdown()
+
+
+def test_async_bus_swallows_handler_errors():
+    bus = MessageBus(async_dispatch=True, workers=1)
+    bus.subscribe_sync("t.err", lambda m: 1 / 0)
+    bus.publish_sync("t.err", {"x": 1})
+    assert bus.flush(timeout_s=10)
+    assert len(bus.errors) == 1
+    assert "ZeroDivisionError" in bus.errors[0]["error"]
+    bus.shutdown()
+
+
+def test_sync_bus_flush_is_noop():
+    bus = MessageBus()
+    assert bus.flush() is True
+    bus.shutdown()
+
+
+@pytest.mark.slow
+def test_async_app_processes_concurrent_uploads(tmp_data_root, tmp_path):
+    """Two videos submitted back-to-back both complete under the worker
+    pool; the publisher thread never blocks on the pipeline."""
+    cfg = tmp_data_root
+    app = LamenessApp(config=cfg, engine=make_test_engine(), reactive=True,
+                      async_dispatch=True, bus_workers=3)
+    app.driver.curator.detector = _square_detector
+    try:
+        v1 = _synthetic_walk_video(tmp_path / "a1.mp4", n_frames=40,
+                                   w=160, h=90, fps=5)
+        v2 = _synthetic_walk_video(tmp_path / "a2.mp4", n_frames=40,
+                                   w=160, h=90, fps=5)
+        t0 = time.time()
+        app.submit_video(v1, "asy1")
+        app.submit_video(v2, "asy2")
+        submit_s = time.time() - t0
+        assert submit_s < 5.0, "submit should not block on the pipeline"
+        r1 = app.wait_for_analysis("asy1", timeout_s=240)
+        r2 = app.wait_for_analysis("asy2", timeout_s=240)
+        assert r1 is not None and r2 is not None
+        assert 0 <= r1["fusion_result"]["final_probability"] <= 1
+        assert 0 <= r2["fusion_result"]["final_probability"] <= 1
+        d = cfg.dirs
+        for vid in ("asy1", "asy2"):
+            for kind in ("yolo", "tracking", "fusion"):
+                assert (d.results_for(kind) / f"{vid}_{kind}.json").exists()
+    finally:
+        app.close()

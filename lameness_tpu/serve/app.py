@@ -27,6 +27,9 @@ from typing import Any, Dict, Optional
 from ..core.config import Config
 from ..hitl.reliability import RaterReliabilityService
 from ..io.bus import MessageBus
+from ..utils.logging import get_logger
+
+_LOG = get_logger("app")
 from ..io.db import Database
 from ..io.vecstore import VectorStore
 from ..ml.training import TrainingService
@@ -148,6 +151,11 @@ class LamenessApp:
             self.db.upsert_heartbeat(service, **kw)
         except Exception:
             pass
+        if kw.get("error_count"):
+            _LOG.error("service.error", service_name=service, **{
+                k: v for k, v in kw.items() if k != "error_count"})
+        else:
+            _LOG.debug("service.heartbeat", service_name=service, **kw)
 
     # -- handlers ------------------------------------------------------------
     def _on_uploaded(self, msg: Dict[str, Any]):

@@ -33,7 +33,10 @@ from ..ml.features import extract_features
 from ..models import pose as pose_mod
 from ..track.bytetrack import ByteTracker, Detection
 from ..track.reid import CowReIDMatcher
+from ..utils.logging import get_logger
 from ..utils.timing import TIMERS
+
+LOG = get_logger("driver")
 from ..video.decode import VideoReader, write_video
 from ..video.curation import ClipCurator
 
@@ -174,8 +177,11 @@ class PipelineDriver:
             frames, scale, info = self._load_engine_frames(processed_path)
         if frames is None:
             return None
+        t0 = time.perf_counter()
         with TIMERS.time("engine"):
             out = self.engine.process_clip_batch(frames)
+        LOG.info("engine.complete", video_id=video_id,
+                 seconds=round(time.perf_counter() - t0, 3))
         return self._write_stage_results(video_id, out, 0, scale, info)
 
     def run_feature_stages_batch(self, jobs):

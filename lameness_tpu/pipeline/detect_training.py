@@ -272,19 +272,27 @@ def detection_loss(levels, gt_labels, gt_boxes, gt_mask,
 # trainer
 # ---------------------------------------------------------------------------
 class DetectTrainer:
-    """Minimal single-program trainer for YoloV8 detection heads."""
+    """Minimal single-program trainer for YoloV8 detection heads.
+
+    Keeps an exponential moving average of the weights (ultralytics
+    ramps its EMA decay as ``d * (1 - exp(-step/tau))``); evaluation
+    should use ``ema_params``.
+    """
 
     def __init__(self, model: YoloV8, params, lr: float = 1e-3,
-                 weight_decay: float = 5e-4):
+                 weight_decay: float = 5e-4, ema_decay: float = 0.9999,
+                 ema_tau: float = 2000.0):
         self.model = model
         self.tx = optax.chain(optax.clip_by_global_norm(10.0),
                               optax.adamw(lr, weight_decay=weight_decay))
         self.params = params
         self.opt_state = self.tx.init(params)
+        self.ema_params = params
+        self._n_steps = jnp.zeros((), jnp.float32)
 
         @functools.partial(jax.jit, static_argnames=("has_kpts",))
-        def step(params, opt_state, images, gt_labels, gt_boxes, gt_mask,
-                 gt_kpts, has_kpts):
+        def step(params, opt_state, ema, n, images, gt_labels, gt_boxes,
+                 gt_mask, gt_kpts, has_kpts):
             def loss_fn(p):
                 out = self.model.apply({"params": p}, images)
                 return detection_loss(out["levels"], gt_labels, gt_boxes,
@@ -294,7 +302,12 @@ class DetectTrainer:
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, aux
+            params = optax.apply_updates(params, updates)
+            n = n + 1.0
+            d = ema_decay * (1.0 - jnp.exp(-n / ema_tau))
+            ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                               ema, params)
+            return params, opt_state, ema, n, aux
         self._step = step
 
     def train_step(self, images, gt_labels, gt_boxes, gt_mask,
@@ -302,7 +315,8 @@ class DetectTrainer:
         has_kpts = gt_kpts is not None
         if not has_kpts:                     # static placeholder for jit
             gt_kpts = jnp.zeros(gt_boxes.shape[:2] + (1, 3))
-        self.params, self.opt_state, aux = self._step(
-            self.params, self.opt_state, images, gt_labels, gt_boxes,
-            gt_mask, gt_kpts, has_kpts)
+        (self.params, self.opt_state, self.ema_params, self._n_steps,
+         aux) = self._step(self.params, self.opt_state, self.ema_params,
+                           self._n_steps, images, gt_labels, gt_boxes,
+                           gt_mask, gt_kpts, has_kpts)
         return {k: float(v) for k, v in aux.items()}

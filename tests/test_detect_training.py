@@ -148,6 +148,27 @@ def test_detect_trainer_pose_branch_learns_keypoints():
     assert last["total"] < 0.6 * first["total"]
 
 
+def test_ema_tracks_but_lags_params():
+    model = YoloV8(variant="n", num_classes=1)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3)))["params"]
+    trainer = DetectTrainer(model, params, lr=1e-3, ema_tau=10.0)
+    im = jnp.full((1, 64, 64, 3), 0.5)
+    gl = jnp.zeros((1, 1), jnp.int32)
+    gb = jnp.asarray([[[8.0, 8, 40, 40]]])
+    gm = jnp.ones((1, 1), bool)
+    for _ in range(5):
+        trainer.train_step(im, gl, gb, gm)
+
+    def dist(a, b):
+        return sum(float(jnp.abs(x - y).sum()) for x, y in zip(
+            jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    # EMA moved off the init but not as far as the live params
+    assert dist(trainer.ema_params, params) > 0
+    assert dist(trainer.ema_params, params) < dist(trainer.params, params)
+
+
 def test_detection_loss_finite_with_empty_gt():
     model = YoloV8(variant="n", num_classes=1)
     params = model.init(jax.random.PRNGKey(0),

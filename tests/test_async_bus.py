@@ -89,5 +89,8 @@ def test_async_app_processes_concurrent_uploads(tmp_data_root, tmp_path):
         for vid in ("asy1", "asy2"):
             for kind in ("yolo", "tracking", "fusion"):
                 assert (d.results_for(kind) / f"{vid}_{kind}.json").exists()
+        # no handler raced or crashed under concurrent dispatch
+        app.bus.flush(timeout_s=60)
+        assert app.bus.errors == [], app.bus.errors
     finally:
         app.close()

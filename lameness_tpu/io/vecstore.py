@@ -47,6 +47,33 @@ class _Collection:
             return -1
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _topk_fn(k: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(mat, qv, valid):
+        s = jnp.where(valid, mat @ qv, -jnp.inf)
+        return jax.lax.top_k(s, k)
+    return run
+
+
+def _device_topk(vectors: np.ndarray, q: np.ndarray, k: int):
+    """Jitted matvec + lax.top_k, padded to pow2 rows to bound retraces."""
+    n, d = vectors.shape
+    n_pad = 1 << max(0, (n - 1)).bit_length()      # next power of two
+    mat = np.zeros((n_pad, d), np.float32)
+    mat[:n] = vectors
+    valid = np.zeros(n_pad, bool)
+    valid[:n] = True
+    scores_k, idx_k = _topk_fn(k)(mat, q, valid)
+    return np.asarray(scores_k), np.asarray(idx_k)
+
+
 def _normalize(v: np.ndarray) -> np.ndarray:
     return v / (np.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
 
@@ -120,14 +147,26 @@ class VectorStore:
         self._save()
 
     def search(self, name: str, query: Sequence[float],
-               top_k: int = 5) -> List[ScoredPoint]:
-        """Exact cosine top-k (scores in [-1, 1], descending)."""
+               top_k: int = 5, use_device: bool = False) -> List[ScoredPoint]:
+        """Exact cosine top-k (scores in [-1, 1], descending).
+
+        ``use_device=True`` runs the matvec + top-k as one jitted XLA
+        program (collection padded to the next power of two so the
+        compiled signature is reused as it grows) — worthwhile once the
+        collection is thousands of points (SURVEY §2.7's "on-device
+        exact top-k for ≤10⁴ cows").
+        """
         c = self._collections.get(name)
         if not c or c.vectors is None or len(c.ids) == 0:
             return []
-        q = _normalize(np.asarray(query, np.float32))
-        scores = c.vectors @ q
         k = min(top_k, len(c.ids))
+        q = _normalize(np.asarray(query, np.float32))
+        if use_device:
+            scores_k, idx_k = _device_topk(c.vectors, q, k)
+            return [ScoredPoint(id=c.ids[i], score=float(s),
+                                payload=c.payloads.get(c.ids[i], {}))
+                    for s, i in zip(scores_k, idx_k)]
+        scores = c.vectors @ q
         order = np.argpartition(-scores, k - 1)[:k]
         order = order[np.argsort(-scores[order])]
         return [ScoredPoint(id=c.ids[i], score=float(scores[i]),

@@ -571,6 +571,31 @@ def build_admin_api(ctx: AdminContext) -> Router:
             "GROUP BY u.username ORDER BY n DESC LIMIT 20")
         return rows
 
+    @r.get("/api/training/learn/examples", auth=True)
+    def learn_examples(req: Request):
+        """Worked examples for rater education (routers/training.py:652-814):
+        gold tasks with known labels, plus the strongest fused predictions
+        as lame/sound exemplars."""
+        examples = []
+        if ctx.reliability:
+            for vid, label in list(ctx.reliability.gold_tasks.items())[:10]:
+                examples.append({"video_id": vid, "source": "gold_task",
+                                 "label": "lame" if label else "sound"})
+        rows = db.query(
+            "SELECT video_id, fusion_score FROM lameness_records "
+            "WHERE fusion_score IS NOT NULL "
+            "ORDER BY fusion_score DESC LIMIT 3")
+        rows += db.query(
+            "SELECT video_id, fusion_score FROM lameness_records "
+            "WHERE fusion_score IS NOT NULL "
+            "ORDER BY fusion_score ASC LIMIT 3")
+        for row in rows:
+            examples.append({
+                "video_id": row["video_id"], "source": "fused_prediction",
+                "label": "lame" if row["fusion_score"] >= 0.5 else "sound",
+                "probability": row["fusion_score"]})
+        return {"examples": examples, "count": len(examples)}
+
     # ============================ models ==================================
     @r.get("/api/models/parameters")
     def model_parameters(req: Request):

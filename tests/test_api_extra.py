@@ -126,3 +126,24 @@ def test_frame_extraction(server, tmp_path):
     assert r.status_code == 200
     assert r.headers["content-type"] == "image/jpeg"
     assert r.content[:2] == b"\xff\xd8"      # JPEG magic
+
+
+def test_learn_endpoints(server):
+    base, ctx = server
+    tok = _login(base)
+    p = httpx.get(f"{base}/api/training/learn/progress",
+                  headers=_auth(tok)).json()
+    assert p["username"] == "admin" and p["level"] >= 1
+    board = httpx.get(f"{base}/api/training/learn/leaderboard",
+                      headers=_auth(tok)).json()
+    assert any(r["username"] == "admin" for r in board)
+    ex = httpx.get(f"{base}/api/training/learn/examples",
+                   headers=_auth(tok)).json()
+    assert ex["count"] == len(ex["examples"])
+    # gold tasks appear as labeled examples
+    if ctx.reliability:
+        ctx.reliability.add_gold_task("gv1", 1)
+        ex2 = httpx.get(f"{base}/api/training/learn/examples",
+                        headers=_auth(tok)).json()
+        assert {"video_id": "gv1", "source": "gold_task",
+                "label": "lame"} in ex2["examples"]

@@ -135,6 +135,55 @@ class LamenessApp:
                                 self.reliability.handle_comparison_submitted)
         self.bus.subscribe_sync(s.tracking_reid_match, self._on_reid_match)
 
+    def resume_inflight_jobs(self) -> int:
+        """Re-trigger jobs stranded 'processing' by a crash/restart.
+
+        The reference's at-most-once consumers drop such videos silently
+        (SURVEY §5.3; only a manual re-trigger endpoint exists) — here the
+        processing_jobs table is the durable work queue, so startup can
+        resume: re-publish video.preprocessed when the cropped file
+        exists, else video.uploaded when the raw upload exists.
+        Returns the number of jobs resumed.
+        """
+        s = self.config.subjects
+        resumed = 0
+        for job in self.db.query(
+                "SELECT video_id FROM processing_jobs "
+                "WHERE status='processing'"):
+            vid = job["video_id"]
+            if (self.dirs.results_for("fusion") /
+                    f"{vid}_fusion.json").exists():
+                self.db_mark_job(vid, "completed")
+                continue
+            processed = self.dirs.processed / f"{vid}_cropped.mp4"
+            raw = next(iter(self.dirs.videos.glob(f"{vid}.*")), None)
+            if processed.exists():
+                _LOG.info("job.resume", video_id=vid, stage="preprocessed")
+                self.bus.publish_sync(s.video_preprocessed, {
+                    "video_id": vid, "processed_path": str(processed)})
+                resumed += 1
+            elif raw is not None:
+                _LOG.info("job.resume", video_id=vid, stage="uploaded")
+                self.bus.publish_sync(s.video_uploaded, {
+                    "video_id": vid, "file_path": str(raw)})
+                resumed += 1
+            else:
+                self.db_mark_job(vid, "failed",
+                                 error="no artifacts found at resume")
+        return resumed
+
+    def db_mark_job(self, video_id: str, status: str,
+                    error: Optional[str] = None) -> None:
+        job = self.db.one(
+            "SELECT job_id FROM processing_jobs WHERE video_id=? "
+            "AND status='processing'", (video_id,))
+        if job:
+            upd = {"status": status}
+            if error:
+                upd["error_message"] = error
+            self.db.update("processing_jobs", job["job_id"], upd,
+                           pk="job_id")
+
     def _on_reid_match(self, msg: Dict[str, Any]):
         """Persist the cow registry + track history like the reference's
         tracking service does to Postgres (tracking:383-430)."""

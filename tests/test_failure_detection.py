@@ -52,3 +52,38 @@ def test_stage_crash_marks_job_failed(tmp_data_root, tmp_path):
     app.submit_video(ok_path, "okvid")
     assert app.wait_for_analysis("okvid", timeout_s=10) is not None
     app.close()
+
+
+@pytest.mark.slow
+def test_resume_inflight_jobs_after_restart(tmp_data_root, tmp_path):
+    """A job stranded 'processing' by a crash resumes on the next app."""
+    cfg = tmp_data_root
+    engine = make_test_engine()
+    app1 = LamenessApp(config=cfg, engine=engine, reactive=True)
+    app1.driver.curator.detector = _square_detector
+
+    # crash after preprocessing: cropped file exists, job stays 'processing'
+    def boom(video_id, path):
+        raise RuntimeError("power cut")
+
+    app1.driver.run_feature_stages = boom
+    vid_path = _synthetic_walk_video(tmp_path / "res.mp4", n_frames=40,
+                                     w=160, h=90, fps=5)
+    app1.submit_video(vid_path, "resvid")
+    # simulate the crash having happened mid-flight: job back to processing
+    job = app1.db.one("SELECT job_id FROM processing_jobs WHERE video_id=?",
+                      ("resvid",))
+    app1.db.update("processing_jobs", job["job_id"],
+                   {"status": "processing"}, pk="job_id")
+    app1.close()
+
+    app2 = LamenessApp(config=cfg, engine=engine, reactive=True)
+    app2.driver.curator.detector = _square_detector
+    n = app2.resume_inflight_jobs()
+    assert n == 1
+    assert app2.wait_for_analysis("resvid", timeout_s=10) is not None
+
+    # second resume pass finds nothing in flight (job completed by fusion
+    # results existing)
+    assert app2.resume_inflight_jobs() == 0
+    app2.close()

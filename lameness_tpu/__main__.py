@@ -1,0 +1,91 @@
+"""``python -m lameness_tpu`` — operational entry points.
+
+One binary replaces the reference's 22-container compose file
+(docker-compose.yml) and deploy.sh: ``serve`` boots the reactive app +
+admin API, ``process`` runs one video through the full pipeline,
+``resume`` replays stranded jobs.
+
+  python -m lameness_tpu serve [--port 8000] [--data DIR] [--async]
+  python -m lameness_tpu process VIDEO [--data DIR] [--small]
+  python -m lameness_tpu resume [--data DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def _build(args, engine_needed=True):
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from .core.config import Config
+    from .serve.app import LamenessApp
+
+    cfg = Config.load(data_root=args.data) if args.data else Config()
+    engine = None
+    if engine_needed:
+        if getattr(args, "small", False):
+            from .pipeline.engine import make_test_engine
+            engine = make_test_engine()
+        else:
+            from .pipeline.engine import LamenessEngine
+            engine = LamenessEngine()
+    return cfg, engine, LamenessApp
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="lameness_tpu")
+    ap.add_argument("--data", help="data root directory")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("serve", help="reactive app + admin API")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--async", dest="async_dispatch", action="store_true",
+                   help="worker-pool bus dispatch")
+    s.add_argument("--small", action="store_true",
+                   help="test-geometry engine")
+    s.add_argument("--no-resume", action="store_true")
+
+    p = sub.add_parser("process", help="one video through the pipeline")
+    p.add_argument("video", type=Path)
+    p.add_argument("--small", action="store_true")
+
+    sub.add_parser("resume", help="replay stranded processing jobs")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "serve":
+        cfg, engine, App = _build(args)
+        app = App(config=cfg, engine=engine, reactive=True, serve_api=True,
+                  api_port=args.port, async_dispatch=args.async_dispatch,
+                  resume_inflight=not args.no_resume)
+        print(f"admin UI at http://127.0.0.1:{app.server.port}", flush=True)
+        try:
+            import time
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            app.close()
+    elif args.cmd == "process":
+        args.small = getattr(args, "small", False)
+        cfg, engine, App = _build(args)
+        app = App(config=cfg, engine=engine, reactive=True)
+        vid = app.submit_video(args.video)
+        result = app.wait_for_analysis(vid, timeout_s=600)
+        print(result and result.get("fusion_result"))
+        app.close()
+        sys.exit(0 if result else 1)
+    elif args.cmd == "resume":
+        args.small = True
+        cfg, engine, App = _build(args)
+        app = App(config=cfg, engine=engine, reactive=True)
+        n = app.resume_inflight_jobs()
+        print(f"resumed {n} job(s)")
+        app.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,8 @@ class LamenessApp:
     def __init__(self, config: Optional[Config] = None, engine=None,
                  reactive: bool = True, serve_api: bool = False,
                  api_port: int = 0, restore_checkpoints: bool = True,
-                 async_dispatch: bool = False, bus_workers: int = 4):
+                 async_dispatch: bool = False, bus_workers: int = 4,
+                 resume_inflight: bool = False):
         self.config = config or Config()
         self.dirs = self.config.dirs.ensure()
         if engine is not None and restore_checkpoints:
@@ -80,6 +81,8 @@ class LamenessApp:
 
         if reactive:
             self._wire_bus()
+            if resume_inflight and engine is not None:
+                self.resume_inflight_jobs()
         if serve_api:
             ctx = AdminContext(self.config, self.db, self.bus,
                                reliability=self.reliability,

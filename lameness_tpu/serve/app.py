@@ -45,7 +45,8 @@ class LamenessApp:
                  reactive: bool = True, serve_api: bool = False,
                  api_port: int = 0, restore_checkpoints: bool = True,
                  async_dispatch: bool = False, bus_workers: int = 4,
-                 resume_inflight: bool = False):
+                 resume_inflight: bool = False, clip_batch: int = 1,
+                 batch_window_s: float = 0.25):
         self.config = config or Config()
         self.dirs = self.config.dirs.ensure()
         if engine is not None and restore_checkpoints:
@@ -71,6 +72,12 @@ class LamenessApp:
         self.renderer = AnnotationRenderer(self.dirs)
         self.server = None
         self._processing = threading.Lock()
+        # clip batching: group queued videos into one engine batch call
+        self._batcher = None
+        if clip_batch > 1 and engine is not None:
+            from .batcher import ClipBatcher
+            self._batcher = ClipBatcher(self, max_batch=clip_batch,
+                                        window_s=batch_window_s)
         # serialises tracking/Re-ID: match_or_create is check-then-create
         # over the shared identity registry, racy under async dispatch
         self._tracking = threading.Lock()
@@ -239,6 +246,9 @@ class LamenessApp:
         path = msg.get("processed_path")
         if not vid or not path or self.driver.engine is None:
             return
+        if self._batcher is not None:
+            self._batcher.submit(vid, Path(path))
+            return
         with self._processing:
             self._heartbeat("fused-engine", active_jobs=1)
             try:
@@ -248,13 +258,7 @@ class LamenessApp:
                 # the reference drops the video silently on consumer crash)
                 self._heartbeat("fused-engine", active_jobs=0, error_count=1,
                                 last_error=repr(e)[:300])
-                job = self.db.one(
-                    "SELECT job_id FROM processing_jobs WHERE video_id=? "
-                    "AND status='processing'", (vid,))
-                if job:
-                    self.db.update("processing_jobs", job["job_id"], {
-                        "status": "failed",
-                        "error_message": repr(e)[:500]}, pk="job_id")
+                self.db_mark_job(vid, "failed", error=repr(e)[:500])
                 raise
             self._heartbeat("fused-engine", active_jobs=0, success_count=1)
 
@@ -334,5 +338,7 @@ class LamenessApp:
 
     def close(self):
         self.bus.shutdown()
+        if self._batcher is not None:
+            self._batcher.stop()
         if self.server is not None:
             self.server.stop()

@@ -94,3 +94,41 @@ def test_async_app_processes_concurrent_uploads(tmp_data_root, tmp_path):
         assert app.bus.errors == [], app.bus.errors
     finally:
         app.close()
+
+
+@pytest.mark.slow
+def test_clip_batcher_groups_queued_videos(tmp_data_root, tmp_path):
+    """Two uploads inside the window run as ONE engine batch call."""
+    cfg = tmp_data_root
+    app = LamenessApp(config=cfg, engine=make_test_engine(), reactive=True,
+                      async_dispatch=True, bus_workers=3, clip_batch=2,
+                      batch_window_s=3.0)
+    app.driver.curator.detector = _square_detector
+    calls = {"batch": 0, "single": 0}
+    orig_batch = app.driver.run_feature_stages_batch
+    orig_single = app.driver.run_feature_stages
+
+    def count_batch(jobs):
+        calls["batch"] += 1
+        return orig_batch(jobs)
+
+    def count_single(vid, path):
+        calls["single"] += 1
+        return orig_single(vid, path)
+
+    app.driver.run_feature_stages_batch = count_batch
+    app.driver.run_feature_stages = count_single
+    try:
+        v1 = _synthetic_walk_video(tmp_path / "b1.mp4", n_frames=40,
+                                   w=160, h=90, fps=5)
+        v2 = _synthetic_walk_video(tmp_path / "b2.mp4", n_frames=40,
+                                   w=160, h=90, fps=5)
+        app.submit_video(v1, "bat1")
+        app.submit_video(v2, "bat2")
+        r1 = app.wait_for_analysis("bat1", timeout_s=300)
+        r2 = app.wait_for_analysis("bat2", timeout_s=300)
+        assert r1 is not None and r2 is not None
+        assert calls["batch"] == 1 and calls["single"] == 0
+        assert app.bus.errors == []
+    finally:
+        app.close()

@@ -48,6 +48,8 @@ def main(argv=None):
     s.add_argument("--small", action="store_true",
                    help="test-geometry engine")
     s.add_argument("--no-resume", action="store_true")
+    s.add_argument("--batch", type=int, default=1,
+                   help="group queued clips into engine batches of N")
 
     p = sub.add_parser("process", help="one video through the pipeline")
     p.add_argument("video", type=Path)
@@ -61,7 +63,8 @@ def main(argv=None):
         cfg, engine, App = _build(args)
         app = App(config=cfg, engine=engine, reactive=True, serve_api=True,
                   api_port=args.port, async_dispatch=args.async_dispatch,
-                  resume_inflight=not args.no_resume)
+                  resume_inflight=not args.no_resume,
+                  clip_batch=args.batch)
         print(f"admin UI at http://127.0.0.1:{app.server.port}", flush=True)
         try:
             import time

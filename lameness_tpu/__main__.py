@@ -66,6 +66,13 @@ def main(argv=None):
                   resume_inflight=not args.no_resume,
                   clip_batch=args.batch)
         print(f"admin UI at http://127.0.0.1:{app.server.port}", flush=True)
+        if engine is not None:
+            # compile the stage programs (incl. the batch signature) off
+            # the request path so the first upload isn't the slow one
+            import threading
+            threading.Thread(
+                target=lambda: engine.warmup(batch=max(1, args.batch)),
+                daemon=True, name="engine-warmup").start()
         try:
             import time
             while True:

@@ -72,7 +72,10 @@ class ClipBatcher:
                 if len(jobs) == 1:
                     app.driver.run_feature_stages(jobs[0][0], jobs[0][1])
                 else:
-                    app.driver.run_feature_stages_batch(jobs)
+                    # pad to the warmed max_batch signature: one compiled
+                    # program regardless of how many clips arrived
+                    app.driver.run_feature_stages_batch(
+                        jobs, pad_to=self.max_batch)
                 self.batches_run += 1
                 self.clips_run += len(jobs)
                 _LOG.info("batch.complete", clips=len(jobs))

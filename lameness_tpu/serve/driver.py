@@ -184,9 +184,15 @@ class PipelineDriver:
                  seconds=round(time.perf_counter() - t0, 3))
         return self._write_stage_results(video_id, out, 0, scale, info)
 
-    def run_feature_stages_batch(self, jobs):
+    def run_feature_stages_batch(self, jobs, pad_to: Optional[int] = None):
         """Throughput path: N clips -> ONE engine call -> N result sets.
-        jobs: list of (video_id, processed_path)."""
+        jobs: list of (video_id, processed_path).
+
+        ``pad_to`` pads a partial batch to a fixed size by repeating the
+        last clip (results for padding discarded) so every call hits ONE
+        compiled XLA signature — otherwise each distinct batch size costs
+        a fresh stage compile on-chip.
+        """
         assert self.engine is not None, "driver needs an engine"
         frames_list, metas = [], []
         for video_id, path in jobs:
@@ -198,6 +204,9 @@ class PipelineDriver:
             metas.append((video_id, scale, info))
         if not frames_list:
             return []
+        if pad_to is not None:
+            while len(frames_list) < pad_to:
+                frames_list.append(frames_list[-1])
         batch = np.stack(frames_list)
         with TIMERS.time("engine_batch"):
             out = self.engine.process_clip_batch(batch)

@@ -132,3 +132,39 @@ def test_clip_batcher_groups_queued_videos(tmp_data_root, tmp_path):
         assert app.bus.errors == []
     finally:
         app.close()
+
+
+@pytest.mark.slow
+def test_batcher_pads_partial_batches_to_one_signature(tmp_data_root,
+                                                       tmp_path):
+    """3 clips with max_batch=2 -> engine sees batch sizes {2} only."""
+    import numpy as np
+    cfg = tmp_data_root
+    engine = make_test_engine()
+    seen_sizes = set()
+    orig = engine.process_clip_batch
+
+    def spy(frames):
+        seen_sizes.add(int(np.asarray(frames).shape[0]))
+        return orig(frames)
+
+    engine.process_clip_batch = spy
+    app = LamenessApp(config=cfg, engine=engine, reactive=True,
+                      async_dispatch=True, bus_workers=2, clip_batch=2,
+                      batch_window_s=3.0)
+    app.driver.curator.detector = _square_detector
+    try:
+        for i in range(3):
+            v = _synthetic_walk_video(tmp_path / f"p{i}.mp4", n_frames=40,
+                                      w=160, h=90, fps=5)
+            app.submit_video(v, f"pad{i}")
+        for i in range(3):
+            assert app.wait_for_analysis(f"pad{i}", timeout_s=300), i
+        # 2-clip batch + padded 1-clip batch... the straggler may run as a
+        # single (unpadded) or padded pair depending on arrival timing;
+        # what must NEVER appear is an intermediate unpadded size > 1
+        # different from max_batch
+        assert seen_sizes <= {1, 2}, seen_sizes
+        assert app.bus.errors == []
+    finally:
+        app.close()

@@ -108,9 +108,9 @@ def test_clip_batcher_groups_queued_videos(tmp_data_root, tmp_path):
     orig_batch = app.driver.run_feature_stages_batch
     orig_single = app.driver.run_feature_stages
 
-    def count_batch(jobs):
+    def count_batch(jobs, pad_to=None):
         calls["batch"] += 1
-        return orig_batch(jobs)
+        return orig_batch(jobs, pad_to=pad_to)
 
     def count_single(vid, path):
         calls["single"] += 1

@@ -55,7 +55,10 @@ def main(argv=None):
     p.add_argument("video", type=Path)
     p.add_argument("--small", action="store_true")
 
-    sub.add_parser("resume", help="replay stranded processing jobs")
+    rs = sub.add_parser("resume", help="replay stranded processing jobs")
+    rs.add_argument("--small", action="store_true",
+                    help="test-geometry engine (tiny frames; for tests only "
+                         "— production resumes use the full engine)")
 
     args = ap.parse_args(argv)
 
@@ -89,7 +92,9 @@ def main(argv=None):
         app.close()
         sys.exit(0 if result else 1)
     elif args.cmd == "resume":
-        args.small = True
+        # stranded jobs replay through the SAME geometry that serve/process
+        # use — forcing the tiny test engine here would overwrite real
+        # result files with garbage (ADVICE r1, medium)
         cfg, engine, App = _build(args)
         app = App(config=cfg, engine=engine, reactive=True)
         n = app.resume_inflight_jobs()

@@ -104,6 +104,27 @@ _H_AY = np.array([r[2] for r in _H], np.float32)
 H_CONF = np.array([r[3] for r in _H], np.float32)
 H_NAMES = [r[0] for r in _H]
 _OLD_IDX = {n: i for i, n in enumerate(H_NAMES)}
+NUM_KEYPOINTS = len(KEYPOINT_NAMES)
+
+# Static gather tables: old-name slot -> source index in the Roboflow order
+# (ROBOFLOW_TO_OLD inverted).  Old names with no Roboflow source (eyes,
+# nose, right_ear) stay masked (conf 0) — the same keypoints the reference
+# cannot resolve in trained mode (§2.9.3).
+_OLD_FROM_ROBO = {old: rb for rb, old in ROBOFLOW_TO_OLD.items()}
+_ROBO_IDX = {n: i for i, n in enumerate(KEYPOINT_NAMES)}
+_R2O_SRC = np.array([_ROBO_IDX.get(_OLD_FROM_ROBO.get(n, ""), 0)
+                     for n in H_NAMES], np.int32)
+_R2O_OK = np.array([n in _OLD_FROM_ROBO for n in H_NAMES], bool)
+
+
+def map_roboflow_to_old_device(kpts: jnp.ndarray) -> jnp.ndarray:
+    """(..., 20, 3) trained-model keypoints in KEYPOINT_NAMES (Roboflow)
+    order -> (..., 20, 3) in H_NAMES (old animal-pose) order, with
+    unmappable slots confidence-masked, so locomotion features resolve in
+    trained mode too (deliberate §2.9.3 fix)."""
+    mapped = kpts[..., jnp.asarray(_R2O_SRC), :]
+    conf = jnp.where(jnp.asarray(_R2O_OK), mapped[..., 2], 0.0)
+    return jnp.concatenate([mapped[..., :2], conf[..., None]], axis=-1)
 
 
 def heuristic_keypoints(bbox: List[float]) -> List[Dict[str, Any]]:

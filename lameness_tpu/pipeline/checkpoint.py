@@ -96,5 +96,26 @@ def restore_engine(engine, models_dir: Path) -> Dict[str, bool]:
             except Exception:
                 pass
         loaded[name] = False
+    # trained pose model (tleap:122-137): the engine has no pose params
+    # until installed, so the template is built on demand
+    pose_dir = Path(models_dir) / "pose"
+    if pose_dir.exists():
+        from ..models import pose as pose_mod
+        from ..models.yolo import YoloV8, init_params
+        tmpl_model = YoloV8(variant="n", num_classes=1,
+                            num_keypoints=pose_mod.NUM_KEYPOINTS)
+        template = init_params(tmpl_model, img=engine.spec.pose_size)
+        restored = load_params(models_dir, "pose", template)
+        if restored is not None:
+            engine.install_pose_params(restored)
+            loaded["pose"] = True
+        else:
+            sd = try_load_torch(models_dir, "pose")
+            if sd is not None:
+                try:
+                    engine.load_torch_weights("pose", sd)
+                    loaded["pose"] = True
+                except Exception:
+                    loaded["pose"] = False
     engine._build_jits()
     return loaded

@@ -59,6 +59,7 @@ class EngineSpec:
     frame_width: int = 1280
     fps: int = 25
     yolo_size: int = 640
+    pose_size: int = 640             # trained pose-model input canvas
     dino_size: int = 224
     sam_size: int = 1024
     max_det: int = 8
@@ -114,6 +115,7 @@ class LamenessEngine:
         self.params["gait"] = jax.jit(self.gait.init)(
             ks[4], jnp.zeros((1, seqf.TARGET_LEN, 44)),
             jnp.zeros((1, seqf.TARGET_LEN), bool))
+        self.pose_model = None       # created when pose weights install
         self.loaded_weights = {k: False for k in
                                ("yolo", "dino", "sam", "pose", "tcn", "gait")}
         self._build_jits()
@@ -136,26 +138,49 @@ class LamenessEngine:
         elif name == "yolo":
             from ..models.yolo import convert_ultralytics_state_dict as conv
             self.params["yolo"] = conv(state_dict)
+        elif name == "pose":
+            # trained 20-kp cow pose model (tleap:122-137's
+            # cow_pose_roboflow.pt): the pose-variant YoloV8
+            from ..models.yolo import convert_ultralytics_state_dict as conv
+            self.install_pose_params(conv(state_dict, has_pose=True))
+            return
         else:
             raise ValueError(name)
         self.loaded_weights[name] = True
         self._build_jits()
 
+    def install_pose_params(self, params) -> None:
+        """Install trained pose-model params (from load_torch_weights or a
+        pipeline/pose_training.py checkpoint) and switch _heads_stage from
+        the anatomical heuristic to trained inference with per-frame
+        heuristic fallback (tleap:142-197's hybrid)."""
+        if self.pose_model is None:
+            self.pose_model = YoloV8(variant="n", num_classes=1,
+                                     num_keypoints=pose_mod.NUM_KEYPOINTS)
+        self.params["pose"] = params
+        self.loaded_weights["pose"] = True
+        self._build_jits()
+
     # -- stage 1: detection --------------------------------------------------
     def _primary_boxes(self, boxes, scores, classes, valid,
                        h: float, w: float):
-        """Largest-area valid cow box per frame; full-0.1-margin fallback
-        (tleap:295-304).  boxes: (N, K, 4)."""
+        """Largest-area valid COW box per frame (tleap:295-304 filters on
+        the cow class).  Only when NO cow is detected does the largest
+        high-confidence non-cow detection stand in, then the full-frame
+        0.1-margin fallback.  boxes: (N, K, 4)."""
         cow = self.config.yolo.cow_class_id
-        is_cow = valid & ((classes == cow) | (scores > 0.5))
         areas = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0) * \
             jnp.maximum(boxes[..., 3] - boxes[..., 1], 0)
-        areas = jnp.where(is_cow, areas, -1.0)
-        best = jnp.argmax(areas, axis=-1)                      # (N,)
+        cow_areas = jnp.where(valid & (classes == cow), areas, -1.0)
+        any_areas = jnp.where(valid & (scores > 0.5), areas, -1.0)
+        has_cow = cow_areas.max(axis=-1) > 0                   # (N,)
+        has_any = any_areas.max(axis=-1) > 0
+        pick = jnp.where(has_cow[:, None], cow_areas, any_areas)
+        best = jnp.argmax(pick, axis=-1)                       # (N,)
         take = jax.vmap(lambda b, i: b[i])
         pb = take(boxes, best)
         ps = take(scores, best)
-        has = jnp.take_along_axis(areas, best[:, None], axis=-1)[:, 0] > 0
+        has = has_cow | has_any
         fallback = jnp.asarray([0.1 * w, 0.1 * h, 0.9 * w, 0.9 * h])
         pb = jnp.where(has[:, None], pb, fallback)
         ps = jnp.where(has, ps, 0.5)
@@ -268,8 +293,47 @@ class LamenessEngine:
         out = self.dino.apply(params["dino"], dino_in)
         return {"embeddings": out["pooled"].reshape(b, tdn, -1)}
 
+    # -- trained pose inference (tleap:122-197's hybrid path) ----------------
+    def _trained_pose(self, params, frames, pose_boxes):
+        """Run the trained 20-kp pose model at 5 FPS; per-frame heuristic
+        fallback where it finds nothing overlapping the primary box.
+
+        Returns (kpts_old (B,Tp,20,3) in H_NAMES order for locomotion,
+        kpts_model (B,Tp,20,3) in KEYPOINT_NAMES order for the result JSON,
+        trained_mask (B,Tp))."""
+        from ..models.yolo import detect as yolo_detect
+        from ..ops.boxes import pairwise_iou
+        s = self.spec
+        b, tp = pose_boxes.shape[:2]
+        h, w = s.frame_height, s.frame_width
+        flat = frames[:, s.pose_idx].reshape(b * tp, h, w, 3)
+        canvases, ratio, pad = jax.vmap(
+            lambda f: letterbox(f, s.pose_size))(flat)
+        out = self.pose_model.apply(params["pose"], canvases.astype(s.dtype))
+        det = yolo_detect(out["levels"],
+                          conf_threshold=self.config.yolo.confidence_threshold,
+                          max_det=4)
+        boxes = jax.vmap(unletterbox_boxes)(det["boxes"], ratio, pad)
+        kxy = (det["keypoints"][..., :2] - pad[:, None, None, :]) \
+            / ratio[:, None, None, None]
+        kconf = det["keypoints"][..., 2:]
+        prim = pose_boxes.reshape(b * tp, 4)
+        iou = jax.vmap(pairwise_iou)(prim[:, None, :], boxes)[:, 0]  # (N, K)
+        iou = jnp.where(det["valid"], iou, -1.0)
+        best = jnp.argmax(iou, axis=-1)
+        hit = jnp.take_along_axis(iou, best[:, None], axis=-1)[:, 0] > 0.1
+        take = jax.vmap(lambda a, i: a[i])
+        kpts_model = jnp.concatenate(
+            [take(kxy, best), take(kconf, best)], axis=-1)   # (N, 20, 3)
+        kpts_old = pose_mod.map_roboflow_to_old_device(kpts_model)
+        heur = pose_mod.heuristic_keypoints_device(prim)
+        kpts_old = jnp.where(hit[:, None, None], kpts_old, heur)
+        return (kpts_old.reshape(b, tp, -1, 3),
+                kpts_model.reshape(b, tp, -1, 3),
+                hit.reshape(b, tp))
+
     # -- stage 4: pose + sequence heads --------------------------------------
-    def _heads_stage(self, params, primary_bt, score_bt, dropout_rng):
+    def _heads_stage(self, params, frames, primary_bt, score_bt, dropout_rng):
         """primary_bt: (B, Td, 4) det-frame boxes; heads run at 5 FPS."""
         s = self.spec
         b = primary_bt.shape[0]
@@ -281,7 +345,14 @@ class LamenessEngine:
         pose_boxes = primary_bt[:, nearest]                  # (B, Tp, 4)
         pose_scores = score_bt[:, nearest]
         pose_valid = jnp.ones((b, tp), bool)
-        kpts = pose_mod.heuristic_keypoints_device(pose_boxes)
+        extra = {}
+        if self.loaded_weights.get("pose") and self.pose_model is not None:
+            kpts, kpts_model, trained_mask = self._trained_pose(
+                params, frames, pose_boxes)
+            extra = {"keypoints_model": kpts_model,
+                     "pose_trained_mask": trained_mask}
+        else:
+            kpts = pose_mod.heuristic_keypoints_device(pose_boxes)
 
         loco = jax.vmap(pose_mod.locomotion_features_device)(
             kpts[..., :2], kpts[..., 2], pose_valid)
@@ -309,6 +380,7 @@ class LamenessEngine:
         gait_det = self.gait.apply(params["gait"], feats_p, mask_p)
 
         return {
+            **extra,
             "keypoints": kpts,
             "pose_boxes": pose_boxes,
             "locomotion": loco,
@@ -326,7 +398,7 @@ class LamenessEngine:
         out = dict(self._detect_stage(params, frames))
         out.update(self._sam_stage(params, frames, out["primary_boxes"]))
         out.update(self._dino_stage(params, frames))
-        out.update(self._heads_stage(params, out["primary_boxes"],
+        out.update(self._heads_stage(params, frames, out["primary_boxes"],
                                      out["primary_scores"], dropout_rng))
         return out
 
@@ -340,7 +412,8 @@ class LamenessEngine:
         out.update(self._jit_sam(self.params, frames_dev,
                                  out["primary_boxes"]))
         out.update(self._jit_dino(self.params, frames_dev))
-        out.update(self._jit_heads(self.params, out["primary_boxes"],
+        out.update(self._jit_heads(self.params, frames_dev,
+                                   out["primary_boxes"],
                                    out["primary_scores"], rng))
         return out
 
@@ -390,7 +463,8 @@ class LamenessEngine:
             threading.Thread(target=run, args=(
                 "dino", self._jit_dino, self.params, frames)),
             threading.Thread(target=run, args=(
-                "heads", self._jit_heads, self.params, boxes, scores, rng)),
+                "heads", self._jit_heads, self.params, frames, boxes, scores,
+                rng)),
         ]
         for t in threads:
             t.start()
@@ -437,7 +511,8 @@ class LamenessEngine:
 
         def core(params, frames, rng):
             out = dict(self._detect_stage(params, frames))
-            out.update(self._heads_stage(params, out["primary_boxes"],
+            out.update(self._heads_stage(params, frames,
+                                         out["primary_boxes"],
                                          out["primary_scores"], rng))
             return out
 
@@ -451,8 +526,8 @@ class LamenessEngine:
 def make_test_engine() -> LamenessEngine:
     """Small-geometry engine for CPU tests: 15 frames at 160x90, no SAM."""
     spec = EngineSpec(clip_frames=15, frame_height=90, frame_width=160,
-                      fps=5, yolo_size=64, dino_size=56, use_sam_model=False,
-                      sam_mask_size=64)
+                      fps=5, yolo_size=64, pose_size=64, dino_size=56,
+                      use_sam_model=False, sam_mask_size=64)
     cfg = Config()
     eng = LamenessEngine(config=cfg, spec=spec, init_models=False)
     rng = jax.random.PRNGKey(0)
@@ -473,6 +548,7 @@ def make_test_engine() -> LamenessEngine:
             ks[4], jnp.zeros((1, seqf.TARGET_LEN, 44)),
             jnp.zeros((1, seqf.TARGET_LEN), bool)),
     }
+    eng.pose_model = None
     eng.loaded_weights = {k: False for k in
                           ("yolo", "dino", "sam", "pose", "tcn", "gait")}
     eng._build_jits()

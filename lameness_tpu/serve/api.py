@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import random
+import re
 import shutil
 import time
 import uuid
@@ -98,18 +99,29 @@ class AdminContext:
     def save_ml_config(self, cfg: Dict[str, Any]) -> None:
         json.dump(cfg, open(self.ml_config_path, "w"), indent=2)
 
-    def seed_users(self) -> None:
-        """Default admin/researcher/rater accounts (backend main.py:117-190)."""
+    def seed_users(self, password: str | None = None) -> None:
+        """Default admin/researcher/rater accounts (backend main.py:117-190).
+
+        Unlike the reference's fixed '<user>123' passwords, each missing
+        account gets a random password printed ONCE at creation (pass an
+        explicit ``password`` only in tests). Existing users are never
+        touched.
+        """
+        import secrets
         for username, role in (("admin", "admin"), ("researcher", "researcher"),
                                ("rater", "rater")):
             if self.db.one("SELECT id FROM users WHERE username=?",
                            (username,)) is None:
+                pw = password or secrets.token_urlsafe(12)
                 self.db.insert("users", {
                     "email": f"{username}@lameness.local",
                     "username": username,
-                    "password_hash": hash_password(f"{username}123"),
+                    "password_hash": hash_password(pw),
                     "role": role, "is_active": 1,
                     "created_at": datetime.now(timezone.utc).isoformat()})
+                if password is None:
+                    print(f"seeded user '{username}' (role={role}) with "
+                          f"initial password: {pw}", flush=True)
 
 
 def _now():
@@ -131,12 +143,15 @@ def build_admin_api(ctx: AdminContext) -> Router:
         if db.one("SELECT id FROM users WHERE username=? OR email=?",
                   (b["username"], b["email"])):
             raise HTTPError(409, "user exists")
+        # self-registration is rater-only (routers/auth.py restricts the
+        # role likewise); privileged roles only via admin PATCH /users/{id}
+        if b.get("role", "rater") != "rater":
+            raise HTTPError(403, "self-registration is rater-only")
         uid = db.insert("users", {
             "email": b["email"], "username": b["username"],
             "password_hash": hash_password(b["password"]),
-            "role": b.get("role", "rater"), "is_active": 1})
-        return {"id": uid, "username": b["username"],
-                "role": b.get("role", "rater")}
+            "role": "rater", "is_active": 1})
+        return {"id": uid, "username": b["username"], "role": "rater"}
 
     def _issue(user):
         token = ctx.tokens.encode({"sub": user["id"],
@@ -1037,11 +1052,34 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/")
     def index(req: Request):
-        """The admin UI (single-page replacement for the React frontend)."""
+        """The admin UI (static ES-module SPA replacing the React app)."""
         page = Path(__file__).parent / "static" / "index.html"
         if not page.exists():
             raise HTTPError(404, "UI not bundled")
         return (200, page.read_bytes(), "text/html; charset=utf-8")
+
+    _STATIC = Path(__file__).parent / "static"
+    _MIME = {".js": "text/javascript; charset=utf-8",
+             ".css": "text/css; charset=utf-8",
+             ".html": "text/html; charset=utf-8",
+             ".svg": "image/svg+xml", ".png": "image/png"}
+
+    def _serve_static(rel: str):
+        if not re.fullmatch(r"[\w.\-]+(/[\w.\-]+)?", rel) or ".." in rel:
+            raise HTTPError(404, "not found")
+        f = _STATIC / rel
+        if not f.is_file():
+            raise HTTPError(404, f"no static file {rel}")
+        return (200, f.read_bytes(),
+                _MIME.get(f.suffix, "application/octet-stream"))
+
+    @r.get("/static/{fname}")
+    def static_file(req: Request):
+        return _serve_static(req.params["fname"])
+
+    @r.get("/static/pages/{fname}")
+    def static_page(req: Request):
+        return _serve_static("pages/" + req.params["fname"])
 
     return r
 

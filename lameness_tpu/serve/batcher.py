@@ -69,13 +69,12 @@ class ClipBatcher:
         with app._processing:
             app._heartbeat("fused-engine", active_jobs=len(jobs))
             try:
-                if len(jobs) == 1:
-                    app.driver.run_feature_stages(jobs[0][0], jobs[0][1])
-                else:
-                    # pad to the warmed max_batch signature: one compiled
-                    # program regardless of how many clips arrived
-                    app.driver.run_feature_stages_batch(
-                        jobs, pad_to=self.max_batch)
+                # ALWAYS pad to the warmed max_batch signature — a lone
+                # clip through run_feature_stages would hit an unwarmed
+                # batch=1 XLA signature and stall minutes on the remote
+                # compiler (ADVICE r1, medium)
+                app.driver.run_feature_stages_batch(
+                    jobs, pad_to=self.max_batch)
                 self.batches_run += 1
                 self.clips_run += len(jobs)
                 _LOG.info("batch.complete", clips=len(jobs))

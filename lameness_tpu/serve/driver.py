@@ -267,6 +267,13 @@ class PipelineDriver:
         fps = info["fps"] or s.fps
         total_frames = int(info["total_frames"])
         subj = self.config.subjects
+        # Messages are deferred until ALL result files are written: on the
+        # in-process bus a publish runs downstream handlers synchronously,
+        # so publishing pipeline.dinov3 mid-write would fire ml -> fusion
+        # BEFORE the tleap/tcn/transformer files exist and fusion would
+        # deterministically miss them (the reference's §2.9.4 race, fixed
+        # deliberately here).
+        deferred = []
 
         # ---- yolo result (yolo-pipeline/app/main.py:112-199) -------------
         det_entries = []
@@ -296,8 +303,8 @@ class PipelineDriver:
         ypath = schemas.write_result(
             self.dirs.results_for("yolo") / f"{video_id}_yolo.json",
             yolo_result)
-        self.bus.publish_sync(subj.pipeline_yolo, schemas.yolo_message(
-            video_id, str(ypath), yolo_result))
+        deferred.append((subj.pipeline_yolo, schemas.yolo_message(
+            video_id, str(ypath), yolo_result)))
 
         # ---- sam3 result (sam3-pipeline/app/main.py:186-272) --------------
         segs, frame_feats = [], []
@@ -321,8 +328,8 @@ class PipelineDriver:
         spath = schemas.write_result(
             self.dirs.results_for("sam3") / f"{video_id}_sam3.json",
             sam_result)
-        self.bus.publish_sync(subj.pipeline_sam3, schemas.sam3_message(
-            video_id, str(spath), sam_result))
+        deferred.append((subj.pipeline_sam3, schemas.sam3_message(
+            video_id, str(spath), sam_result)))
 
         # ---- dinov3 result (dinov3-pipeline/app/main.py:188-275) ----------
         emb_entries = []
@@ -351,40 +358,53 @@ class PipelineDriver:
             dpath = schemas.write_result(
                 self.dirs.results_for("dinov3") / f"{video_id}_dinov3.json",
                 dino_result)
-            self.bus.publish_sync(subj.pipeline_dinov3, schemas.dinov3_message(
-                video_id, str(dpath), dino_result))
+            deferred.append((subj.pipeline_dinov3, schemas.dinov3_message(
+                video_id, str(dpath), dino_result)))
 
         # ---- tleap result (tleap-pipeline/app/main.py:438-530) ------------
-        pose_seqs = []
-        for ti, fr in enumerate(np.asarray(s.pose_idx)):
-            if fr >= n_real:
-                break
-            kps = []
-            for k in range(20):
-                kp = out["keypoints"][bi, ti, k]
-                kps.append({"name": pose_mod.H_NAMES[k],
-                            "x": float(kp[0] * sx), "y": float(kp[1] * sy),
-                            "confidence": float(kp[2])})
-            pb = out["pose_boxes"][bi, ti] * [sx, sy, sx, sy]
-            pose_seqs.append({
-                "frame": int(fr), "time": fr / fps if fps > 0 else 0,
-                "bbox": [float(v) for v in pb], "keypoints": kps,
-                "detection_confidence": float(
-                    out["primary_scores"][bi, min(ti, len(s.det_idx) - 1)]),
-            })
-        loco = pose_mod.compute_locomotion_features(pose_seqs)
+        # trained mode emits the model's Roboflow names in the JSON (like
+        # the reference); locomotion always computes from the old-name
+        # mapping so its features resolve in both modes (§2.9.3 fix)
+        trained = bool(self.engine.loaded_weights.get("pose"))
+        json_kp = out.get("keypoints_model") if trained else out["keypoints"]
+        json_names = pose_mod.KEYPOINT_NAMES if trained else pose_mod.H_NAMES
+
+        def _seqs(kp_arr, names):
+            seqs = []
+            for ti, fr in enumerate(np.asarray(s.pose_idx)):
+                if fr >= n_real:
+                    break
+                kps = []
+                for k in range(20):
+                    kp = kp_arr[bi, ti, k]
+                    kps.append({"name": names[k],
+                                "x": float(kp[0] * sx), "y": float(kp[1] * sy),
+                                "confidence": float(kp[2])})
+                pb = out["pose_boxes"][bi, ti] * [sx, sy, sx, sy]
+                seqs.append({
+                    "frame": int(fr), "time": fr / fps if fps > 0 else 0,
+                    "bbox": [float(v) for v in pb], "keypoints": kps,
+                    "detection_confidence": float(
+                        out["primary_scores"][bi,
+                                              min(ti, len(s.det_idx) - 1)]),
+                })
+            return seqs
+
+        pose_seqs = _seqs(json_kp, json_names)
+        loco = pose_mod.compute_locomotion_features(
+            _seqs(out["keypoints"], pose_mod.H_NAMES) if trained
+            else pose_seqs)
         tleap_result = schemas.tleap_result(
             video_id, total_frames, fps, pose_seqs, loco,
-            "heuristic" if not self.engine.loaded_weights.get("pose")
-            else "trained",
+            "trained" if trained else "heuristic",
             pose_mod.KEYPOINT_NAMES,
             [list(c) for c in pose_mod.COW_SKELETON],
             {k: list(v) for k, v in pose_mod.SKELETON_COLORS.items()})
         tpath = schemas.write_result(
             self.dirs.results_for("tleap") / f"{video_id}_tleap.json",
             tleap_result)
-        self.bus.publish_sync(subj.pipeline_tleap, schemas.tleap_message(
-            video_id, str(tpath), tleap_result))
+        deferred.append((subj.pipeline_tleap, schemas.tleap_message(
+            video_id, str(tpath), tleap_result)))
 
         # ---- tcn + transformer results (tcn:330-393, transformer:394-464) -
         tcn_result = schemas.tcn_result(
@@ -394,10 +414,10 @@ class PipelineDriver:
             self.engine.tcn.receptive_field)
         schemas.write_result(
             self.dirs.results_for("tcn") / f"{video_id}_tcn.json", tcn_result)
-        self.bus.publish_sync(subj.pipeline_tcn, {
+        deferred.append((subj.pipeline_tcn, {
             "video_id": video_id, "pipeline": "tcn",
             "severity_score": tcn_result["severity_score"],
-            "uncertainty": tcn_result["uncertainty"]})
+            "uncertainty": tcn_result["uncertainty"]}))
 
         masked = int(np.asarray(out["seq_mask"][bi]).sum())
         tr_result = schemas.transformer_result(
@@ -410,10 +430,12 @@ class PipelineDriver:
         schemas.write_result(
             self.dirs.results_for("transformer")
             / f"{video_id}_transformer.json", tr_result)
-        self.bus.publish_sync(subj.pipeline_transformer, {
+        deferred.append((subj.pipeline_transformer, {
             "video_id": video_id, "pipeline": "transformer",
             "severity_score": tr_result["severity_score"],
-            "uncertainty": tr_result["uncertainty"]})
+            "uncertainty": tr_result["uncertainty"]}))
+        for subject, msg in deferred:
+            self.bus.publish_sync(subject, msg)
         return out
 
     def _mask_features(self, mask: np.ndarray, info: Dict) -> Dict[str, Any]:

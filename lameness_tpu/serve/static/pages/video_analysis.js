@@ -1,0 +1,193 @@
+// VideoAnalysis.tsx + VideoResults drill-down: every pipeline's result for
+// one video — fusion gauge, predictor bars, locomotion features, DINO
+// neighbors, SHAP force plot, LLM explanation, Elo history, annotation.
+import {api, h, main, pct, fmt, esc, short, gauge, sparkline, table, toast,
+        sevBadge} from "/static/app.js";
+
+export default async function VideoAnalysis(videoId) {
+  if (!videoId) {
+    const vids = await api("/api/videos?limit=100");
+    main.append(h(`<div class="panel"><h2>Pick a video</h2>
+      ${vids.length ? table(vids, [
+        ["id", v => `<span class="dim">${short(v.id, 12)}</span>`],
+        ["file", v => esc(v.original_filename || v.filename || "")],
+        ["status", v => esc(v.status)],
+      ], {rowAttr: v => `class="click" onclick="go('analysis','${v.id}')"`})
+        : '<span class="dim">no videos yet</span>'}</div>`));
+    return;
+  }
+  let a;
+  try { a = await api(`/api/analysis/${videoId}`); }
+  catch (e) {
+    return main.append(h(`<div class="panel">No results yet for
+      <b>${esc(videoId)}</b> — still processing?</div>`));
+  }
+  const fr = (a.fusion || {}).fusion_result || {};
+  const contribs = fr.pipeline_contributions || {};
+
+  main.append(h(`<div class="panel"><h2>Video ${esc(short(videoId, 14))}
+    <button class="mini" onclick="go('videos')">back</button></h2>
+    <div class="vs">
+      <div class="panel">${gauge(fr.final_probability, "fusion")}
+        <div>${sevBadge(fr.final_probability)}
+          <span class="badge">${esc(fr.decision_mode || "?")}</span></div>
+        <div class="dim" style="margin-top:6px">${esc(fr.recommendation || "")}</div>
+        <div class="dim">${esc(fr.gate_explanation || "")}</div></div>
+      <div class="panel" style="flex:1;text-align:left">
+        <h3>Predictor contributions</h3><div id="contrib"></div></div>
+      <div class="panel" style="max-width:320px"><video controls
+        src="/api/videos/${videoId}/stream" style="max-height:180px"></video>
+        <div class="row" style="justify-content:center;margin-top:6px">
+          <button class="mini" id="annotate">render skeleton overlay</button>
+          <button class="mini" id="retrigger">re-run pipeline</button></div>
+        <div id="annotated"></div></div>
+    </div></div>
+    <div class="grid3" id="cards"></div>`));
+
+  document.getElementById("contrib").innerHTML = Object.keys(contribs).length
+    ? table(Object.entries(contribs), [
+        ["pipeline", e => esc(e[0])],
+        ["p(lame)", e => pct(e[1].probability)],
+        ["", e => `<div class="bar" style="width:120px"><i style="width:${
+          100 * (e[1].probability ?? 0)}%"></i></div>`],
+        ["unc", e => fmt(e[1].uncertainty, 2)],
+        ["w", e => fmt(e[1].weight, 2)]])
+    : `<span class="dim">no fusion contributions</span>`;
+
+  const cards = document.getElementById("cards");
+
+  // -- yolo ---------------------------------------------------------------
+  if (a.yolo) {
+    const f = a.yolo.features || {};
+    cards.append(h(`<div class="panel"><h2>YOLO detection</h2><div class="kv">
+      <span class="dim">detections</span><b>${f.num_detections ?? "—"}</b>
+      <span class="dim">avg conf</span><b>${fmt(f.avg_confidence)}</b>
+      <span class="dim">detection rate</span><b>${pct(f.detection_rate)}</b>
+      <span class="dim">position stability</span><b>${fmt(f.position_stability)}</b>
+      <span class="dim">avg box</span><b>${fmt(f.avg_box_width, 0)}×${fmt(f.avg_box_height, 0)}</b>
+      </div></div>`));
+  }
+  // -- sam ----------------------------------------------------------------
+  if (a.sam3) {
+    const g = a.sam3.aggregated_features || {};
+    cards.append(h(`<div class="panel"><h2>SAM segmentation</h2><div class="kv">
+      <span class="dim">frames segmented</span><b>${a.sam3.frames_processed ?? "—"}</b>
+      <span class="dim">area ratio</span><b>${fmt(g.avg_area_ratio)}</b>
+      <span class="dim">circularity</span><b>${fmt(g.avg_circularity)}</b>
+      <span class="dim">aspect ratio</span><b>${fmt(g.avg_aspect_ratio)}</b>
+      </div></div>`));
+  }
+  // -- dino ---------------------------------------------------------------
+  if (a.dinov3) {
+    const sim = a.dinov3.similar_cases || [];
+    cards.append(h(`<div class="panel"><h2>DINO embedding</h2>
+      <div class="kv"><span class="dim">dim</span><b>${a.dinov3.embedding_dim}</b>
+      <span class="dim">neighbor evidence</span>
+      <b>${pct(a.dinov3.neighbor_evidence)}</b></div>
+      <h3>nearest neighbors</h3>
+      ${sim.length ? table(sim, [
+        ["video", s => `<span class="dim">${short(s.video_id, 12)}</span>`],
+        ["cos", s => fmt(s.similarity)],
+        ["label", s => s.label == null ? "—" : s.label ? "lame" : "sound"]])
+        : '<span class="dim">no neighbors yet</span>'}</div>`));
+  }
+  // -- tleap --------------------------------------------------------------
+  if (a.tleap) {
+    const lf = a.tleap.locomotion_features || {};
+    const rows = Object.entries(lf).filter(([k]) => k !== "lameness_score");
+    cards.append(h(`<div class="panel"><h2>Pose / locomotion
+        <span class="badge">${esc(a.tleap.model_type)}</span></h2>
+      <div class="kv"><span class="dim">locomotion score</span>
+        <b>${fmt(lf.lameness_score)}</b>
+        <span class="dim">frames</span><b>${a.tleap.frames_processed}</b></div>
+      ${table(rows, [["feature", e => esc(e[0])],
+                     ["value", e => fmt(e[1])]])}</div>`));
+  }
+  // -- predictors ----------------------------------------------------------
+  const preds = [
+    ["tcn", a.tcn, a.tcn && a.tcn.severity_score],
+    ["transformer", a.transformer, a.transformer && a.transformer.severity_score],
+    ["gnn", a.gnn, a.gnn && a.gnn.severity_score],
+    ["graphormer", a.graph_transformer,
+     a.graph_transformer && a.graph_transformer.graph_prediction],
+    ["ml ensemble", a.ml, a.ml && a.ml.predictions &&
+     (a.ml.predictions.ensemble || {}).probability],
+  ].filter(p => p[1]);
+  if (preds.length) {
+    cards.append(h(`<div class="panel"><h2>Predictors</h2>
+      ${table(preds, [
+        ["model", p => esc(p[0])],
+        ["p(lame)", p => pct(p[2])],
+        ["", p => `<div class="bar" style="width:130px"><i style="width:${
+          100 * (p[2] ?? 0)}%"></i></div>`],
+        ["unc", p => fmt(p[1].uncertainty, 3)]])}</div>`));
+  }
+  // -- tracking -------------------------------------------------------------
+  if (a.tracking) {
+    const tr = a.tracking;
+    cards.append(h(`<div class="panel"><h2>Tracking</h2><div class="kv">
+      <span class="dim">tracks</span><b>${tr.total_tracks ?? "—"}</b>
+      <span class="dim">cow</span><b>${esc(tr.cow_id || (tr.reid || {}).cow_id || "—")}</b>
+      </div>${tr.cow_id || (tr.reid || {}).cow_id ? `<button class="mini"
+      onclick="go('cow','${tr.cow_id || tr.reid.cow_id}')">cow detail</button>` : ""}
+      </div>`));
+  }
+  // -- shap ------------------------------------------------------------------
+  try {
+    const fp = await api(`/api/shap/${videoId}/force-plot`);
+    const contr = fp.contributions.slice(0, 8);
+    const amax = Math.max(...contr.map(c => Math.abs(c.value)), 1e-9);
+    cards.append(h(`<div class="panel"><h2>SHAP</h2>
+      <div class="kv"><span class="dim">base</span><b>${fmt(fp.base_value)}</b>
+      <span class="dim">prediction</span><b>${fmt(fp.prediction)}</b></div>
+      ${contr.map(c => `<div class="row" style="margin-bottom:2px">
+        <span class="dim" style="width:110px">${esc(c.feature)}</span>
+        <div class="bar" style="width:130px"><i style="width:${
+          100 * Math.abs(c.value) / amax}%;background:${
+          c.value >= 0 ? "var(--bad)" : "var(--ok)"}"></i></div>
+        <span>${fmt(c.value)}</span></div>`).join("")}</div>`));
+  } catch (e) {}
+  // -- elo history ----------------------------------------------------------
+  try {
+    const histo = await api(`/api/elo/history/${videoId}`);
+    if (histo.length > 1) {
+      cards.append(h(`<div class="panel"><h2>Elo history</h2>
+        ${sparkline(histo.map(x => x.new_rating))}
+        <div class="dim">${histo.length} comparisons</div></div>`));
+    }
+  } catch (e) {}
+  // -- explanation ------------------------------------------------------------
+  const exCard = h(`<div class="panel"><h2>LLM explanation</h2>
+    <div id="extext" class="dim">not generated</div>
+    <button class="mini" id="exgen" style="margin-top:8px">generate</button></div>`);
+  cards.append(exCard);
+  try {
+    const ex = await api(`/api/analysis/${videoId}/explanation/get`);
+    exCard.querySelector("#extext").textContent =
+      ex.explanation || JSON.stringify(ex);
+  } catch (e) {}
+  exCard.querySelector("#exgen").onclick = async () => {
+    try {
+      const ex = await api(`/api/analysis/${videoId}/explanation/generate`,
+                           {method: "POST"});
+      exCard.querySelector("#extext").textContent =
+        ex.explanation || JSON.stringify(ex);
+    } catch (e) { toast(e.message, "bad"); }
+  };
+
+  document.getElementById("annotate").onclick = async () => {
+    toast("rendering…");
+    try {
+      await api(`/api/videos/${videoId}/annotate`, {method: "POST"});
+      document.getElementById("annotated").innerHTML =
+        `<video controls src="/api/videos/${videoId}/annotated"
+          style="max-height:180px;margin-top:8px"></video>`;
+    } catch (e) { toast(e.message, "bad"); }
+  };
+  document.getElementById("retrigger").onclick = async () => {
+    try {
+      await api(`/api/pipeline/retrigger/all/${videoId}`, {method: "POST"});
+      toast("re-triggered — refresh shortly");
+    } catch (e) { toast(e.message, "bad"); }
+  };
+}

@@ -31,14 +31,14 @@ def server(tmp_data_root, tmp_path):
                                   subjects=Subjects())
     ctx = AdminContext(cfg, db, bus, reliability=rel,
                        store=VectorStore())
-    ctx.seed_users()
+    ctx.seed_users(password="testpw")
     srv = make_server(ctx)
     port = srv.start()
     yield f"http://127.0.0.1:{port}", ctx
     srv.stop()
 
 
-def _login(base, username="admin", password="admin123"):
+def _login(base, username="admin", password="testpw"):
     r = httpx.post(f"{base}/api/auth/login",
                    json={"username": username, "password": password})
     assert r.status_code == 200, r.text
@@ -60,6 +60,37 @@ def test_password_and_token_primitives():
     assert TokenCodec().decode(tok) is None       # different secret
 
 
+def test_register_is_rater_only(server):
+    """Self-registration must not mint privileged accounts (ADVICE r1 high;
+    reference routers/auth.py allows only 'rater')."""
+    base, ctx = server
+    r = httpx.post(f"{base}/api/auth/register",
+                   json={"email": "evil@x", "username": "evil",
+                         "password": "pw", "role": "admin"})
+    assert r.status_code == 403
+    r = httpx.post(f"{base}/api/auth/register",
+                   json={"email": "ok@x", "username": "ok", "password": "pw"})
+    assert r.status_code == 200 and r.json()["role"] == "rater"
+    # role escalation only via the admin-only PATCH route
+    tok = _login(base)
+    r = httpx.patch(f"{base}/api/auth/users/{r.json()['id']}",
+                    json={"role": "researcher"}, headers=_auth(tok))
+    assert r.status_code == 200
+
+
+def test_seed_users_random_passwords(tmp_data_root, tmp_path, capsys):
+    """Without an explicit password, seeded accounts get random printed
+    passwords — no 'admin123' defaults (ADVICE r1 low)."""
+    db = Database(tmp_path / "seed.db")
+    ctx = AdminContext(tmp_data_root, db, MessageBus(),
+                       store=VectorStore())
+    ctx.seed_users()
+    printed = capsys.readouterr().out
+    assert "initial password" in printed and "admin123" not in printed
+    admin = db.one("SELECT * FROM users WHERE username='admin'")
+    assert not verify_password("admin123", admin["password_hash"])
+
+
 def test_auth_flow(server):
     base, ctx = server
     token = _login(base)
@@ -70,7 +101,7 @@ def test_auth_flow(server):
                    json={"username": "admin", "password": "nope"})
     assert r.status_code == 401
     # role gating: rater cannot start training
-    rater_tok = _login(base, "rater", "rater123")
+    rater_tok = _login(base, "rater", "testpw")
     r = httpx.post(f"{base}/api/training/start/ml",
                    headers=_auth(rater_tok))
     assert r.status_code == 403
@@ -144,7 +175,7 @@ def test_pipeline_heartbeat_and_health(server):
 
 def test_ml_config_roundtrip(server):
     base, ctx = server
-    token = _login(base, "researcher", "researcher123")
+    token = _login(base, "researcher", "testpw")
     cfg = httpx.get(f"{base}/api/ml-config").json()
     assert cfg["config"]["catboost"]["n_estimators"] == 200
     assert "catboost.n_estimators" in cfg["schema"]
@@ -185,7 +216,7 @@ def test_analysis_and_cows_endpoints(server):
 
 def test_tutorial_gold_tasks(server):
     base, ctx = server
-    token = _login(base, "researcher", "researcher123")
+    token = _login(base, "researcher", "testpw")
     r = httpx.post(f"{base}/api/tutorial/tasks",
                    json={"video_id_1": "a", "video_id_2": "b",
                          "correct_winner": 1, "is_tutorial": True,

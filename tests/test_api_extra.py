@@ -23,14 +23,14 @@ def server(tmp_data_root, tmp_path):
     cfg = tmp_data_root
     ctx = AdminContext(cfg, Database(tmp_path / "x.db"), MessageBus(),
                        store=VectorStore())
-    ctx.seed_users()
+    ctx.seed_users(password="testpw")
     srv = make_server(ctx)
     srv.start()
     yield f"http://127.0.0.1:{srv.port}", ctx
     srv.stop()
 
 
-def _login(base, u="admin", p="admin123"):
+def _login(base, u="admin", p="testpw"):
     return httpx.post(f"{base}/api/auth/login",
                       json={"username": u, "password": p}
                       ).json()["access_token"]

@@ -160,11 +160,10 @@ def test_batcher_pads_partial_batches_to_one_signature(tmp_data_root,
             app.submit_video(v, f"pad{i}")
         for i in range(3):
             assert app.wait_for_analysis(f"pad{i}", timeout_s=300), i
-        # 2-clip batch + padded 1-clip batch... the straggler may run as a
-        # single (unpadded) or padded pair depending on arrival timing;
-        # what must NEVER appear is an intermediate unpadded size > 1
-        # different from max_batch
-        assert seen_sizes <= {1, 2}, seen_sizes
+        # every engine call — including a lone straggler — is padded to
+        # the single warmed max_batch signature; any other size would be
+        # a fresh XLA compile on the remote backend
+        assert seen_sizes == {2}, seen_sizes
         assert app.bus.errors == []
     finally:
         app.close()

@@ -60,6 +60,13 @@ def test_full_pipeline_end_to_end(driver, tmp_path):
     assert 0 <= fusion["fusion_result"]["final_probability"] <= 1
     assert driver.bus.messages_on("analysis.complete")
 
+    # fusion saw EVERY predictor (regression: publishing dinov3 before the
+    # tleap/tcn/transformer files were written made fusion miss them)
+    contribs = fusion["fusion_result"]["pipeline_contributions"]
+    for p in ("ml", "tcn", "transformer", "gnn", "graph_transformer"):
+        assert p in contribs, p
+    assert fusion["fusion_result"]["tleap_features"], "tleap features empty"
+
     # bus saw the full subject chain
     seen = driver.bus.subjects_seen()
     for subject in ("video.uploaded", "video.preprocessed", "pipeline.yolo",

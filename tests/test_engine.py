@@ -67,6 +67,28 @@ def test_primary_box_fallback(engine, frames):
         np.testing.assert_allclose(pb[idx[0], idx[1]], fallback, atol=1e-3)
 
 
+def test_primary_box_prefers_cow_over_confident_noncow(engine):
+    """A lower-confidence cow must beat a larger, higher-confidence non-cow
+    (the reference filters on the cow class, tleap:295-304)."""
+    cow = engine.config.yolo.cow_class_id
+    boxes = jnp.asarray([[[0., 0., 100., 100.],     # big non-cow
+                          [10., 10., 40., 40.]]])   # small cow
+    scores = jnp.asarray([[0.95, 0.4]])
+    classes = jnp.asarray([[cow + 1, cow]], dtype=jnp.int32)
+    valid = jnp.ones((1, 2), bool)
+    pb, ps, has = jax.jit(engine._primary_boxes, static_argnums=(4, 5))(
+        boxes, scores, classes, valid, 90.0, 160.0)
+    np.testing.assert_allclose(np.asarray(pb[0]), [10., 10., 40., 40.])
+    assert float(ps[0]) == pytest.approx(0.4)
+    assert bool(has[0])
+    # with no cow at all, the high-conf non-cow stands in
+    classes2 = jnp.asarray([[cow + 1, cow + 2]], dtype=jnp.int32)
+    pb2, ps2, has2 = jax.jit(engine._primary_boxes, static_argnums=(4, 5))(
+        boxes, scores, classes2, valid, 90.0, 160.0)
+    np.testing.assert_allclose(np.asarray(pb2[0]), [0., 0., 100., 100.])
+    assert bool(has2[0])
+
+
 def test_sam_fallback_mask_is_box_rectangle(engine, frames):
     out = engine.process_clip_batch(frames)
     s = engine.spec

@@ -107,3 +107,25 @@ def test_skeleton_contract_shapes():
     assert len(pose.COW_SKELETON) == 16
     assert set(pose.ROBOFLOW_TO_OLD.keys()) <= set(pose.KEYPOINT_NAMES)
     assert set(pose.ROBOFLOW_TO_OLD.values()) <= set(pose.OLD_NAMES)
+
+
+def test_roboflow_to_old_device_mapping():
+    """Trained-model keypoints (Roboflow order) map into the old-name slots
+    that locomotion features index; unmappable slots are conf-masked."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    kpts = rng.uniform(0, 100, (2, pose.NUM_KEYPOINTS, 3)).astype(np.float32)
+    kpts[..., 2] = 0.9
+    old = np.asarray(pose.map_roboflow_to_old_device(jnp.asarray(kpts)))
+    assert old.shape == kpts.shape
+    robo_idx = {n: i for i, n in enumerate(pose.KEYPOINT_NAMES)}
+    old_idx = {n: i for i, n in enumerate(pose.H_NAMES)}
+    for rb, on in pose.ROBOFLOW_TO_OLD.items():
+        np.testing.assert_allclose(old[:, old_idx[on], :2],
+                                   kpts[:, robo_idx[rb], :2], err_msg=on)
+        assert np.all(old[:, old_idx[on], 2] == 0.9)
+    # old names with no Roboflow source are confidence-masked
+    mapped_targets = set(pose.ROBOFLOW_TO_OLD.values())
+    for on in pose.H_NAMES:
+        if on not in mapped_targets:
+            assert np.all(old[:, old_idx[on], 2] == 0.0), on

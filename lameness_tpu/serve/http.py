@@ -100,6 +100,7 @@ class Route:
     handler: Callable[[Request], Any]
     auth: bool = False
     roles: Optional[List[str]] = None
+    n_params: int = 0
 
 
 class HTTPError(Exception):
@@ -121,7 +122,12 @@ class Router:
 
     def add(self, method: str, pattern: str, handler, auth=False, roles=None):
         self.routes.append(Route(method, _compile(self.prefix + pattern),
-                                 handler, auth, roles))
+                                 handler, auth, roles,
+                                 pattern.count("{")))
+        # literal routes match before parameterized ones regardless of
+        # registration order (/api/analysis/similarity/map must not be
+        # swallowed by /api/analysis/{video_id}/{pipeline})
+        self.routes.sort(key=lambda r: r.n_params)
 
     def get(self, pattern, **kw):
         return lambda fn: (self.add("GET", pattern, fn, **kw), fn)[1]

@@ -91,6 +91,16 @@ def test_seed_users_random_passwords(tmp_data_root, tmp_path, capsys):
     assert not verify_password("admin123", admin["password_hash"])
 
 
+def test_literal_routes_beat_parameterized(server):
+    """/api/analysis/similarity/map must not be swallowed by
+    /api/analysis/{video_id}/{pipeline} (router precedence regression)."""
+    base, ctx = server
+    tok = _login(base)
+    r = httpx.get(f"{base}/api/analysis/similarity/map", headers=_auth(tok))
+    assert "unknown pipeline" not in r.text
+    assert r.status_code in (200, 404, 503)
+
+
 def test_auth_flow(server):
     base, ctx = server
     token = _login(base)

@@ -50,6 +50,9 @@ def main(argv=None):
     s.add_argument("--no-resume", action="store_true")
     s.add_argument("--batch", type=int, default=1,
                    help="group queued clips into engine batches of N")
+    s.add_argument("--nats-url", default=None,
+                   help="bridge bus subjects to a real NATS server "
+                        "(ours via 'nats-server', or a stock Go one)")
 
     p = sub.add_parser("process", help="one video through the pipeline")
     p.add_argument("video", type=Path)
@@ -60,7 +63,26 @@ def main(argv=None):
                     help="test-geometry engine (tiny frames; for tests only "
                          "— production resumes use the full engine)")
 
+    ns = sub.add_parser("nats-server",
+                        help="run the first-party NATS core broker")
+    ns.add_argument("--host", default="127.0.0.1")
+    ns.add_argument("--port", type=int, default=4222)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "nats-server":
+        from .io.nats_wire import NatsServer
+        srv = NatsServer(host=args.host, port=args.port)
+        port = srv.start()
+        print(f"NATS broker listening on nats://{args.host}:{port}",
+              flush=True)
+        try:
+            import time
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.stop()
+        return
 
     if args.cmd == "serve":
         cfg, engine, App = _build(args)
@@ -68,6 +90,15 @@ def main(argv=None):
                   api_port=args.port, async_dispatch=args.async_dispatch,
                   resume_inflight=not args.no_resume,
                   clip_batch=args.batch)
+        if args.nats_url:
+            from .io.bus import NatsBridge
+            subjects = [v for v in vars(cfg.subjects).values()
+                        if isinstance(v, str)]
+            bridge = NatsBridge(app.bus, args.nats_url, subjects=subjects)
+            print("NATS bridge:",
+                  "connected" if bridge.start() else
+                  f"UNREACHABLE at {args.nats_url} (running without)",
+                  flush=True)
         print(f"admin UI at http://127.0.0.1:{app.server.port}", flush=True)
         if engine is not None:
             # compile the stage programs (incl. the batch signature) off

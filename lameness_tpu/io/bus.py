@@ -177,31 +177,61 @@ class MessageBus:
 
 
 class NatsBridge:
-    """Optional mirror of bus traffic to a real NATS server (if nats-py is
-    installed and reachable).  Degrades to a no-op otherwise."""
+    """Bidirectional bridge between the in-process bus and a real NATS
+    server over the wire protocol (first-party client, ``io/nats_wire.py``
+    — no nats-py needed; also speaks to a stock Go nats-server).
 
-    def __init__(self, bus: MessageBus, url: str = "nats://localhost:4222"):
+    Outbound: every local publish on a bridged subject is mirrored to the
+    socket.  Inbound: MSGs from the socket re-enter the local bus tagged
+    ``_via_nats`` so they are not mirrored back out.  The connection uses
+    CONNECT ``echo: false`` so the bridge never hears its own publishes —
+    a mesh of bridged processes therefore delivers each message
+    at-most-once per process, like the reference deployment.
+    """
+
+    def __init__(self, bus: MessageBus, url: str = "nats://127.0.0.1:4222",
+                 subjects: Optional[List[str]] = None):
         self.bus = bus
         self.url = url
+        self.subjects = subjects
         self._nc = None
 
-    async def start(self) -> bool:
+    def start(self) -> bool:
+        """Connect and wire both directions; False if unreachable."""
+        from .nats_wire import NatsClient
         try:
-            import nats  # type: ignore
-        except ImportError:
-            return False
-        try:
-            self._nc = await nats.connect(self.url)
-        except Exception:
+            self._nc = NatsClient(self.url, name="lameness-bridge",
+                                  echo=False).connect()
+        except (OSError, ConnectionError):
+            self._nc = None
             return False
 
-        def _mirror(subject: str):
+        subjects = self.subjects or list(self.bus._subs)
+
+        def _outbound(subject: str):
             def h(payload: Dict[str, Any]):
-                if self._nc is not None:
-                    coro = self._nc.publish(subject, json.dumps(payload).encode())
-                    asyncio.get_event_loop().create_task(coro)
+                if self._nc is not None and self._nc.is_connected \
+                        and not payload.get("_via_nats"):
+                    self._nc.publish(subject, payload)
             return h
 
-        for subject in list(self.bus._subs):
-            self.bus.subscribe_sync(subject, _mirror(subject))
+        def _inbound(subject: str):
+            def cb(payload: Dict[str, Any]):
+                if not payload.get("_via_nats"):
+                    payload = dict(payload)
+                    payload["_via_nats"] = True
+                    self.bus.publish_sync(subject, payload)
+            return cb
+
+        for subject in subjects:
+            self.bus.subscribe_sync(subject, _outbound(subject))
+            self._nc.subscribe(subject, _inbound(subject))
         return True
+
+    def flush(self, timeout_s: float = 5.0) -> bool:
+        return self._nc.flush(timeout_s) if self._nc else False
+
+    def stop(self) -> None:
+        if self._nc is not None:
+            self._nc.close()
+            self._nc = None

@@ -52,10 +52,23 @@ class ClipBatcher:
                 return
             jobs: List[Tuple[str, Path]] = [item]
             deadline = time.time() + self.window_s
+            # collect at least one batch within the window, then DRAIN
+            # whatever else queued up — the streaming path overlaps the
+            # next batch's decode with the current batch's engine run,
+            # so handing it the whole backlog beats batch-at-a-time
             while len(jobs) < self.max_batch:
                 try:
                     nxt = self._q.get(
                         timeout=max(0.0, deadline - time.time()))
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._process(jobs)
+                    return
+                jobs.append(nxt)
+            while True:
+                try:
+                    nxt = self._q.get_nowait()
                 except queue.Empty:
                     break
                 if nxt is None:
@@ -69,13 +82,14 @@ class ClipBatcher:
         with app._processing:
             app._heartbeat("fused-engine", active_jobs=len(jobs))
             try:
-                # ALWAYS pad to the warmed max_batch signature — a lone
-                # clip through run_feature_stages would hit an unwarmed
-                # batch=1 XLA signature and stall minutes on the remote
-                # compiler (ADVICE r1, medium)
-                app.driver.run_feature_stages_batch(
-                    jobs, pad_to=self.max_batch)
-                self.batches_run += 1
+                # decode/compute-overlapped stream, every engine call
+                # padded to the ONE warmed max_batch signature — a lone
+                # clip through an unwarmed batch-1 signature would stall
+                # minutes on the remote compiler (ADVICE r1, medium)
+                app.driver.process_stream(jobs, batch_size=self.max_batch,
+                                          pad_to=self.max_batch)
+                self.batches_run += (len(jobs) + self.max_batch - 1) \
+                    // self.max_batch
                 self.clips_run += len(jobs)
                 _LOG.info("batch.complete", clips=len(jobs))
                 app._heartbeat("fused-engine", active_jobs=0,

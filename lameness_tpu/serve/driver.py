@@ -216,14 +216,18 @@ class PipelineDriver:
                                                      scale, info))
         return results
 
-    def process_stream(self, jobs, batch_size: int = 1):
+    def process_stream(self, jobs, batch_size: int = 1,
+                       pad_to: Optional[int] = None):
         """Throughput path with decode/compute overlap: a background thread
         decodes the next batch's frames while the engine runs the current
         one (host decode is ~1-2 s/clip vs ~0.9 s engine — without overlap
         decode dominates the pipeline).
 
         jobs: iterable of (video_id, processed_path).  Returns per-video
-        result dicts in completion order.
+        result dicts in completion order.  ``pad_to`` pads every engine
+        call (including a trailing partial batch) to one fixed batch size
+        by repeating the last clip so a single compiled XLA signature
+        serves the whole stream.
         """
         import queue as _queue
         import threading as _threading
@@ -252,7 +256,11 @@ class PipelineDriver:
             batch = q.get()
             if batch is None:
                 break
-            stacked = np.stack([b[1] for b in batch])
+            frames_list = [b[1] for b in batch]
+            if pad_to is not None:
+                while len(frames_list) < pad_to:
+                    frames_list.append(frames_list[-1])
+            stacked = np.stack(frames_list)
             with TIMERS.time("engine_stream"):
                 out = self.engine.process_clip_batch(stacked)
             for bi, (video_id, _, scale, info) in enumerate(batch):

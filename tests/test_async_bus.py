@@ -104,19 +104,20 @@ def test_clip_batcher_groups_queued_videos(tmp_data_root, tmp_path):
                       async_dispatch=True, bus_workers=3, clip_batch=2,
                       batch_window_s=3.0)
     app.driver.curator.detector = _square_detector
-    calls = {"batch": 0, "single": 0}
-    orig_batch = app.driver.run_feature_stages_batch
+    calls = {"batch": 0, "jobs": [], "single": 0}
+    orig_stream = app.driver.process_stream
     orig_single = app.driver.run_feature_stages
 
-    def count_batch(jobs, pad_to=None):
+    def count_stream(jobs, batch_size=1, pad_to=None):
         calls["batch"] += 1
-        return orig_batch(jobs, pad_to=pad_to)
+        calls["jobs"].append(len(jobs))
+        return orig_stream(jobs, batch_size=batch_size, pad_to=pad_to)
 
     def count_single(vid, path):
         calls["single"] += 1
         return orig_single(vid, path)
 
-    app.driver.run_feature_stages_batch = count_batch
+    app.driver.process_stream = count_stream
     app.driver.run_feature_stages = count_single
     try:
         v1 = _synthetic_walk_video(tmp_path / "b1.mp4", n_frames=40,
@@ -129,6 +130,7 @@ def test_clip_batcher_groups_queued_videos(tmp_data_root, tmp_path):
         r2 = app.wait_for_analysis("bat2", timeout_s=300)
         assert r1 is not None and r2 is not None
         assert calls["batch"] == 1 and calls["single"] == 0
+        assert calls["jobs"] == [2]      # one stream call with both clips
         assert app.bus.errors == []
     finally:
         app.close()

@@ -344,6 +344,15 @@ class ClipCurator:
         selected = candidates[0] if candidates else None
         backup = candidates[1] if len(candidates) > 1 else None
         status, rejection = "success", None
+        if selected is None and self._is_canonical_like(info):
+            # pass-through fallback: the upload is already a canonical-
+            # duration clip (e.g. re-processing a previously curated one,
+            # or footage from a panning camera the weight-free detector
+            # cannot segment).  Select the whole clip unflipped with
+            # detector-independent metrics rather than rejecting —
+            # rejecting the curation side branch would strand an
+            # otherwise processable video.
+            selected = self._passthrough_candidate(info, visual_cache)
         if selected is None:
             status = "rejected"
             rejection = ("no valid walking pass of sufficient length"
@@ -384,6 +393,32 @@ class ClipCurator:
                 "quality_report": str(self.reports_dir
                                       / f"{video_id}_quality.json")})
         return report
+
+    @staticmethod
+    def _is_canonical_like(info: Dict[str, Any]) -> bool:
+        """Already a ~5 s clip? (duration within 1.5x of the canonical
+        target and at least 2 s of footage)."""
+        fps = info.get("fps") or 0
+        frames = info.get("total_frames") or 0
+        if fps <= 0:
+            return False
+        duration = frames / fps
+        return 2.0 <= duration <= CANONICAL_DURATION * 1.5
+
+    def _passthrough_candidate(self, info: Dict[str, Any],
+                               visual_cache: np.ndarray) -> ClipCandidate:
+        fps = info["fps"]
+        n = min(int(info["total_frames"]), int(CANONICAL_DURATION * fps))
+        visual = float(np.mean(visual_cache[:n])) if len(visual_cache) else 0.0
+        m = QualityMetrics(
+            framing_score=0.0, steadiness_score=0.0, straightness_score=0.0,
+            visual_quality_score=visual, occlusion_score=0.0,
+            # only the detector-independent visual term contributes
+            # (weight .15, clip-curation:379-386)
+            overall_score=0.15 * visual)
+        return ClipCandidate(start_frame=0, end_frame=n,
+                             start_time=0.0, end_time=n / fps,
+                             metrics=m, needs_flip=False)
 
     @staticmethod
     def _window_dict(c: Optional[ClipCandidate]) -> Optional[Dict[str, Any]]:

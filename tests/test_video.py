@@ -103,14 +103,32 @@ def test_curation_right_to_left_flips(tmp_data_root, tmp_path):
 
 
 def test_curation_rejects_no_detection(tmp_data_root, tmp_path):
+    """A LONG video with zero detections is rejected (too long for the
+    canonical-duration pass-through fallback)."""
     cfg = tmp_data_root
-    frames = [np.zeros((90, 160, 3), np.uint8) for _ in range(80)]
+    frames = [np.zeros((90, 160, 3), np.uint8) for _ in range(300)]
     path = tmp_path / "empty.mp4"
     write_video(path, frames, 25, reencode=False)
     curator = ClipCurator(cfg.dirs, detector=lambda f: None)
     report = curator.curate_video(path, "emptyvid")
     assert report["status"] == "rejected"
     assert report["walking_passes_detected"] == 0
+
+
+def test_curation_passthrough_for_canonical_duration(tmp_data_root, tmp_path):
+    """A ~5 s clip the detector can't segment (panning camera, no
+    weights) passes through whole instead of stranding the video."""
+    cfg = tmp_data_root
+    frames = [np.full((90, 160, 3), 90, np.uint8) for _ in range(80)]
+    path = tmp_path / "canonlike.mp4"
+    write_video(path, frames, 25, reencode=False)      # 3.2 s
+    curator = ClipCurator(cfg.dirs, detector=lambda f: None)
+    report = curator.curate_video(path, "passthru")
+    assert report["status"] == "success"
+    assert report["walking_passes_detected"] == 0
+    w = report["selected_window"]
+    assert w["start_frame"] == 0 and w["needs_flip"] is False
+    assert (cfg.dirs.canonical / "passthru_canonical.mp4").exists()
 
 
 def test_quality_report_matches_golden_schema(tmp_data_root, tmp_path):

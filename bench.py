@@ -58,6 +58,52 @@ def _device_watchdog(timeout_s: float = 150.0) -> None:
             f"{timeout_s}s (backend tunnel wedged?)")
 
 
+_START = time.time()
+_WALL_BUDGET = 500.0
+
+
+def _remaining() -> float:
+    return _WALL_BUDGET - (time.time() - _START)
+
+
+def _measure(engine, frames_np, batch, rng, n_runs=8):
+    """Warm + time one (engine precision, batch) configuration."""
+    import jax
+    frames = np.repeat(frames_np, batch, axis=0) if batch > 1 else frames_np
+
+    def run_once():
+        # includes the host->HBM frame transfer (end-to-end per clip);
+        # scalar readbacks from each heavy stage force real completion
+        # (block_until_ready is unreliable on tunnelled backends)
+        fd = jax.device_put(frames)
+        out = engine.run_staged(fd, rng)
+        _ = (float(out["tcn_probability"][0])
+             + float(out["mask_area_frac"][0, 0])
+             + float(out["embeddings"][0, 0, 0])
+             + float(out["det_scores"][0, 0, 0]))
+        return out
+
+    t0 = time.time()
+    stage_compiles = engine.warmup(batch=batch)
+    out = run_once()
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        out = run_once()
+        times.append(time.time() - t0)
+    p50 = float(np.median(times))
+    return {
+        "p50_clip_latency_s": round(p50 / batch, 4),
+        "p50_batch_latency_s": round(p50, 4),
+        "clips_per_min": round(60.0 / p50 * batch, 2),
+        "batch": batch,
+        "compile_s": round(compile_s, 1),
+        "stage_compiles_s": stage_compiles,
+        "tcn_probability": float(out["tcn_probability"][0]),
+    }
+
+
 def main():
     import jax
     # persistent compilation cache: the ~3 min stage compiles amortise
@@ -74,83 +120,102 @@ def main():
     from lameness_tpu.pipeline.engine import EngineSpec, LamenessEngine
 
     import os
-    frames = load_clip_frames()
-    batch = int(os.environ.get("LAMENESS_BENCH_BATCH", "1"))
-    if batch > 1:
-        frames = np.repeat(frames, batch, axis=0)
-    spec = EngineSpec()
     t0 = time.time()
-    engine = LamenessEngine(spec=spec)
-    if os.environ.get("LAMENESS_BF16") == "1":
-        from lameness_tpu.pipeline.precision import apply_engine_policy
-        apply_engine_policy(engine)
+    if os.environ.get("LAMENESS_BENCH_SMALL") == "1":
+        # CI/self-test mode: tiny geometry exercises the identical sweep
+        # code path in seconds (numbers are NOT comparable to the real
+        # bench and vs_baseline is meaningless here)
+        from lameness_tpu.pipeline.engine import make_test_engine
+        engine = make_test_engine()
+        s = engine.spec
+        rng0 = np.random.default_rng(0)
+        frames = rng0.integers(0, 255, (1, s.clip_frames, s.frame_height,
+                                        s.frame_width, 3), dtype=np.uint8)
+    else:
+        frames = load_clip_frames()
+        engine = LamenessEngine(spec=EngineSpec())
     build_s = time.time() - t0
-
+    # snapshot for precision restore: apply_engine_policy replaces dict
+    # ENTRIES in place, so alias the entries, not the dict
+    f32_params = dict(engine.params)
+    f32_dtype = engine.spec.dtype
     rng = jax.random.PRNGKey(0)
 
-    def run_once(frames_np):
-        # includes the host->HBM frame transfer (end-to-end per clip);
-        # scalar readbacks from each heavy stage force real completion
-        # (block_until_ready is unreliable on tunnelled backends)
-        fd = jax.device_put(frames_np)
-        out = engine.run_staged(fd, rng)
-        sink = (float(out["tcn_probability"][0])
-                + float(out["mask_area_frac"][0, 0])
-                + float(out["embeddings"][0, 0, 0])
-                + float(out["det_scores"][0, 0, 0]))
-        return out, sink
+    # sweep plan: env pins take precedence; otherwise measure the f32
+    # batch-1 reference config first, then spend any remaining wall
+    # budget on bf16 and larger batches, reporting the BEST as headline.
+    env_batch = os.environ.get("LAMENESS_BENCH_BATCH")
+    env_bf16 = os.environ.get("LAMENESS_BF16")
+    if env_batch or env_bf16:
+        plan = [(env_bf16 == "1", int(env_batch or "1"))]
+    else:
+        plan = [(False, 1), (True, 1), (True, 4), (False, 4)]
 
-    # warmup / compile: all four stage programs compile concurrently
-    t0 = time.time()
-    stage_compiles = engine.warmup(batch=batch)
-    out, _ = run_once(frames)
-    compile_s = time.time() - t0
-
-    # timed runs
-    times = []
-    for i in range(8):
-        t0 = time.time()
-        out, _ = run_once(frames)
-        times.append(time.time() - t0)
-    p50 = float(np.median(times))
-    clips_per_min = 60.0 / p50 * batch
+    sweep = []
+    bf16_applied = False
+    for bf16, batch in plan:
+        # leave room for the runs themselves (compile ~40 s/stage cold)
+        if sweep and _remaining() < 150:
+            break
+        try:
+            if bf16 and not bf16_applied:
+                from lameness_tpu.pipeline.precision import \
+                    apply_engine_policy
+                apply_engine_policy(engine)
+                bf16_applied = True
+            elif not bf16 and bf16_applied:
+                engine.params = dict(f32_params)
+                engine.spec.dtype = f32_dtype
+                engine._build_jits()
+                bf16_applied = False
+            m = _measure(engine, frames, batch, rng)
+            m["bf16"] = bf16
+            sweep.append(m)
+        except Exception as e:
+            sweep.append({"bf16": bf16, "batch": batch,
+                          "error": repr(e)[:200]})
+    measured = [m for m in sweep if "clips_per_min" in m]
+    if not measured:
+        raise RuntimeError(f"no config measured: {sweep}")
+    best = max(measured, key=lambda m: m["clips_per_min"])
 
     # secondary: true end-to-end through the driver (selective decode +
     # engine + schema-exact result writing) on the golden clip
     driver_e2e = None
-    try:
-        import pathlib
-        import tempfile
-        golden = pathlib.Path(
-            "/root/reference/data/canonical/"
-            "5c3864af-b292-43e7-a319-becb0e98c230_canonical.mp4")
-        if golden.exists():
-            from lameness_tpu.core.config import Config
-            from lameness_tpu.serve.driver import PipelineDriver
-            cfg = Config.load(data_root=tempfile.mkdtemp() + "/data")
-            cfg.dirs.ensure()
-            drv = PipelineDriver(config=cfg, engine=engine)
-            drv.run_feature_stages("warm", golden)       # warm the writers
-            t0 = time.time()
-            drv.run_feature_stages("bench", golden)
-            driver_e2e = round(time.time() - t0, 3)
-    except Exception:
-        pass
+    if _remaining() > 60:
+        try:
+            import pathlib
+            import tempfile
+            golden = pathlib.Path(
+                "/root/reference/data/canonical/"
+                "5c3864af-b292-43e7-a319-becb0e98c230_canonical.mp4")
+            if golden.exists():
+                from lameness_tpu.core.config import Config
+                from lameness_tpu.serve.driver import PipelineDriver
+                cfg = Config.load(data_root=tempfile.mkdtemp() + "/data")
+                cfg.dirs.ensure()
+                drv = PipelineDriver(config=cfg, engine=engine)
+                drv.run_feature_stages("warm", golden)   # warm the writers
+                t0 = time.time()
+                drv.run_feature_stages("bench", golden)
+                driver_e2e = round(time.time() - t0, 3)
+        except Exception:
+            pass
 
     result = {
         "metric": "clips_per_min_per_chip",
-        "value": round(clips_per_min, 2),
+        "value": best["clips_per_min"],
         "unit": "clips/min",
-        "vs_baseline": round(clips_per_min / BASELINE_CLIPS_PER_MIN, 3),
-        "p50_clip_latency_s": round(p50, 4),
+        "vs_baseline": round(best["clips_per_min"] / BASELINE_CLIPS_PER_MIN,
+                             3),
+        "p50_clip_latency_s": best["p50_clip_latency_s"],
+        "best_config": {"bf16": best["bf16"], "batch": best["batch"]},
+        "sweep": sweep,
         "driver_e2e_s_incl_decode": driver_e2e,
-        "batch": batch,
-        "compile_s": round(compile_s, 1),
-        "stage_compiles_s": stage_compiles,
         "build_s": round(build_s, 1),
         "backend": jax.default_backend(),
-        "stages": "yolo+sam_vitb+dino_vitb+pose+tcn+gait (4 staged jits, device-resident)",
-        "tcn_probability": float(out["tcn_probability"][0]),
+        "stages": "yolo+sam_vitb+dino_vitb+pose+tcn+gait "
+                  "(4 staged jits, device-resident)",
     }
     print(json.dumps(result))
 

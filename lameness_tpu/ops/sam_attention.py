@@ -33,14 +33,25 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float):
     q = q_ref[0]                    # (G, D)   — one qh row (qw = 0..G-1)
     k = k_ref[0]                    # (G*G, D)
     v = v_ref[0]                    # (G*G, D)
-    rh = rh_ref[0, 0]               # (G, G)   [qw, kh]
-    rw = rw_ref[0, 0]               # (G, G)   [qw, kw]
+    # f32 immediately: Mosaic can't insert/tile minor dims on 16-bit
+    # vectors, and the bias feeds an f32 softmax anyway
+    rh = rh_ref[0, 0].astype(jnp.float32)   # (G, G)   [qw, kh]
+    rw = rw_ref[0, 0].astype(jnp.float32)   # (G, G)   [qw, kw]
     g = rh.shape[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    bias = (rh[:, :, None] + rw[:, None, :]).reshape(g, g * g)
-    s = s + bias.astype(jnp.float32)
+    # bias[qw, kh*G + kw] = rh[qw, kh] + rw[qw, kw], built WITHOUT the
+    # (G, G, G) -> (G, G²) reshape (Mosaic rejects that shape cast on
+    # real TPU; interpret mode accepted it).  The kh spread (index j//G)
+    # is one small MXU matmul against a one-hot selector; the kw tile
+    # (index j%G) is a lane-repeat.
+    j = jax.lax.broadcasted_iota(jnp.int32, (g, g * g), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, g * g), 0)
+    spread = jnp.where(j // g == row, 1.0, 0.0)          # (G, G²) one-hot
+    s = s + jax.lax.dot_general(rh, spread, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    s = s + pltpu.repeat(rw, g, axis=1)                  # rw[qw, j % G]
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)

@@ -80,6 +80,45 @@ class EngineSpec:
     def pose_idx(self):              # 5 FPS
         return np.arange(0, self.clip_frames, max(1, self.fps // 5))
 
+    # -- packed device input -------------------------------------------------
+    # No stage reads frames outside det ∪ dino ∪ pose (33 of 125 for the
+    # canonical clip), so device inputs carry only those P rows
+    # ((B, P, H, W, 3)) — host→HBM transfer drops ~3.8×, which dominates
+    # end-to-end latency on bandwidth-limited links.  Stage gathers index
+    # by *position within the packed array*; temporal logic (e.g. the
+    # pose→nearest-det-frame mapping) still uses the original indices.
+    @property
+    def packed_idx(self):
+        return np.unique(np.concatenate(
+            [self.det_idx, self.dino_idx, self.pose_idx]))
+
+    @property
+    def n_packed(self) -> int:
+        return int(len(self.packed_idx))
+
+    @property
+    def det_pos(self):
+        return np.searchsorted(self.packed_idx, self.det_idx)
+
+    @property
+    def dino_pos(self):
+        return np.searchsorted(self.packed_idx, self.dino_idx)
+
+    @property
+    def pose_pos(self):
+        return np.searchsorted(self.packed_idx, self.pose_idx)
+
+    def pack_frames(self, frames):
+        """(B, T, H, W, 3) with T == clip_frames → (B, P, H, W, 3); a
+        passthrough if already packed."""
+        t = frames.shape[1]
+        if t == self.n_packed:
+            return frames
+        assert t == self.clip_frames, \
+            f"expected {self.clip_frames} (full) or {self.n_packed} " \
+            f"(packed) frames, got {t}"
+        return frames[:, self.packed_idx]
+
 
 class LamenessEngine:
     """Owns model defs + params, staged jits, and the optional monolith."""
@@ -187,11 +226,11 @@ class LamenessEngine:
         return pb, ps, has
 
     def _detect_stage(self, params, frames):
-        """frames: (B, T, H, W, 3) uint8 → per-det-frame boxes + primaries."""
+        """frames: (B, P, H, W, 3) packed uint8 → boxes + primaries."""
         s = self.spec
         b = frames.shape[0]
         h, w = s.frame_height, s.frame_width
-        det_frames = frames[:, s.det_idx]
+        det_frames = frames[:, s.det_pos]
         td = det_frames.shape[1]
         flat = det_frames.reshape(b * td, h, w, 3)
         canvases, ratio, pad = jax.vmap(
@@ -228,11 +267,11 @@ class LamenessEngine:
 
     # -- stage 2: segmentation ----------------------------------------------
     def _sam_stage(self, params, frames, primary_bt):
-        """frames: (B, T, H, W, 3); primary_bt: (B, Td, 4)."""
+        """frames: (B, P, H, W, 3) packed; primary_bt: (B, Td, 4)."""
         s = self.spec
         b = frames.shape[0]
         h, w = s.frame_height, s.frame_width
-        det_frames = frames[:, s.det_idx]
+        det_frames = frames[:, s.det_pos]
         td = det_frames.shape[1]
         flat = det_frames.reshape(b * td, h, w, 3)
         primary = primary_bt.reshape(b * td, 4)
@@ -286,7 +325,7 @@ class LamenessEngine:
         s = self.spec
         b = frames.shape[0]
         h, w = s.frame_height, s.frame_width
-        dino_frames = frames[:, s.dino_idx]
+        dino_frames = frames[:, s.dino_pos]
         tdn = dino_frames.shape[1]
         dino_in = dino_mod.preprocess_frames(
             dino_frames.reshape(b * tdn, h, w, 3)).astype(s.dtype)
@@ -306,7 +345,7 @@ class LamenessEngine:
         s = self.spec
         b, tp = pose_boxes.shape[:2]
         h, w = s.frame_height, s.frame_width
-        flat = frames[:, s.pose_idx].reshape(b * tp, h, w, 3)
+        flat = frames[:, s.pose_pos].reshape(b * tp, h, w, 3)
         canvases, ratio, pad = jax.vmap(
             lambda f: letterbox(f, s.pose_size))(flat)
         out = self.pose_model.apply(params["pose"], canvases.astype(s.dtype))
@@ -405,7 +444,15 @@ class LamenessEngine:
     # -- public API ----------------------------------------------------------
     def run_staged(self, frames_dev: jnp.ndarray,
                    rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
-        """Chained per-stage jits; everything stays on device."""
+        """Chained per-stage jits; everything stays on device.
+
+        frames_dev must be PACKED (B, P, H, W, 3) — see
+        EngineSpec.pack_frames; callers with full clips should go through
+        process_clip_batch, which packs before the transfer."""
+        if frames_dev.shape[1] != self.spec.n_packed:
+            raise ValueError(
+                f"run_staged expects packed frames (P={self.spec.n_packed}"
+                f"), got T={frames_dev.shape[1]}; use spec.pack_frames()")
         if rng is None:
             rng = jax.random.PRNGKey(0)
         out = dict(self._jit_detect(self.params, frames_dev))
@@ -420,9 +467,11 @@ class LamenessEngine:
     def process_clip_batch(self, frames: np.ndarray,
                            rng: Optional[jax.Array] = None,
                            mode: str = "staged") -> Dict[str, np.ndarray]:
-        """frames: (B, T, H, W, 3) uint8 RGB with T == spec.clip_frames."""
+        """frames: (B, T, H, W, 3) uint8 RGB, T == spec.clip_frames (packed
+        host-side before transfer) or already packed (T == n_packed)."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        frames = self.spec.pack_frames(np.asarray(frames))
         # explicit device_put: feeding numpy straight into jit takes a slow
         # per-call transfer path on tunnelled TPU backends
         frames_dev = jax.device_put(jnp.asarray(frames))
@@ -440,7 +489,7 @@ class LamenessEngine:
         import threading
         import time as _time
         s = self.spec
-        frames = jnp.zeros((batch, s.clip_frames, s.frame_height,
+        frames = jnp.zeros((batch, s.n_packed, s.frame_height,
                             s.frame_width, 3), jnp.uint8)
         td = len(s.det_idx)
         boxes = jnp.tile(jnp.asarray([[1.0, 1.0, 10.0, 10.0]]),
@@ -494,7 +543,8 @@ class LamenessEngine:
         if rng is None:
             rng = jax.random.PRNGKey(0)
         dp = self._mesh.shape[DATA_AXIS]
-        padded, orig_b = pad_batch_to_multiple(np.asarray(frames), dp)
+        frames = self.spec.pack_frames(np.asarray(frames))
+        padded, orig_b = pad_batch_to_multiple(frames, dp)
         frames_dev = jax.device_put(jnp.asarray(padded),
                                     batch_sharding(self._mesh))
         with self._mesh:
@@ -517,7 +567,7 @@ class LamenessEngine:
             return out
 
         example = (self.params,
-                   jnp.zeros((1, s.clip_frames, s.frame_height,
+                   jnp.zeros((1, s.n_packed, s.frame_height,
                               s.frame_width, 3), jnp.uint8),
                    jax.random.PRNGKey(0))
         return core, example

@@ -139,31 +139,31 @@ class PipelineDriver:
     # ------------------------------------------------ fused device stages ---
     def _load_engine_frames(self, video_path: Path):
         """Decode + resize to the engine's static geometry; returns
-        (frames (1, T, H, W, 3), scale (sx, sy), native info).
+        (frames (1, P, H, W, 3) PACKED, scale (sx, sy), native info).
 
         Only the frames the stage subsets consume (det ∪ dino ∪ pose,
-        ~36 of 125 for a canonical clip) are decoded+resized; the rest of
-        the tensor is zero — no stage ever reads those rows.
+        33 of 125 for a canonical clip) are decoded+resized, and only
+        those rows are assembled/transferred — the engine's stage gathers
+        index the packed array (EngineSpec.packed_idx).
         """
         s = self.engine.spec
-        union = sorted({int(i) for arr in (s.det_idx, s.dino_idx, s.pose_idx)
-                        for i in np.asarray(arr)})
+        union = [int(i) for i in np.asarray(s.packed_idx)]
         with VideoReader(video_path) as vr:
             info = vr.info
             frames_map = vr.read_selected(union)
         if not frames_map:
             return None, None, info
-        out = np.zeros((s.clip_frames, s.frame_height, s.frame_width, 3),
+        out = np.zeros((s.n_packed, s.frame_height, s.frame_width, 3),
                        np.uint8)
         last = None
-        for idx in union:
+        for pi, idx in enumerate(union):
             f = frames_map.get(idx)
             if f is not None:
                 last = cv2.resize(f, (s.frame_width, s.frame_height))
             if last is not None:
                 # missing tail frames repeat the last decoded one (the
                 # previous pad-by-repeat semantics)
-                out[idx] = last
+                out[pi] = last
         sx = info["width"] / s.frame_width
         sy = info["height"] / s.frame_height
         return out[None], (sx, sy), info

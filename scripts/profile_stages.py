@@ -40,7 +40,7 @@ def main():
     engine = make_test_engine() if args.small else LamenessEngine()
     spec = engine.spec
     rng = np.random.default_rng(0)
-    frames = rng.integers(0, 255, (1, spec.clip_frames, spec.frame_height,
+    frames = rng.integers(0, 255, (1, spec.n_packed, spec.frame_height,
                                    spec.frame_width, 3), dtype=np.uint8)
     key = jax.random.PRNGKey(0)
 

@@ -107,10 +107,23 @@ def _measure(engine, frames_np, batch, rng, n_runs=5):
         times.append(time.time() - t0)
         _log(f"run {i + 1}/{n_runs}: {times[-1]:.2f}s")
     p50 = float(np.median(times))
+    # compute-only: same runs on device-RESIDENT frames — separates TPU
+    # capability from host-link bandwidth (which the tunnel throttles)
+    fd = jax.device_put(frames)
+    comp = []
+    for i in range(n_runs):
+        t0 = time.time()
+        out = engine.run_staged(fd, rng)
+        _ = float(out["tcn_probability"][0]) + float(out["embeddings"][0, 0, 0])
+        comp.append(time.time() - t0)
+    comp_p50 = float(np.median(comp))
+    _log(f"compute-only p50 {comp_p50:.2f}s")
     return {
         "p50_clip_latency_s": round(p50 / batch, 4),
         "p50_batch_latency_s": round(p50, 4),
         "clips_per_min": round(60.0 / p50 * batch, 2),
+        "p50_compute_s_per_clip": round(comp_p50 / batch, 4),
+        "compute_clips_per_min": round(60.0 / comp_p50 * batch, 2),
         "batch": batch,
         "compile_s": round(compile_s, 1),
         "stage_compiles_s": stage_compiles,

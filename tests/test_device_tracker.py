@@ -122,3 +122,110 @@ def test_device_tracker_batched():
     assert np.asarray(outs["state"]).shape == (b, 8, 8)
     st = np.asarray(outs["state"])
     assert np.all((st[:, -1] == CONFIRMED).sum(axis=1) == 2)
+
+
+def _crowded_scene(t=30, k=8, n_obj=5, seed=7):
+    """n_obj crossing walkers with jittered boxes, 12% detection dropout,
+    and occasional low-confidence detections (exercises the second BYTE
+    association stage)."""
+    rng = np.random.default_rng(seed)
+    boxes = np.zeros((t, k, 4), np.float32)
+    scores = np.zeros((t, k), np.float32)
+    valid = np.zeros((t, k), bool)
+    # walkway lanes: y-separated (no cross-lane box overlap — that would
+    # be unresolvable ambiguity, not tracker divergence), x crossing
+    xs = rng.uniform(0, 540, size=n_obj)
+    vx = rng.uniform(4, 9, size=n_obj) * rng.choice([-1, 1], size=n_obj)
+    for i in range(t):
+        for j in range(n_obj):
+            if rng.random() < 0.12:          # dropout
+                continue
+            x1 = xs[j] + vx[j] * i + rng.normal(0, 1.5)
+            y1 = 70.0 * j + rng.normal(0, 1.5)
+            boxes[i, j] = [x1, y1, x1 + 70, y1 + 55]
+            scores[i, j] = 0.85 if rng.random() > 0.2 else 0.35
+            valid[i, j] = True
+    return boxes, scores, valid
+
+
+def _iou_1to1(a, b):
+    """IoU matrix between (N, 4) and (M, 4)."""
+    ax1, ay1, ax2, ay2 = a[:, 0:1], a[:, 1:2], a[:, 2:3], a[:, 3:4]
+    bx1, by1, bx2, by2 = b[None, :, 0], b[None, :, 1], b[None, :, 2], \
+        b[None, :, 3]
+    iw = np.clip(np.minimum(ax2, bx2) - np.maximum(ax1, bx1), 0, None)
+    ih = np.clip(np.minimum(ay2, by2) - np.maximum(ay1, by1), 0, None)
+    inter = iw * ih
+    ua = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
+    return inter / np.maximum(ua, 1e-9)
+
+
+def test_device_host_divergence_bounded_crowded():
+    """Quantified divergence vs the host ByteTracker on a crowded
+    walkway scene with dropout + low-confidence detections (VERDICT W7),
+    measured against ground truth: the device fast path must cover at
+    least as many true objects per frame as the reference-exact host
+    (minus 5%) and must fragment no more (ids issued <= host's).  The
+    host's own quirks (tentative re-spawns under dropout, Kalman-drifted
+    zombie confirms) are inherited from the reference and NOT replicated
+    by the fast path — this test pins the direction of the divergence."""
+    boxes, scores, valid = _crowded_scene()
+    t = boxes.shape[0]
+    host = ByteTracker()
+    host_cov = []
+    for i in range(t):
+        dets = [Detection(boxes[i, j], float(scores[i, j]))
+                for j in range(boxes.shape[1]) if valid[i, j]]
+        tracks = host.update(dets, frame_idx=i)
+        gt = boxes[i][valid[i]]
+        if len(gt) == 0:
+            continue
+        tb = np.asarray([tr.bbox for tr in tracks], float).reshape(-1, 4)
+        cov = (_iou_1to1(gt, tb).max(axis=1) > 0.5).mean() if len(tb) \
+            else 0.0
+        host_cov.append(cov)
+    _, outs = track_clip(jnp.asarray(boxes), jnp.asarray(scores),
+                         jnp.asarray(valid), max_tracks=16)
+    st = np.asarray(outs["state"])
+    ob = np.asarray(outs["boxes"])
+    dev_cov = []
+    for i in range(t):
+        gt = boxes[i][valid[i]]
+        if len(gt) == 0:
+            continue
+        tb = ob[i][st[i] == CONFIRMED].reshape(-1, 4)
+        dev_cov.append((_iou_1to1(gt, tb).max(axis=1) > 0.5).mean()
+                       if len(tb) else 0.0)
+    # skip the 3-frame confirmation ramp both trackers share
+    h, d = float(np.mean(host_cov[3:])), float(np.mean(dev_cov[3:]))
+    assert d >= h - 0.05, (d, h)
+    assert d >= 0.85, (d, h)                  # absolute floor
+    n_dev_ids = int(np.asarray(outs["track_id"]).max())   # ids start at 1
+    n_host_ids = host.next_id                             # ids start at 0
+    assert n_dev_ids <= n_host_ids, (n_dev_ids, n_host_ids)
+
+
+def test_device_host_id_stability_through_crossing():
+    """Two targets crossing paths: both trackers must keep exactly two
+    ids for the whole clip (no fragmentation at the crossing)."""
+    t, k = 20, 4
+    boxes = np.zeros((t, k, 4), np.float32)
+    scores = np.zeros((t, k), np.float32)
+    valid = np.zeros((t, k), bool)
+    for i in range(t):
+        boxes[i, 0] = [10.0 + 15 * i, 100, 80.0 + 15 * i, 170]   # L -> R
+        boxes[i, 1] = [300.0 - 15 * i, 104, 370.0 - 15 * i, 174]  # R -> L
+        scores[i, :2] = [0.9, 0.88]
+        valid[i, :2] = True
+    host = ByteTracker()
+    for i in range(t):
+        dets = [Detection(boxes[i, j], float(scores[i, j]))
+                for j in range(k) if valid[i, j]]
+        host.update(dets, frame_idx=i)
+    _, outs = track_clip(jnp.asarray(boxes), jnp.asarray(scores),
+                         jnp.asarray(valid), max_tracks=8)
+    ids = np.asarray(outs["track_id"])
+    st = np.asarray(outs["state"])
+    issued = set(ids[st == CONFIRMED].tolist())
+    assert len(issued) == 2, issued
+    assert int(np.asarray(outs["state"])[-1].tolist().count(CONFIRMED)) == 2

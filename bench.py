@@ -19,22 +19,40 @@ BASELINE_CLIPS_PER_MIN = 15.0       # 1 s p50 on 4 chips → 4 s/clip/chip
 
 
 def load_clip_frames():
-    """Golden canonical clip if available, else synthetic 720p frames."""
+    """Golden canonical clip if available, else synthetic 720p frames.
+    The decoded PACKED frames are cached to disk — decode of the 720p
+    clip costs ~20 s of single-core CPU, which starves the bench's wall
+    budget when the host is contended."""
     import pathlib
+    cache = pathlib.Path(__file__).parent / ".bench_frames.npy"
+    if cache.exists():
+        try:
+            return np.load(cache)
+        except Exception:
+            pass
     golden = pathlib.Path(
         "/root/reference/data/canonical/"
         "5c3864af-b292-43e7-a319-becb0e98c230_canonical.mp4")
+    frames = None
     if golden.exists():
         try:
             from lameness_tpu.video.decode import VideoReader
             with VideoReader(golden) as vr:
-                frames, _ = vr.read_sampled(interval=1)
-            if frames.shape[0] >= 125:
-                return frames[:125][None]          # (1, 125, 720, 1280, 3)
+                raw, _ = vr.read_sampled(interval=1)
+            if raw.shape[0] >= 125:
+                frames = raw[:125][None]           # (1, 125, 720, 1280, 3)
         except Exception:
             pass
-    rng = np.random.default_rng(0)
-    return rng.integers(0, 255, (1, 125, 720, 1280, 3), dtype=np.uint8)
+    if frames is None:
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (1, 125, 720, 1280, 3), dtype=np.uint8)
+    from lameness_tpu.pipeline.engine import EngineSpec
+    packed = np.ascontiguousarray(frames[:, EngineSpec().packed_idx])
+    try:
+        np.save(cache, packed)
+    except Exception:
+        pass
+    return packed
 
 
 def _device_watchdog(timeout_s: float = 150.0) -> None:
@@ -161,6 +179,7 @@ def main():
                                         s.frame_width, 3), dtype=np.uint8)
     else:
         frames = load_clip_frames()
+        _log(f"frames loaded {frames.shape}")
         engine = LamenessEngine(spec=EngineSpec())
     build_s = time.time() - t0
     _log(f"engine built ({build_s:.1f}s)")

@@ -32,6 +32,14 @@ def _build(args, engine_needed=True):
         else:
             from .pipeline.engine import LamenessEngine
             engine = LamenessEngine()
+        # ComputeConfig.dtype declares the serving precision; bf16 doubles
+        # MXU throughput on v5e (encoders cast, heads/norms stay f32 —
+        # pipeline/precision.py).  Only on real TPU: CPU test runs keep
+        # exact f32 numerics.
+        if (cfg.compute.dtype == "bfloat16" and not args.f32
+                and jax.default_backend() == "tpu"):
+            from .pipeline.precision import apply_engine_policy
+            print("precision:", apply_engine_policy(engine), flush=True)
     return cfg, engine, LamenessApp
 
 
@@ -39,6 +47,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="lameness_tpu")
     ap.add_argument("--data", help="data root directory")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--f32", action="store_true",
+                    help="disable the bf16 engine policy (TPU default: "
+                         "encoders bf16 per config.compute.dtype)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("serve", help="reactive app + admin API")

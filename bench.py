@@ -199,9 +199,30 @@ def main():
     else:
         plan = [(False, 1), (True, 1), (True, 4), (False, 4)]
 
+    def measure_driver_e2e():
+        """True end-to-end through the driver (selective decode + engine +
+        schema-exact result writing) on the golden clip."""
+        import pathlib
+        import tempfile
+        golden = pathlib.Path(
+            "/root/reference/data/canonical/"
+            "5c3864af-b292-43e7-a319-becb0e98c230_canonical.mp4")
+        if not golden.exists():
+            return None
+        from lameness_tpu.core.config import Config
+        from lameness_tpu.serve.driver import PipelineDriver
+        cfg = Config.load(data_root=tempfile.mkdtemp() + "/data")
+        cfg.dirs.ensure()
+        drv = PipelineDriver(config=cfg, engine=engine)
+        drv.run_feature_stages("warm", golden)   # warm the writers
+        t0 = time.time()
+        drv.run_feature_stages("bench", golden)
+        return round(time.time() - t0, 3)
+
     sweep = []
+    driver_e2e = None
     bf16_applied = False
-    for bf16, batch in plan:
+    for cfg_i, (bf16, batch) in enumerate(plan):
         # leave room for the runs themselves (compile ~40 s/stage cold)
         if sweep and _remaining() < 150:
             break
@@ -222,33 +243,18 @@ def main():
         except Exception as e:
             sweep.append({"bf16": bf16, "batch": batch,
                           "error": repr(e)[:200]})
+        if cfg_i == 0 and "clips_per_min" in sweep[-1]:
+            # capture the driver e2e secondary right after the reference
+            # config — a tunnel wedge later must not cost this metric
+            try:
+                driver_e2e = measure_driver_e2e()
+                _log(f"driver e2e {driver_e2e}s")
+            except Exception:
+                pass
     measured = [m for m in sweep if "clips_per_min" in m]
     if not measured:
         raise RuntimeError(f"no config measured: {sweep}")
     best = max(measured, key=lambda m: m["clips_per_min"])
-
-    # secondary: true end-to-end through the driver (selective decode +
-    # engine + schema-exact result writing) on the golden clip
-    driver_e2e = None
-    if _remaining() > 60:
-        try:
-            import pathlib
-            import tempfile
-            golden = pathlib.Path(
-                "/root/reference/data/canonical/"
-                "5c3864af-b292-43e7-a319-becb0e98c230_canonical.mp4")
-            if golden.exists():
-                from lameness_tpu.core.config import Config
-                from lameness_tpu.serve.driver import PipelineDriver
-                cfg = Config.load(data_root=tempfile.mkdtemp() + "/data")
-                cfg.dirs.ensure()
-                drv = PipelineDriver(config=cfg, engine=engine)
-                drv.run_feature_stages("warm", golden)   # warm the writers
-                t0 = time.time()
-                drv.run_feature_stages("bench", golden)
-                driver_e2e = round(time.time() - t0, 3)
-        except Exception:
-            pass
 
     result = {
         "metric": "clips_per_min_per_chip",

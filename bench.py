@@ -24,35 +24,40 @@ def load_clip_frames():
     clip costs ~20 s of single-core CPU, which starves the bench's wall
     budget when the host is contended."""
     import pathlib
+    from lameness_tpu.pipeline.engine import EngineSpec
+    spec = EngineSpec()
     cache = pathlib.Path(__file__).parent / ".bench_frames.npy"
     if cache.exists():
         try:
-            return np.load(cache)
+            packed = np.load(cache)
+            if packed.shape == (1, spec.n_packed, spec.frame_height,
+                                spec.frame_width, 3):
+                return packed
         except Exception:
             pass
     golden = pathlib.Path(
         "/root/reference/data/canonical/"
         "5c3864af-b292-43e7-a319-becb0e98c230_canonical.mp4")
-    frames = None
     if golden.exists():
         try:
             from lameness_tpu.video.decode import VideoReader
             with VideoReader(golden) as vr:
                 raw, _ = vr.read_sampled(interval=1)
             if raw.shape[0] >= 125:
-                frames = raw[:125][None]           # (1, 125, 720, 1280, 3)
+                packed = np.ascontiguousarray(
+                    raw[:125][None][:, spec.packed_idx])
+                try:
+                    # cache ONLY real footage — a cached synthetic fallback
+                    # would silently poison every later bench
+                    np.save(cache, packed)
+                except Exception:
+                    pass
+                return packed
         except Exception:
             pass
-    if frames is None:
-        rng = np.random.default_rng(0)
-        frames = rng.integers(0, 255, (1, 125, 720, 1280, 3), dtype=np.uint8)
-    from lameness_tpu.pipeline.engine import EngineSpec
-    packed = np.ascontiguousarray(frames[:, EngineSpec().packed_idx])
-    try:
-        np.save(cache, packed)
-    except Exception:
-        pass
-    return packed
+    rng = np.random.default_rng(0)
+    full = rng.integers(0, 255, (1, 125, 720, 1280, 3), dtype=np.uint8)
+    return np.ascontiguousarray(full[:, spec.packed_idx])
 
 
 def _device_watchdog(timeout_s: float = 150.0) -> None:

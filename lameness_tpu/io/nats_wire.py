@@ -244,20 +244,29 @@ class NatsClient:
     def connect(self, timeout_s: float = 5.0) -> "NatsClient":
         self._sock = socket.create_connection((self.host, self.port),
                                               timeout=timeout_s)
-        self._sock.settimeout(None)
+        # keep the timeout through the INFO/CONNECT/PONG handshake: a
+        # non-NATS listener (wrong port) would otherwise hang recv()
+        # forever instead of failing fast
         self._buf = b""
-        line = self._read_line()
-        if not line.startswith(b"INFO "):
-            raise ConnectionError(f"unexpected greeting: {line[:40]!r}")
-        self.server_info = json.loads(line[5:])
-        opts = {"verbose": False, "pedantic": False, "name": self.name,
-                "lang": "python", "version": "0.1.0", "protocol": 1,
-                "echo": self.echo}
-        self._send(b"CONNECT " + json.dumps(opts).encode() + _CRLF +
-                   b"PING" + _CRLF)
-        pong = self._read_line()
-        if pong.strip().upper() != b"PONG":
-            raise ConnectionError(f"no PONG after CONNECT: {pong[:40]!r}")
+        try:
+            line = self._read_line()
+            if not line.startswith(b"INFO "):
+                raise ConnectionError(f"unexpected greeting: {line[:40]!r}")
+            self.server_info = json.loads(line[5:])
+            opts = {"verbose": False, "pedantic": False, "name": self.name,
+                    "lang": "python", "version": "0.1.0", "protocol": 1,
+                    "echo": self.echo}
+            self._send(b"CONNECT " + json.dumps(opts).encode() + _CRLF +
+                       b"PING" + _CRLF)
+            pong = self._read_line()
+            if pong.strip().upper() != b"PONG":
+                raise ConnectionError(f"no PONG after CONNECT: {pong[:40]!r}")
+        except (socket.timeout, TimeoutError) as e:
+            self._sock.close()
+            raise ConnectionError(
+                f"NATS handshake timed out after {timeout_s}s "
+                f"(is {self.host}:{self.port} really a NATS server?)") from e
+        self._sock.settimeout(None)          # blocking mode for the reader
         self._connected.set()
         threading.Thread(target=self._reader, daemon=True,
                          name=f"nats-reader-{self.port}").start()

@@ -367,6 +367,10 @@ class LamenessEngine:
         kpts_old = pose_mod.map_roboflow_to_old_device(kpts_model)
         heur = pose_mod.heuristic_keypoints_device(prim)
         kpts_old = jnp.where(hit[:, None, None], kpts_old, heur)
+        # miss frames: zero the model-name rows (coords + confidence) so
+        # the result JSON can't carry a padding slot's garbage keypoints
+        # as confident-looking data; locomotion uses the heuristic rows
+        kpts_model = jnp.where(hit[:, None, None], kpts_model, 0.0)
         return (kpts_old.reshape(b, tp, -1, 3),
                 kpts_model.reshape(b, tp, -1, 3),
                 hit.reshape(b, tp))

@@ -1,11 +1,12 @@
 """Clip batching for the serving app: N queued videos -> ONE engine call.
 
 The reference processes one video per NATS message per GPU service; on
-TPU the engine's throughput path (`driver.run_feature_stages_batch`)
-stacks clips on the batch axis and amortises dispatch + pipeline
-bubbles.  This collector groups `video.preprocessed` arrivals within a
-short window (or until ``max_batch``) and runs them as one batch,
-falling through to singles under light load.
+TPU the engine's throughput path (`driver.process_stream`) stacks clips
+on the batch axis — background decode of batch n+1 overlapping the
+engine on batch n — and amortises dispatch + pipeline bubbles.  This
+collector groups `video.preprocessed` arrivals within a short window
+(or until ``max_batch``) and runs them as one padded batch, falling
+through to singles under light load.
 """
 from __future__ import annotations
 

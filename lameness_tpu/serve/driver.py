@@ -186,35 +186,11 @@ class PipelineDriver:
 
     def run_feature_stages_batch(self, jobs, pad_to: Optional[int] = None):
         """Throughput path: N clips -> ONE engine call -> N result sets.
-        jobs: list of (video_id, processed_path).
-
-        ``pad_to`` pads a partial batch to a fixed size by repeating the
-        last clip (results for padding discarded) so every call hits ONE
-        compiled XLA signature — otherwise each distinct batch size costs
-        a fresh stage compile on-chip.
-        """
-        assert self.engine is not None, "driver needs an engine"
-        frames_list, metas = [], []
-        for video_id, path in jobs:
-            with TIMERS.time("decode"):
-                frames, scale, info = self._load_engine_frames(Path(path))
-            if frames is None:
-                continue
-            frames_list.append(frames[0])
-            metas.append((video_id, scale, info))
-        if not frames_list:
-            return []
-        if pad_to is not None:
-            while len(frames_list) < pad_to:
-                frames_list.append(frames_list[-1])
-        batch = np.stack(frames_list)
-        with TIMERS.time("engine_batch"):
-            out = self.engine.process_clip_batch(batch)
-        results = []
-        for b_idx, (video_id, scale, info) in enumerate(metas):
-            results.append(self._write_stage_results(video_id, out, b_idx,
-                                                     scale, info))
-        return results
+        jobs: list of (video_id, processed_path).  Thin wrapper over
+        process_stream (one batch, no lookahead decode)."""
+        jobs = list(jobs)
+        return self.process_stream(jobs, batch_size=max(1, len(jobs)),
+                                   pad_to=pad_to)
 
     def process_stream(self, jobs, batch_size: int = 1,
                        pad_to: Optional[int] = None):
@@ -235,19 +211,30 @@ class PipelineDriver:
         q: "_queue.Queue" = _queue.Queue(maxsize=2)
 
         def producer():
-            batch = []
-            for video_id, path in jobs:
-                with TIMERS.time("decode"):
-                    frames, scale, info = self._load_engine_frames(Path(path))
-                if frames is None:
-                    continue
-                batch.append((video_id, frames[0], scale, info))
-                if len(batch) >= batch_size:
+            # the None sentinel MUST reach the consumer even if a decode
+            # raises — a dead producer would otherwise wedge the serving
+            # batcher (and every later upload) in q.get() forever
+            try:
+                batch = []
+                for video_id, path in jobs:
+                    try:
+                        with TIMERS.time("decode"):
+                            frames, scale, info = self._load_engine_frames(
+                                Path(path))
+                    except Exception as e:
+                        LOG.error("stream.decode_failed",
+                                  exc=e, video_id=video_id)
+                        continue
+                    if frames is None:
+                        continue
+                    batch.append((video_id, frames[0], scale, info))
+                    if len(batch) >= batch_size:
+                        q.put(batch)
+                        batch = []
+                if batch:
                     q.put(batch)
-                    batch = []
-            if batch:
-                q.put(batch)
-            q.put(None)
+            finally:
+                q.put(None)
 
         t = _threading.Thread(target=producer, daemon=True)
         t.start()

@@ -77,3 +77,33 @@ def test_selective_decode_matches_full(tmp_data_root, tmp_path):
     for i in (0, 7, 13, 29):
         np.testing.assert_array_equal(sel[i], full[i])
     assert set(sel) == {0, 7, 13, 29}
+
+
+def test_process_stream_survives_decode_failure(tmp_data_root, tmp_path):
+    """A corrupt/missing clip in the stream must not wedge the consumer:
+    the producer's sentinel reaches q.get() and the good jobs complete
+    (the serving batcher routes ALL traffic through process_stream)."""
+    from lameness_tpu.video.curation import ClipCurator
+    cfg = tmp_data_root
+    engine = make_test_engine()
+    curator = ClipCurator(cfg.dirs, detector=_square_detector)
+    driver = PipelineDriver(config=cfg, engine=engine, curator=curator)
+
+    vp = _synthetic_walk_video(tmp_path / "ok.mp4", n_frames=40,
+                               w=160, h=90, fps=5)
+    vid = driver.ingest(vp, "okvid")
+    pre = driver.preprocess(vid)
+    bad = tmp_path / "corrupt.mp4"
+    bad.write_bytes(b"not a video")
+    jobs = [("badvid", bad), (vid, pre["processed_path"]),
+            ("missing", tmp_path / "nope.mp4")]
+
+    import threading
+    results = []
+    t = threading.Thread(
+        target=lambda: results.extend(driver.process_stream(jobs)))
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), "process_stream wedged on a decode failure"
+    assert len(results) == 1
+    assert (cfg.dirs.results_for("tcn") / f"{vid}_tcn.json").exists()

@@ -141,12 +141,32 @@ def _measure(engine, frames_np, batch, rng, n_runs=5):
         comp.append(time.time() - t0)
     comp_p50 = float(np.median(comp))
     _log(f"compute-only p50 {comp_p50:.2f}s")
+    # per-stage breakdown (one forced sync each; resident frames)
+    stage_s = {}
+    det = engine._jit_detect(engine.params, fd)
+    for name, fn, args in (
+            ("detect", engine._jit_detect, (engine.params, fd)),
+            ("sam", engine._jit_sam, (engine.params, fd,
+                                      det["primary_boxes"])),
+            ("dino", engine._jit_dino, (engine.params, fd)),
+            ("heads", engine._jit_heads, (engine.params, fd,
+                                          det["primary_boxes"],
+                                          det["primary_scores"], rng))):
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            out_s = fn(*args)
+            jax.tree_util.tree_leaves(out_s)[0].block_until_ready()
+            ts.append(time.time() - t0)
+        stage_s[name] = round(float(np.median(ts)), 3)
+    _log(f"stage p50 {stage_s}")
     return {
         "p50_clip_latency_s": round(p50 / batch, 4),
         "p50_batch_latency_s": round(p50, 4),
         "clips_per_min": round(60.0 / p50 * batch, 2),
         "p50_compute_s_per_clip": round(comp_p50 / batch, 4),
         "compute_clips_per_min": round(60.0 / comp_p50 * batch, 2),
+        "stage_run_p50_s": stage_s,
         "batch": batch,
         "compile_s": round(compile_s, 1),
         "stage_compiles_s": stage_compiles,

@@ -79,7 +79,31 @@ def main(argv=None):
     ns.add_argument("--host", default="127.0.0.1")
     ns.add_argument("--port", type=int, default=4222)
 
+    qs = sub.add_parser("qdrant-server",
+                        help="run the first-party Qdrant-REST vector server")
+    qs.add_argument("--host", default="127.0.0.1")
+    qs.add_argument("--port", type=int, default=6333)
+    qs.add_argument("--persist", default=None,
+                    help="JSON persistence path for the backing store")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "qdrant-server":
+        from .io.qdrant_wire import QdrantRestServer
+        from .io.vecstore import VectorStore
+        store = VectorStore(persist_path=Path(args.persist)
+                            if args.persist else None)
+        srv = QdrantRestServer(store=store, host=args.host, port=args.port)
+        port = srv.start()
+        print(f"Qdrant-REST vector server on http://{args.host}:{port}",
+              flush=True)
+        try:
+            import time
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.stop()
+        return
 
     if args.cmd == "nats-server":
         from .io.nats_wire import NatsServer

@@ -255,6 +255,9 @@ class ReidConfig:
     embedding_dim: int = 768
     collection_embeddings: str = "cow_embeddings"
     collection_identities: str = "cow_identities"
+    # Qdrant-REST vector server (config.yaml:60 QDRANT_URL analog); None =
+    # in-process store.  A stock Qdrant or io/qdrant_wire.QdrantRestServer.
+    vector_url: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------

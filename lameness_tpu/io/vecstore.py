@@ -203,13 +203,16 @@ class VectorStore:
 
 def make_store(url: Optional[str] = None,
                persist_path: Optional[Path] = None):
-    """Prefer a real Qdrant server when configured+importable, else local."""
+    """Prefer a vector server when configured & reachable, else local.
+
+    ``url`` speaks the Qdrant REST protocol — a stock Qdrant server or
+    the first-party ``io/qdrant_wire.QdrantRestServer``.  The returned
+    client exposes the same method surface as ``VectorStore``, so every
+    caller (Re-ID, embedding upsert/search, admin views) runs unchanged.
+    """
     if url:
-        try:
-            from qdrant_client import QdrantClient  # type: ignore
-            client = QdrantClient(url=url)
-            client.get_collections()
-            return client  # caller must use qdrant API directly
-        except Exception:
-            pass
+        from .qdrant_wire import QdrantRestStore
+        client = QdrantRestStore(url)
+        if client.ping():
+            return client
     return VectorStore(persist_path=persist_path)

@@ -59,7 +59,10 @@ class LamenessApp:
             journal_path=Path(self.dirs.root) / "bus_journal.jsonl",
             async_dispatch=async_dispatch, workers=bus_workers)
         self.db = Database(Path(self.dirs.root) / "lameness.db")
-        self.store = VectorStore(Path(self.dirs.root) / "vector_store.json")
+        from ..io.vecstore import make_store
+        self.store = make_store(
+            url=self.config.reid.vector_url,
+            persist_path=Path(self.dirs.root) / "vector_store.json")
         self.driver = PipelineDriver(config=self.config, engine=engine,
                                      bus=self.bus, store=self.store)
         self.reliability = RaterReliabilityService(

@@ -52,8 +52,12 @@ class PipelineDriver:
             journal_path=self.dirs.root and
             Path(self.dirs.root) / "bus_journal.jsonl")
         self.engine = engine
-        self.store = store or VectorStore(
-            Path(self.dirs.root) / "vector_store.json")
+        if store is None:
+            from ..io.vecstore import make_store
+            store = make_store(
+                url=self.config.reid.vector_url,
+                persist_path=Path(self.dirs.root) / "vector_store.json")
+        self.store = store
         self.store.create_collection(
             self.config.reid.collection_embeddings,
             self.config.reid.embedding_dim)

@@ -2,11 +2,16 @@
 
 The reference runs Postgres with 14 ORM models
 (``admin-interface/backend/app/database.py:43-335`` mirrored by
-``scripts/init_db.sql``).  This module renders the same tables in SQLite
-via stdlib ``sqlite3`` (SQLAlchemy/asyncpg are not in the image) behind a
-thread-safe ``Database`` facade whose helper methods cover every query
-the routers make.  Swap ``url=postgresql://...`` to proxy to a real
-Postgres when a driver is available.
+``scripts/init_db.sql``).  The contract is the schema + the query set
+the routers make — this module renders both in SQLite via stdlib
+``sqlite3`` behind a thread-safe ``Database`` facade, every helper
+exercised by tests.  A Postgres deployment is a driver swap on this
+facade (the SQL here is deliberately portable: TEXT/INTEGER/REAL
+columns, no sqlite-only syntax beyond ``INSERT OR REPLACE``); no
+DB-API Postgres driver ships in this image, so that branch is
+documented in ``docs/DEPLOY.md`` rather than carried as dead code —
+the same reasoning that replaced the unexercisable qdrant-client
+branch with the first-party wire server in ``io/qdrant_wire.py``.
 
 Tables: users, sessions, processing_jobs, videos, gold_tasks, rater_stats,
 service_heartbeats, video_elo_ratings, pairwise_comparisons, elo_history,

@@ -225,15 +225,17 @@ def main():
         plan = [(False, 1), (True, 1), (True, 4), (False, 4)]
 
     def measure_driver_e2e():
-        """True end-to-end through the driver (selective decode + engine +
-        schema-exact result writing) on the golden clip."""
+        """True end-to-end through the driver on the golden clip: single
+        run_feature_stages latency (decode serial before the engine), and
+        process_stream amortized s/clip where background decode overlaps
+        device compute (the serving batcher's default path)."""
         import pathlib
         import tempfile
         golden = pathlib.Path(
             "/root/reference/data/canonical/"
             "5c3864af-b292-43e7-a319-becb0e98c230_canonical.mp4")
         if not golden.exists():
-            return None
+            return None, None
         from lameness_tpu.core.config import Config
         from lameness_tpu.serve.driver import PipelineDriver
         cfg = Config.load(data_root=tempfile.mkdtemp() + "/data")
@@ -242,10 +244,15 @@ def main():
         drv.run_feature_stages("warm", golden)   # warm the writers
         t0 = time.time()
         drv.run_feature_stages("bench", golden)
-        return round(time.time() - t0, 3)
+        single = round(time.time() - t0, 3)
+        t0 = time.time()
+        drv.process_stream([(f"s{i}", golden) for i in range(3)],
+                           batch_size=1)
+        stream = round((time.time() - t0) / 3, 3)
+        return single, stream
 
     sweep = []
-    driver_e2e = None
+    driver_e2e = driver_stream = None
     bf16_applied = False
     for cfg_i, (bf16, batch) in enumerate(plan):
         # leave room for the runs themselves (compile ~40 s/stage cold)
@@ -272,8 +279,9 @@ def main():
             # capture the driver e2e secondary right after the reference
             # config — a tunnel wedge later must not cost this metric
             try:
-                driver_e2e = measure_driver_e2e()
-                _log(f"driver e2e {driver_e2e}s")
+                driver_e2e, driver_stream = measure_driver_e2e()
+                _log(f"driver e2e {driver_e2e}s, stream {driver_stream}"
+                     f"s/clip")
             except Exception:
                 pass
     measured = [m for m in sweep if "clips_per_min" in m]
@@ -291,6 +299,7 @@ def main():
         "best_config": {"bf16": best["bf16"], "batch": best["batch"]},
         "sweep": sweep,
         "driver_e2e_s_incl_decode": driver_e2e,
+        "driver_stream_s_per_clip": driver_stream,
         "build_s": round(build_s, 1),
         "backend": jax.default_backend(),
         "stages": "yolo+sam_vitb+dino_vitb+pose+tcn+gait "

@@ -31,6 +31,17 @@ YOLO_URL = ("https://github.com/ultralytics/assets/releases/download/"
 HF = {"sam": "facebook/sam-vit-base", "dino": "facebook/dinov2-base"}
 
 
+def _has_egress(host: str) -> bool:
+    """Fast DNS preflight — without it, HF retries 5x with backoff
+    (~1 min of stalling) in air-gapped environments."""
+    import socket
+    try:
+        socket.getaddrinfo(host, 443)
+        return True
+    except OSError:
+        return False
+
+
 def fetch_yolo(out: Path) -> bool:
     dst = out / "_downloads" / "yolov8n.pt"
     dst.parent.mkdir(parents=True, exist_ok=True)
@@ -56,6 +67,11 @@ def fetch_yolo(out: Path) -> bool:
 
 def fetch_hf(kind: str, out: Path) -> bool:
     repo = HF[kind]
+    if not _has_egress("huggingface.co"):
+        print(f"!! {kind}: no egress to huggingface.co.\n"
+              f"   With a local snapshot: python scripts/convert_weights.py "
+              f"{kind} /path/to/{repo.split('/')[-1]} --out {out}")
+        return False
     try:
         if kind == "sam":
             from transformers import SamModel
@@ -81,8 +97,9 @@ def fetch_hf(kind: str, out: Path) -> bool:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("models", nargs="*", default=["yolo", "sam", "dino"],
-                    choices=["yolo", "sam", "dino"])
+    # no default list here: argparse validates a list default against
+    # `choices` as if it were one value and always errors
+    ap.add_argument("models", nargs="*", choices=["yolo", "sam", "dino"])
     ap.add_argument("--out", type=Path, default=Path("data/models"))
     args = ap.parse_args()
     models = args.models or ["yolo", "sam", "dino"]

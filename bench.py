@@ -289,6 +289,33 @@ def main():
         raise RuntimeError(f"no config measured: {sweep}")
     best = max(measured, key=lambda m: m["clips_per_min"])
 
+    # 2-dispatch mode ([detect+dino] -> [sam+heads]): same computation,
+    # half the per-clip dispatch round trips — measure compute-only in
+    # whatever precision the sweep left installed
+    pair_mode = None
+    if _remaining() > 120:
+        try:
+            _log("pair-mode warmup")
+            engine.warmup(batch=1, mode="pair")
+            fdp = jax.device_put(engine.spec.pack_frames(frames))
+
+            def pair_once():
+                out = engine.run_paired(fdp, rng)
+                return (float(out["tcn_probability"][0])
+                        + float(out["embeddings"][0, 0, 0]))
+
+            pair_once()
+            ts = []
+            for _ in range(5):
+                t0 = time.time()
+                pair_once()
+                ts.append(time.time() - t0)
+            pair_mode = {"p50_compute_s": round(float(np.median(ts)), 4),
+                         "bf16": bf16_applied}
+            _log(f"pair mode {pair_mode}")
+        except Exception as e:
+            pair_mode = {"error": repr(e)[:200]}
+
     result = {
         "metric": "clips_per_min_per_chip",
         "value": best["clips_per_min"],
@@ -300,6 +327,7 @@ def main():
         "sweep": sweep,
         "driver_e2e_s_incl_decode": driver_e2e,
         "driver_stream_s_per_clip": driver_stream,
+        "pair_mode_2_dispatch": pair_mode,
         "build_s": round(build_s, 1),
         "backend": jax.default_backend(),
         "stages": "yolo+sam_vitb+dino_vitb+pose+tcn+gait "

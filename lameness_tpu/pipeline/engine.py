@@ -164,7 +164,25 @@ class LamenessEngine:
         self._jit_sam = jax.jit(self._sam_stage)
         self._jit_dino = jax.jit(self._dino_stage)
         self._jit_heads = jax.jit(self._heads_stage)
+        self._jit_front = jax.jit(self._front_stage)
+        self._jit_back = jax.jit(self._back_stage)
         self._fused = jax.jit(self._fused_step)
+
+    # -- paired programs (mode="pair"): halve per-clip dispatches ------------
+    def _front_stage(self, params, frames):
+        """detect + dino in ONE program — they are independent, so XLA
+        can overlap their compute, and a high-latency dispatch path (the
+        remote tunnel) pays 2 round trips per clip instead of 4."""
+        out = dict(self._detect_stage(params, frames))
+        out.update(self._dino_stage(params, frames))
+        return out
+
+    def _back_stage(self, params, frames, primary_bt, score_bt, dropout_rng):
+        """sam + heads in one program (both consume the primaries)."""
+        out = dict(self._sam_stage(params, frames, primary_bt))
+        out.update(self._heads_stage(params, frames, primary_bt, score_bt,
+                                     dropout_rng))
+        return out
 
     # -- weight loading hooks ------------------------------------------------
     def load_torch_weights(self, name: str, state_dict) -> None:
@@ -468,6 +486,24 @@ class LamenessEngine:
                                    out["primary_scores"], rng))
         return out
 
+    def run_paired(self, frames_dev: jnp.ndarray,
+                   rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+        """Two-program chain ([detect+dino] -> [sam+heads]): identical
+        outputs to run_staged with half the dispatches — wins when
+        per-dispatch latency is high (tunnelled backends); the 4-program
+        mode stays the default because its smaller HLOs are known to
+        compile on remote-compile services."""
+        if frames_dev.shape[1] != self.spec.n_packed:
+            raise ValueError(
+                f"run_paired expects packed frames (P={self.spec.n_packed})")
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        out = dict(self._jit_front(self.params, frames_dev))
+        out.update(self._jit_back(self.params, frames_dev,
+                                  out["primary_boxes"],
+                                  out["primary_scores"], rng))
+        return out
+
     def process_clip_batch(self, frames: np.ndarray,
                            rng: Optional[jax.Array] = None,
                            mode: str = "staged") -> Dict[str, np.ndarray]:
@@ -481,11 +517,13 @@ class LamenessEngine:
         frames_dev = jax.device_put(jnp.asarray(frames))
         if mode == "monolith":
             out = self._fused(self.params, frames_dev, rng)
+        elif mode == "pair":
+            out = self.run_paired(frames_dev, rng)
         else:
             out = self.run_staged(frames_dev, rng)
         return jax.tree_util.tree_map(np.asarray, out)
 
-    def warmup(self, batch: int = 1) -> Dict[str, float]:
+    def warmup(self, batch: int = 1, mode: str = "staged") -> Dict[str, float]:
         """Compile all four stage programs concurrently on dummy inputs —
         the stages are independent, so cold-start wall time drops from the
         sum of the compiles to roughly the slowest one.  Returns per-stage
@@ -508,17 +546,26 @@ class LamenessEngine:
             jax.tree_util.tree_leaves(out)[0].block_until_ready()
             timings[name] = round(_time.time() - t0, 1)
 
-        threads = [
-            threading.Thread(target=run, args=(
-                "detect", self._jit_detect, self.params, frames)),
-            threading.Thread(target=run, args=(
-                "sam", self._jit_sam, self.params, frames, boxes)),
-            threading.Thread(target=run, args=(
-                "dino", self._jit_dino, self.params, frames)),
-            threading.Thread(target=run, args=(
-                "heads", self._jit_heads, self.params, frames, boxes, scores,
-                rng)),
-        ]
+        if mode == "pair":
+            threads = [
+                threading.Thread(target=run, args=(
+                    "front", self._jit_front, self.params, frames)),
+                threading.Thread(target=run, args=(
+                    "back", self._jit_back, self.params, frames, boxes,
+                    scores, rng)),
+            ]
+        else:
+            threads = [
+                threading.Thread(target=run, args=(
+                    "detect", self._jit_detect, self.params, frames)),
+                threading.Thread(target=run, args=(
+                    "sam", self._jit_sam, self.params, frames, boxes)),
+                threading.Thread(target=run, args=(
+                    "dino", self._jit_dino, self.params, frames)),
+                threading.Thread(target=run, args=(
+                    "heads", self._jit_heads, self.params, frames, boxes,
+                    scores, rng)),
+            ]
         for t in threads:
             t.start()
         for t in threads:

@@ -49,6 +49,17 @@ def test_staged_equals_monolith(engine, frames):
         np.testing.assert_allclose(staged[k], mono[k], atol=1e-5, err_msg=k)
 
 
+def test_staged_equals_paired(engine, frames):
+    """The 2-program chain ([detect+dino] -> [sam+heads]) is the same
+    computation as the 4-program chain."""
+    rng = jax.random.PRNGKey(3)
+    staged = engine.process_clip_batch(frames, rng=rng, mode="staged")
+    pair = engine.process_clip_batch(frames, rng=rng, mode="pair")
+    for k in ("det_boxes", "primary_boxes", "masks", "embeddings",
+              "tcn_probability", "gait_probability"):
+        np.testing.assert_allclose(staged[k], pair[k], atol=1e-5, err_msg=k)
+
+
 def test_primary_box_fallback(engine, frames):
     """Random-weight YOLO rarely finds 'cows'; every frame must still have a
     primary box (the tleap margin fallback)."""

@@ -48,9 +48,13 @@ def _make_model(slot: str, params: Optional[Dict[str, Any]] = None):
         except ImportError:
             pass
         from sklearn.ensemble import HistGradientBoostingClassifier
+        # min_samples_leaf=1 mirrors XGBoost's min_child_weight=1 default;
+        # sklearn's Hist default of 20 can't split small early-stage
+        # datasets at all (majority-class predictions, CV accuracy 0.5)
         return HistGradientBoostingClassifier(max_iter=n_estimators,
                                               learning_rate=lr,
-                                              max_depth=depth)
+                                              max_depth=depth,
+                                              min_samples_leaf=1)
     if slot == "lightgbm":
         try:
             from lightgbm import LGBMClassifier  # type: ignore

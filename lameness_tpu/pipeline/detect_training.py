@@ -161,6 +161,20 @@ def task_aligned_assign(pd_scores: jnp.ndarray, pd_boxes: jnp.ndarray,
     kth = jnp.sort(align, axis=-1)[..., -k][..., None]          # (B, M, 1)
     cand = in_box & (align >= jnp.maximum(kth, 1e-9)) & (align > 0)
 
+    # cold-start fallback: a gt whose align is 0 for EVERY anchor (box
+    # predictions collapsed to zero IoU early in training) would get no
+    # candidates, n_fg drops to 0 and the loss parks at a dead 0 forever.
+    # Such a gt claims its closest in-box anchor so a gradient path stays
+    # alive; TAL takes over as soon as any IoU is nonzero.
+    gcx = (gt_boxes[..., 0:1] + gt_boxes[..., 2:3]) / 2
+    gcy = (gt_boxes[..., 1:2] + gt_boxes[..., 3:4]) / 2
+    cdist = jnp.where(in_box, (ax - gcx) ** 2 + (ay - gcy) ** 2, jnp.inf)
+    fb_anchor = jnp.argmin(cdist, axis=-1)                      # (B, M)
+    fb_ok = (~cand.any(-1)) & gt_mask & in_box.any(-1)
+    fb = (jax.nn.one_hot(fb_anchor, a, dtype=jnp.bool_)
+          & fb_ok[..., None])                                   # (B, M, A)
+    cand = cand | fb
+
     # anchors claimed by several gts go to the highest-IoU gt
     n_claims = cand.sum(1)                                      # (B, A)
     best_gt = jnp.argmax(jnp.where(cand, iou, -1.0), axis=1)    # (B, A)
@@ -178,6 +192,9 @@ def task_aligned_assign(pd_scores: jnp.ndarray, pd_boxes: jnp.ndarray,
     pos_iou = jnp.where(cand, iou, 0.0)
     norm = align_sel.max(-1, keepdims=True) + 1e-9              # (B, M, 1)
     soft = (align_sel * pos_iou.max(-1, keepdims=True) / norm).max(1)
+    # fallback anchors carry zero align; floor their soft target so the
+    # classifier gets a pull-up signal out of the dead zone
+    soft = jnp.where(fb.any(axis=1), jnp.maximum(soft, 0.5), soft)
     onehot = jax.nn.one_hot(target_labels, c)
     target_scores = onehot * jnp.where(fg_mask, soft, 0.0)[..., None]
     return target_labels, target_boxes, target_scores, fg_mask, gt_idx

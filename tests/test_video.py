@@ -13,19 +13,24 @@ from lameness_tpu.video.decode import VideoReader, sample_interval, write_video
 
 
 def _synthetic_walk_video(path: Path, n_frames=160, w=320, h=180, fps=25,
-                          reverse=False):
-    """A bright square 'cow' walking horizontally across the frame."""
+                          reverse=False, size=60, bob=0.0, bob_period=8):
+    """A bright square 'cow' walking horizontally across the frame.
+
+    ``bob`` adds a vertical sinusoid (px amplitude) — the synthetic
+    lameness signal: a head-bobbing, uneven gait that survives
+    detection → heuristic pose → locomotion features."""
     frames = []
     for i in range(n_frames):
         f = np.full((h, w, 3), 60, np.uint8)
         frac = i / (n_frames - 1)
         if reverse:
             frac = 1 - frac
-        x = int(frac * (w - 60))
-        y = h // 3
-        f[y:y + 60, x:x + 60] = 220
+        x = int(frac * (w - size))
+        y = h // 3 + int(round(bob * np.sin(2 * np.pi * i / bob_period)))
+        y = max(0, min(h - size, y))
+        f[y:y + size, x:x + size] = 220
         # texture so blur score is non-zero
-        f[y:y + 60:4, x:x + 60] = 160
+        f[y:y + size:4, x:x + size] = 160
         frames.append(f)
     write_video(path, frames, fps, reencode=False)
     return path

@@ -30,28 +30,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float):
-    q = q_ref[0]                    # (G, D)   — one qh row (qw = 0..G-1)
+    q = q_ref[0]                    # (R*G, D) — R qh rows (qw = 0..G-1)
     k = k_ref[0]                    # (G*G, D)
     v = v_ref[0]                    # (G*G, D)
     # f32 immediately: Mosaic can't insert/tile minor dims on 16-bit
     # vectors, and the bias feeds an f32 softmax anyway
-    rh = rh_ref[0, 0].astype(jnp.float32)   # (G, G)   [qw, kh]
-    rw = rw_ref[0, 0].astype(jnp.float32)   # (G, G)   [qw, kw]
-    g = rh.shape[0]
+    r, g = rh_ref.shape[1], rh_ref.shape[2]
+    # (R, G, G) -> (R*G, G): major-dim merge only, Mosaic-safe
+    rh = rh_ref[0].astype(jnp.float32).reshape(r * g, g)   # [qh·G+qw, kh]
+    rw = rw_ref[0].astype(jnp.float32).reshape(r * g, g)   # [qh·G+qw, kw]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    # bias[qw, kh*G + kw] = rh[qw, kh] + rw[qw, kw], built WITHOUT the
-    # (G, G, G) -> (G, G²) reshape (Mosaic rejects that shape cast on
-    # real TPU; interpret mode accepted it).  The kh spread (index j//G)
-    # is one small MXU matmul against a one-hot selector; the kw tile
-    # (index j%G) is a lane-repeat.
+    # bias[q, kh*G + kw] = rh[q, kh] + rw[q, kw], built WITHOUT the
+    # (.., G, G) -> (.., G²) minor reshape (Mosaic rejects that shape
+    # cast on real TPU; interpret mode accepted it).  The kh spread
+    # (index j//G) is one small MXU matmul against a one-hot selector;
+    # the kw tile (index j%G) is a lane-repeat.
     j = jax.lax.broadcasted_iota(jnp.int32, (g, g * g), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (g, g * g), 0)
     spread = jnp.where(j // g == row, 1.0, 0.0)          # (G, G²) one-hot
     s = s + jax.lax.dot_general(rh, spread, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    s = s + pltpu.repeat(rw, g, axis=1)                  # rw[qw, j % G]
+    s = s + pltpu.repeat(rw, g, axis=1)                  # rw[q, j % G]
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -63,33 +64,43 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float):
 
 def sam_global_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          rel_h: jnp.ndarray, rel_w: jnp.ndarray,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         rows_per_program: int = 4) -> jnp.ndarray:
     """Fused biased attention over the (G, G) token grid.
 
     q, k, v: (BH, G*G, D); rel_h, rel_w: (BH, G, G, G) q-projected tables
     ([qh, qw, kh] / [qh, qw, kw]).  Returns (BH, G*G, D).
+
+    ``rows_per_program`` (R): each grid program owns R qh rows.  K/V are
+    re-fetched per program, so HBM traffic scales 1/R — at G=64, D=64,
+    BH=132 (11 frames x 12 heads) that is ~17 GB/clip at R=1 vs ~4 GB at
+    R=4.  VMEM per program ≈ R MB of f32 scores + 2 MB K/V (+ temps);
+    R=4 ≈ 11 MB, inside v5e's VMEM.
     """
     bh, n, d = q.shape
     g = rel_h.shape[1]
     assert n == g * g, (n, g)
+    r = rows_per_program
+    while g % r:                     # g not divisible: fall back toward 1
+        r -= 1
     scale = d ** -0.5
-    grid = (bh, g)
+    grid = (bh, g // r)
     return pl.pallas_call(
         functools.partial(_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, g, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, r * g, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g * g, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g * g, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g, g), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, r, g, g), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g, g), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, r, g, g), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, g, d), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, r * g, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         interpret=interpret,

@@ -80,7 +80,8 @@ def sam_global_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bh, n, d = q.shape
     g = rel_h.shape[1]
     assert n == g * g, (n, g)
-    r = rows_per_program
+    import os
+    r = int(os.environ.get("LAMENESS_SAM_ROWS", rows_per_program))
     while g % r:                     # g not divisible: fall back toward 1
         r -= 1
     scale = d ** -0.5

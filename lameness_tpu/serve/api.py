@@ -1045,6 +1045,386 @@ def build_admin_api(ctx: AdminContext) -> Router:
             "WHERE is_lame=1")
         return {"total_cows": cows[0]["n"], "cows_with_lameness": lame[0]["n"]}
 
+    # ================== reference-parity completions =======================
+    # The long tail of the reference's 112-endpoint surface (audited
+    # against services/admin-interface/backend/app/routers/*.py).
+
+    # -- auth (routers/auth.py) ---------------------------------------------
+    @r.post("/api/auth/users", roles=["admin"])
+    def admin_create_user(req: Request):
+        b = req.body or {}
+        for k in ("username", "password"):
+            if not b.get(k):
+                raise HTTPError(422, f"missing {k}")
+        if db.one("SELECT id FROM users WHERE username=?", (b["username"],)):
+            raise HTTPError(409, "username taken")
+        role = b.get("role", "rater")
+        if role not in ("admin", "researcher", "rater"):
+            raise HTTPError(422, "invalid role")
+        uid = db.insert("users", {
+            "email": b.get("email", f"{b['username']}@lameness.local"),
+            "username": b["username"],
+            "password_hash": hash_password(b["password"]),
+            "role": role, "is_active": 1, "created_at": _now()})
+        return {"id": uid, "username": b["username"], "role": role}
+
+    @r.get("/api/auth/users/{user_id}", roles=["admin"])
+    def get_user(req: Request):
+        u = db.one("SELECT id, email, username, role, is_active, rater_tier,"
+                   " created_at, last_login FROM users WHERE id=?",
+                   (req.params["user_id"],))
+        if not u:
+            raise HTTPError(404, "no such user")
+        return u
+
+    @r.delete("/api/auth/users/{user_id}", roles=["admin"])
+    def delete_user(req: Request):
+        if req.params["user_id"] == req.user["sub"]:
+            raise HTTPError(422, "cannot delete yourself")
+        db.update("users", req.params["user_id"], {"is_active": 0})
+        return {"status": "deactivated"}
+
+    @r.put("/api/auth/password", auth=True)
+    def change_password(req: Request):
+        b = req.body or {}
+        if not b.get("current_password") or not b.get("new_password"):
+            raise HTTPError(422, "current_password and new_password required")
+        u = db.one("SELECT * FROM users WHERE id=?", (req.user["sub"],))
+        if not u or not verify_password(b["current_password"],
+                                        u["password_hash"]):
+            raise HTTPError(403, "current password incorrect")
+        db.update("users", u["id"],
+                  {"password_hash": hash_password(b["new_password"])})
+        return {"status": "changed"}
+
+    # -- analysis (routers/analysis.py) -------------------------------------
+    @r.get("/api/analysis/{video_id}/all")
+    def analysis_all_pipelines(req: Request):
+        vid = req.params["video_id"]
+        return {p: ctx.read_result(p, vid) for p in PIPELINES}
+
+    @r.get("/api/analysis/{video_id}/summary")
+    def analysis_summary(req: Request):
+        vid = req.params["video_id"]
+        fus = ctx.read_result("fusion", vid)
+        fr = (fus or {}).get("fusion_result", {})
+        return {"video_id": vid,
+                "analyzed": fus is not None,
+                "final_probability": fr.get("final_probability"),
+                "final_prediction": fr.get("final_prediction"),
+                "confidence": fr.get("confidence"),
+                "recommendation": fr.get("recommendation"),
+                "pipelines_used": fr.get("pipelines_used", []),
+                "cow_id": (fus or {}).get("cow_id")}
+
+    @r.get("/api/analysis/{video_id}/export")
+    def analysis_export(req: Request):
+        vid = req.params["video_id"]
+        video = db.one("SELECT * FROM videos WHERE id=?", (vid,))
+        return {"video": video, "exported_at": _now(),
+                "results": {p: ctx.read_result(p, vid) for p in PIPELINES}}
+
+    @r.get("/api/analysis/{video_id}/frames/{frame_num}")
+    def analysis_frame(req: Request):
+        """Per-frame analysis view: detections + nearest pose entry."""
+        vid = req.params["video_id"]
+        n = int(req.params["frame_num"])
+        yolo = ctx.read_result("yolo", vid) or {}
+        dets = [f for f in yolo.get("detections", [])
+                if f.get("frame") == n]
+        tleap = ctx.read_result("tleap", vid) or {}
+        seqs = tleap.get("pose_sequences", [])
+        pose = min(seqs, key=lambda s: abs(s.get("frame", 0) - n)) \
+            if seqs else None
+        return {"video_id": vid, "frame": n,
+                "detections": dets[0]["detections"] if dets else [],
+                "pose": pose}
+
+    @r.post("/api/analysis/batch", roles=["admin", "researcher"])
+    def analysis_batch(req: Request):
+        """Re-queue a list of videos through the pipeline."""
+        vids = (req.body or {}).get("video_ids") or []
+        for vid in vids:
+            processed = dirs.processed / f"{vid}_cropped.mp4"
+            ctx.bus.publish_sync(ctx.config.subjects.video_preprocessed,
+                                 {"video_id": vid,
+                                  "processed_path": str(processed),
+                                  "retriggered": True})
+        return {"queued": len(vids)}
+
+    # -- cows (routers/cows.py reference paths) ------------------------------
+    @r.get("/api/cows/{cow_id}/lameness")
+    def cow_lameness(req: Request):
+        return db.query("SELECT * FROM lameness_records WHERE cow_id=? "
+                        "ORDER BY observation_date DESC",
+                        (req.params["cow_id"],))
+
+    @r.get("/api/cows/{cow_id}/lameness/{record_id}/validate",
+           roles=["admin", "researcher"])
+    def validate_lameness(req: Request):
+        rec = db.one("SELECT * FROM lameness_records WHERE id=?",
+                     (req.params["record_id"],))
+        if not rec or rec["cow_id"] != req.params["cow_id"]:
+            raise HTTPError(404, "no such record")
+        db.update("lameness_records", rec["id"],
+                  {"human_validated": 1, "validator_id": req.user["sub"],
+                   "validation_date": _now()})
+        return {"status": "validated", "record_id": rec["id"]}
+
+    # -- elo snapshots (routers/elo_ranking.py) ------------------------------
+    @r.get("/api/elo/snapshots")
+    def list_snapshots(req: Request):
+        rows = db.query("SELECT id, name, description, total_videos, "
+                        "total_comparisons, steepness, "
+                        "inter_rater_reliability, created_at "
+                        "FROM hierarchy_snapshots ORDER BY created_at DESC")
+        return rows
+
+    @r.get("/api/elo/snapshot/{snapshot_id}")
+    def get_snapshot(req: Request):
+        row = db.one("SELECT * FROM hierarchy_snapshots WHERE id=?",
+                     (req.params["snapshot_id"],))
+        if not row:
+            raise HTTPError(404, "no such snapshot")
+        row["ranking_data"] = json.loads(row["ranking_data"] or "{}")
+        return row
+
+    # -- health probes (routers/health.py per-dependency checks) -------------
+    @r.get("/api/health/disk")
+    def health_disk(req: Request):
+        u = shutil.disk_usage(dirs.root)
+        pct = u.used / u.total * 100
+        return {"status": "healthy" if pct < 90 else "critical",
+                "percent_used": round(pct, 1),
+                "free_gb": round(u.free / 1e9, 1)}
+
+    @r.get("/api/health/nats")
+    def health_nats(req: Request):
+        """The in-process bus is the NATS analog; a live NatsBridge
+        reports the real socket."""
+        bridge = getattr(ctx.bus, "bridge", None)
+        return {"status": "healthy",
+                "backend": "nats-bridge" if bridge else "in-process",
+                "messages": len(ctx.bus.history),
+                "errors": len(ctx.bus.errors)}
+
+    @r.get("/api/health/qdrant")
+    def health_qdrant(req: Request):
+        store = ctx.store
+        if store is None:
+            return {"status": "unconfigured"}
+        try:
+            names = store.collection_names()
+            return {"status": "healthy",
+                    "backend": type(store).__name__,
+                    "collections": {n: store.count(n) for n in names}}
+        except Exception as e:
+            return {"status": "unhealthy", "error": repr(e)[:200]}
+
+    @r.get("/api/health/postgres")
+    def health_postgres(req: Request):
+        """SQLite carries the reference's Postgres contract here."""
+        try:
+            n = db.query("SELECT COUNT(*) n FROM users")[0]["n"]
+            return {"status": "healthy", "backend": "sqlite", "users": n}
+        except Exception as e:
+            return {"status": "unhealthy", "error": repr(e)[:200]}
+
+    @r.get("/api/health/docker")
+    def health_docker(req: Request):
+        """The reference checks its 22 containers; the analog here is the
+        in-process service set + live threads."""
+        import threading
+        return {"status": "healthy", "backend": "single-process",
+                "threads": [t.name for t in threading.enumerate()][:30],
+                "services": db.query(
+                    "SELECT service_name, status FROM service_heartbeats")}
+
+    # -- ml-config long tail (routers/ml_config.py) --------------------------
+    @r.get("/api/ml-config/schema")
+    def ml_config_schema(req: Request):
+        return ML_CONFIG_SCHEMA
+
+    @r.get("/api/ml-config/parameter-descriptions")
+    def ml_param_descriptions(req: Request):
+        return {k: v.get("description", "") for k, v in
+                ML_CONFIG_SCHEMA.items()}
+
+    @r.get("/api/ml-config/models/status")
+    def ml_models_status(req: Request):
+        out = {}
+        for slot in ("catboost", "xgboost", "lightgbm"):
+            if ctx.ensemble is not None:
+                f = ctx.ensemble._slot_path(slot)
+                loaded = ctx.ensemble.models.get(slot) is not None
+            else:
+                f = Path(dirs.models) / "ml" / f"{slot}_latest.joblib"
+                loaded = False
+            out[slot] = {"file_exists": f.exists(), "loaded": loaded,
+                         "path": str(f)}
+        return out
+
+    @r.post("/api/ml-config/reset", roles=["admin", "researcher"])
+    def ml_config_reset(req: Request):
+        cfg = json.loads(json.dumps(DEFAULT_ML_CONFIG))
+        ctx.save_ml_config(cfg)
+        return cfg
+
+    @r.get("/api/ml-config/{model}")
+    def ml_config_model(req: Request):
+        m = req.params["model"]
+        cfg = ctx.ml_config()
+        if m not in cfg:
+            raise HTTPError(404, f"no config section {m}")
+        return cfg[m]
+
+    @r.put("/api/ml-config/{model}", roles=["admin", "researcher"])
+    def put_ml_config_model(req: Request):
+        m = req.params["model"]
+        cfg = ctx.ml_config()
+        if m not in cfg:
+            raise HTTPError(404, f"no config section {m}")
+        cfg[m].update(req.body or {})
+        ctx.save_ml_config(cfg)
+        return cfg[m]
+
+    # -- models long tail (routers/models.py) --------------------------------
+    @r.get("/api/models/parameters/defaults")
+    def model_param_defaults(req: Request):
+        return DEFAULT_ML_CONFIG
+
+    @r.post("/api/models/parameters", roles=["admin", "researcher"])
+    def set_model_parameters(req: Request):
+        cfg = ctx.ml_config()
+        for section, vals in (req.body or {}).items():
+            if section in cfg and isinstance(vals, dict):
+                cfg[section].update(vals)
+        ctx.save_ml_config(cfg)
+        return cfg
+
+    @r.get("/api/models/comparison")
+    def model_comparison(req: Request):
+        """Per-slot CV metrics from the last training run."""
+        status_f = Path(dirs.training) / "training_status.json"
+        if not status_f.exists():
+            return {"models": {}, "note": "no training run yet"}
+        st = json.load(open(status_f))
+        return {"models": (st.get("report") or {}).get("models", {}),
+                "trained_at": st.get("completed_at"),
+                "num_samples": (st.get("report") or {}).get("num_samples")}
+
+    # -- pipeline batch ops (routers/pipeline.py) ----------------------------
+    @r.post("/api/pipeline/batch/reprocess", roles=["admin", "researcher"])
+    def batch_reprocess(req: Request):
+        """Re-queue failed (or explicitly listed) videos."""
+        b = req.body or {}
+        vids = b.get("video_ids")
+        if not vids:
+            rows = db.query("SELECT video_id FROM processing_jobs "
+                            "WHERE status='failed'")
+            vids = [row["video_id"] for row in rows]
+        for vid in vids:
+            processed = dirs.processed / f"{vid}_cropped.mp4"
+            ctx.bus.publish_sync(ctx.config.subjects.video_preprocessed,
+                                 {"video_id": vid,
+                                  "processed_path": str(processed),
+                                  "retriggered": True})
+        return {"requeued": vids}
+
+    # -- training long tail (routers/training.py) ----------------------------
+    @r.get("/api/training/models")
+    def training_models(req: Request):
+        """Trained model inventory (checkpoints on disk)."""
+        out = []
+        mdir = Path(dirs.models)
+        if mdir.exists():
+            for p in sorted(mdir.iterdir()):
+                out.append({"name": p.name,
+                            "is_dir": p.is_dir(),
+                            "modified": p.stat().st_mtime})
+        return {"models": out}
+
+    @r.post("/api/training/pairwise", auth=True)
+    def training_pairwise_submit(req: Request):
+        """Reference path alias for comparison submission."""
+        return submit_comparison(req)
+
+    @r.get("/api/training/pairwise/stats")
+    def pairwise_stats(req: Request):
+        comps = db.query("SELECT COUNT(*) n FROM pairwise_comparisons")
+        raters = db.query("SELECT COUNT(DISTINCT rater_id) n "
+                          "FROM pairwise_comparisons")
+        rated = db.query("SELECT COUNT(*) n FROM video_elo_ratings")
+        return {"total_comparisons": comps[0]["n"],
+                "unique_raters": raters[0]["n"],
+                "videos_rated": rated[0]["n"]}
+
+    @r.put("/api/training/learn/progress", auth=True)
+    def put_learn_progress(req: Request):
+        """Client-side module completion marks (training.py learn PUT)."""
+        b = req.body or {}
+        prog_dir = Path(dirs.training) / "learn_progress"
+        prog_dir.mkdir(parents=True, exist_ok=True)
+        json.dump({"modules_completed": b.get("modules_completed", []),
+                   "updated_at": _now()},
+                  open(prog_dir / f"{req.user['sub']}.json", "w"))
+        return {"status": "saved"}
+
+    # -- tutorial long tail (routers/tutorial.py) ----------------------------
+    @r.get("/api/tutorial/examples")
+    def tutorial_examples(req: Request):
+        tasks = db.query("SELECT * FROM gold_tasks WHERE is_active=1 "
+                         "AND is_tutorial=1 ORDER BY tutorial_order")
+        return {"examples": tasks, "count": len(tasks)}
+
+    @r.get("/api/tutorial/stats")
+    def tutorial_stats(req: Request):
+        total = db.query("SELECT COUNT(*) n FROM gold_tasks "
+                         "WHERE is_active=1")
+        tut = db.query("SELECT COUNT(*) n FROM gold_tasks "
+                       "WHERE is_active=1 AND is_tutorial=1")
+        return {"total_gold_tasks": total[0]["n"],
+                "tutorial_tasks": tut[0]["n"]}
+
+    @r.put("/api/tutorial/tasks/{task_id}", roles=["admin", "researcher"])
+    def update_gold_task(req: Request):
+        allowed = {k: v for k, v in (req.body or {}).items()
+                   if k in ("correct_winner", "correct_degree", "difficulty",
+                            "description", "hint", "is_tutorial",
+                            "tutorial_order", "is_active")}
+        if not allowed:
+            raise HTTPError(422, "no updatable fields")
+        db.update("gold_tasks", req.params["task_id"], allowed)
+        return {"status": "updated"}
+
+    # -- videos long tail (routers/videos.py) --------------------------------
+    @r.get("/api/videos/storage-config")
+    def storage_config(req: Request):
+        return {"backend": "local",
+                "root": str(dirs.root),
+                "videos_dir": str(dirs.videos),
+                "s3_flow": "upload-url/confirm-upload endpoints emulate "
+                           "the reference's presigned-S3 flow locally"}
+
+    @r.get("/api/videos/{video_id}/annotation-status")
+    def annotation_status(req: Request):
+        renderer = getattr(ctx, "_renderer", None)
+        vid = req.params["video_id"]
+        st = renderer.status.get(vid) if renderer else None
+        f = Path(dirs.root) / "annotated" / f"{vid}_annotated.mp4"
+        return st or {"status": "completed" if f.exists() else "not_started"}
+
+    @r.delete("/api/videos/{video_id}/annotation", auth=True)
+    def delete_annotation(req: Request):
+        vid = req.params["video_id"]
+        f = Path(dirs.root) / "annotated" / f"{vid}_annotated.mp4"
+        existed = f.exists()
+        if existed:
+            f.unlink()
+        if db.one("SELECT id FROM videos WHERE id=?", (vid,)):
+            db.update("videos", vid, {"has_annotated": 0})
+        return {"deleted": existed}
+
     # ============================ misc ====================================
     @r.get("/health")
     def root_health(req: Request):

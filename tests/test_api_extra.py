@@ -147,3 +147,113 @@ def test_learn_endpoints(server):
                         headers=_auth(tok)).json()
         assert {"video_id": "gv1", "source": "gold_task",
                 "label": "lame"} in ex2["examples"]
+
+
+def test_parity_completion_endpoints(server):
+    """The long-tail endpoints audited against the reference's routers."""
+    base, ctx = server
+    t = _login(base)
+    h = _auth(t)
+
+    # auth: admin-create, get, password change, delete
+    r = httpx.post(f"{base}/api/auth/users", headers=h,
+                   json={"username": "r2", "password": "pw2",
+                         "role": "researcher"})
+    assert r.status_code == 200, r.text
+    uid = r.json()["id"]
+    assert httpx.get(f"{base}/api/auth/users/{uid}",
+                     headers=h).json()["role"] == "researcher"
+    t2 = _login(base, "r2", "pw2")
+    pc = httpx.put(f"{base}/api/auth/password", headers=_auth(t2),
+                   json={"current_password": "pw2", "new_password": "pw3"})
+    assert pc.status_code == 200
+    assert _login(base, "r2", "pw3")
+    assert httpx.delete(f"{base}/api/auth/users/{uid}",
+                        headers=h).json()["status"] == "deactivated"
+
+    # ml-config long tail
+    assert "catboost.n_estimators" in httpx.get(
+        f"{base}/api/ml-config/schema").json()
+    assert httpx.get(f"{base}/api/ml-config/parameter-descriptions"
+                     ).status_code == 200
+    st = httpx.get(f"{base}/api/ml-config/models/status").json()
+    assert set(st) == {"catboost", "xgboost", "lightgbm"}
+    cb = httpx.get(f"{base}/api/ml-config/catboost").json()
+    assert cb["n_estimators"] == 200
+    up = httpx.put(f"{base}/api/ml-config/catboost", headers=h,
+                   json={"n_estimators": 500}).json()
+    assert up["n_estimators"] == 500
+    rs = httpx.post(f"{base}/api/ml-config/reset", headers=h).json()
+    assert rs["catboost"]["n_estimators"] == 200
+
+    # models long tail
+    assert httpx.get(f"{base}/api/models/parameters/defaults"
+                     ).json()["training"]["cv_folds"] == 5
+    assert "models" in httpx.get(f"{base}/api/models/comparison").json()
+    sp = httpx.post(f"{base}/api/models/parameters", headers=h,
+                    json={"training": {"cv_folds": 3}}).json()
+    assert sp["training"]["cv_folds"] == 3
+
+    # health probes
+    for probe in ("disk", "nats", "qdrant", "postgres", "docker"):
+        pr = httpx.get(f"{base}/api/health/{probe}")
+        assert pr.status_code == 200, probe
+        assert pr.json()["status"] in ("healthy", "critical",
+                                       "unconfigured"), probe
+
+    # analysis long tail (no results yet -> structured empties)
+    vid = "00000000-0000-0000-0000-000000000001"
+    assert httpx.get(f"{base}/api/analysis/{vid}/all").json()["yolo"] is None
+    summ = httpx.get(f"{base}/api/analysis/{vid}/summary").json()
+    assert summ["analyzed"] is False
+    assert "results" in httpx.get(f"{base}/api/analysis/{vid}/export").json()
+    fr = httpx.get(f"{base}/api/analysis/{vid}/frames/10").json()
+    assert fr["frame"] == 10 and fr["detections"] == []
+    ab = httpx.post(f"{base}/api/analysis/batch", headers=h,
+                    json={"video_ids": [vid]}).json()
+    assert ab["queued"] == 1
+
+    # elo snapshots
+    assert httpx.get(f"{base}/api/elo/snapshots").json() == []
+    sn = httpx.post(f"{base}/api/elo/snapshot", headers=h,
+                    json={"name": "t0"}).json()
+    snaps = httpx.get(f"{base}/api/elo/snapshots").json()
+    assert len(snaps) == 1 and snaps[0]["name"] == "t0"
+    got = httpx.get(f"{base}/api/elo/snapshot/{sn['snapshot_id']}").json()
+    assert got["ranking_data"] == {}
+
+    # pipeline batch reprocess (no failed jobs -> empty)
+    br = httpx.post(f"{base}/api/pipeline/batch/reprocess", headers=h,
+                    json={}).json()
+    assert br["requeued"] == []
+
+    # training long tail
+    assert "models" in httpx.get(f"{base}/api/training/models").json()
+    ps = httpx.get(f"{base}/api/training/pairwise/stats").json()
+    assert ps["total_comparisons"] == 0
+    lp = httpx.put(f"{base}/api/training/learn/progress", headers=h,
+                   json={"modules_completed": ["intro"]})
+    assert lp.json()["status"] == "saved"
+
+    # tutorial long tail
+    assert httpx.get(f"{base}/api/tutorial/examples").json()["count"] == 0
+    assert httpx.get(f"{base}/api/tutorial/stats"
+                     ).json()["total_gold_tasks"] == 0
+    tid = httpx.post(f"{base}/api/tutorial/tasks", headers=h,
+                     json={"video_id_1": "a", "video_id_2": "b",
+                           "correct_winner": 1}).json()["id"]
+    ut = httpx.put(f"{base}/api/tutorial/tasks/{tid}", headers=h,
+                   json={"difficulty": "hard", "is_tutorial": 1})
+    assert ut.json()["status"] == "updated"
+    assert httpx.get(f"{base}/api/tutorial/examples").json()["count"] == 1
+
+    # videos long tail
+    sc = httpx.get(f"{base}/api/videos/storage-config").json()
+    assert sc["backend"] == "local"
+    ast = httpx.get(f"{base}/api/videos/{vid}/annotation-status").json()
+    assert ast["status"] == "not_started"
+    da = httpx.delete(f"{base}/api/videos/{vid}/annotation", headers=h)
+    assert da.json()["deleted"] is False
+
+    # cows reference paths
+    assert httpx.get(f"{base}/api/cows/xyz/lameness").json() == []

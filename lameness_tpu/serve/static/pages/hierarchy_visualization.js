@@ -41,12 +41,26 @@ export default async function HierarchyVisualization() {
   document.getElementById("dist").innerHTML =
     sparkline(hr.ranking.map(r => r.davids_score), {w: 560, h: 90});
 
+  // snapshot history (GET /api/elo/snapshots)
+  const snaps = await api("/api/elo/snapshots");
+  if (snaps.length) {
+    main.append(h(`<div class="panel"><h2>Snapshots (${snaps.length})</h2>
+      <table><tr><th>name</th><th>when</th><th>comparisons</th>
+        <th>steepness</th><th>IRR</th></tr>
+      ${snaps.map(s => `<tr><td>${esc(s.name || s.id)}</td>
+        <td class="dim">${esc((s.created_at || "").slice(0, 16))}</td>
+        <td>${s.total_comparisons}</td><td>${fmt(s.steepness)}</td>
+        <td>${fmt(s.inter_rater_reliability)}</td></tr>`).join("")}
+      </table></div>`));
+  }
+
   const snap = document.getElementById("snap");
   if (snap) snap.onclick = async () => {
     try {
       const r = await api("/api/elo/snapshot",
                           {json: {name: `ui-${new Date().toISOString()}`}});
       toast(`snapshot ${r.snapshot_id} saved (steepness ${fmt(r.steepness)})`);
+      window.go("hierarchy");
     } catch (e) { toast(e.message, "bad"); }
   };
   const recalc = document.getElementById("recalc");

@@ -14,6 +14,11 @@ export default async function Settings() {
       <button class="ghost" id="theme">Toggle light/dark</button>
       <button class="ghost" id="refresh">Refresh token</button>
       <button class="mini" id="out">Sign out</button></div></div>
+  <div class="panel"><h2>Change password</h2>
+    <div class="row"><input id="pw0" placeholder="current password"
+        type="password">
+      <input id="pw1" placeholder="new password" type="password">
+      <button class="action" id="pwgo">Change</button></div></div>
   <div class="panel"><h2>About</h2>
     <div class="dim">lameness-tpu admin — a dependency-free ES-module SPA
       over the same REST/WS contract the reference's React frontend used
@@ -34,4 +39,15 @@ export default async function Settings() {
     } catch (e) { toast(e.message, "bad"); }
   };
   document.getElementById("out").onclick = logout;
+  document.getElementById("pwgo").onclick = async () => {
+    const cur = document.getElementById("pw0").value;
+    const nw = document.getElementById("pw1").value;
+    if (!cur || !nw) return toast("both fields required", "warn");
+    try {
+      await api("/api/auth/password",
+                {method: "PUT",
+                 json: {current_password: cur, new_password: nw}});
+      toast("password changed");
+    } catch (e) { toast(e.message, "bad"); }
+  };
 }

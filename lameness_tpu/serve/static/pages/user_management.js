@@ -57,10 +57,9 @@ export default async function UserManagement() {
     const role = document.getElementById("nr").value;
     if (!u || !e || !p) return toast("username, email, password required", "warn");
     try {
-      const r = await api("/api/auth/register",
-                          {json: {username: u, email: e, password: p}});
-      if (role !== "rater") await api(`/api/auth/users/${r.id}`,
-                                      {method: "PATCH", json: {role}});
+      // admin-create sets the role atomically (POST /api/auth/users)
+      await api("/api/auth/users",
+                {json: {username: u, email: e, password: p, role}});
       toast(`created ${u} (${role})`); window.go("users");
     } catch (err) { toast(err.message, "bad"); }
   };

@@ -113,6 +113,28 @@ class QdrantRestServer:
                         if body.get("with_payload", True) else None}
                        for h in hits])
 
+        @router.post("/collections/{name}/points/scroll")
+        def scroll_points(req):
+            """Qdrant scroll: page through all points (with vectors)."""
+            name = req.params["name"]
+            get_collection(name)
+            body = req.body or {}
+            limit = int(body.get("limit", 256))
+            offset = body.get("offset")
+            exported = store_ref.export_collection(name)
+            ids = exported["ids"] if exported else []
+            start = ids.index(str(offset)) if offset in ids else 0
+            page = ids[start:start + limit]
+            pts = []
+            for pid in page:
+                i = ids.index(pid)
+                pts.append({"id": pid,
+                            "payload": exported["payloads"].get(pid, {}),
+                            "vector": exported["vectors"][i].tolist()
+                            if body.get("with_vector", True) else None})
+            nxt = ids[start + limit] if start + limit < len(ids) else None
+            return ok({"points": pts, "next_page_offset": nxt})
+
         @router.post("/collections/{name}/points/payload")
         def set_payload(req):
             name = req.params["name"]
@@ -213,9 +235,35 @@ class QdrantRestStore:
         return [ScoredPoint(id=str(h["id"]), score=float(h["score"]),
                             payload=h.get("payload") or {}) for h in res]
 
+    def export_collection(self, name: str):
+        """Bulk read via Qdrant scroll pages -> {ids, vectors, payloads}."""
+        import numpy as np
+        ids, vecs, payloads = [], [], {}
+        offset = None
+        while True:
+            res = self._call("POST", f"/collections/{name}/points/scroll",
+                             {"limit": 256, "offset": offset,
+                              "with_vector": True})
+            if res is None:
+                return None
+            for p in res.get("points", []):
+                ids.append(str(p["id"]))
+                vecs.append(p.get("vector") or [])
+                payloads[str(p["id"])] = p.get("payload") or {}
+            offset = res.get("next_page_offset")
+            if offset is None:
+                break
+        if not ids:
+            return None
+        return {"ids": ids, "vectors": np.asarray(vecs, np.float32),
+                "payloads": payloads}
+
     def ping(self) -> bool:
+        """True only for a server that actually speaks the Qdrant
+        protocol — a generic HTTP service answering 404s must NOT pass
+        (make_store would then silently no-op every upsert)."""
         try:
-            self._call("GET", "/collections")
-            return True
+            res = self._call("GET", "/collections")
+            return isinstance(res, dict) and "collections" in res
         except Exception:
             return False

@@ -9,9 +9,11 @@ store is faster than a network ANN server and bit-stable.
 
 ``VectorStore`` implements the subset of the Qdrant client API the system
 calls (create_collection / upsert / search / retrieve / set_payload /
-count), persists to JSON, and optionally runs top-k on device for large
-collections.  If ``qdrant_client`` is importable and a URL is given,
-``QdrantBackend`` proxies to a real server with the same call signatures.
+count / export_collection), persists to JSON, and optionally runs top-k
+on device for large collections.  ``make_store(url=...)`` swaps in
+``io/qdrant_wire.QdrantRestStore`` — a client speaking the Qdrant REST
+protocol with this same method surface — when a server answers at the
+URL (a stock Qdrant or the first-party ``QdrantRestServer``).
 """
 from __future__ import annotations
 
@@ -145,6 +147,17 @@ class VectorStore:
             if c and c.index_of(str(point_id)) >= 0:
                 c.payloads[str(point_id)].update(payload)
         self._save()
+
+    def export_collection(self, name: str) -> Optional[Dict[str, Any]]:
+        """All points of a collection: {ids, vectors (N, D), payloads}.
+        The bulk-read surface (Qdrant's scroll) used by the similarity
+        map's PCA."""
+        c = self._collections.get(name)
+        if not c or c.vectors is None or len(c.ids) == 0:
+            return None
+        return {"ids": list(c.ids),
+                "vectors": np.asarray(c.vectors, np.float32).copy(),
+                "payloads": {i: c.payloads.get(i, {}) for i in c.ids}}
 
     def search(self, name: str, query: Sequence[float],
                top_k: int = 5, use_device: bool = False) -> List[ScoredPoint]:

@@ -81,8 +81,12 @@ def sam_global_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     g = rel_h.shape[1]
     assert n == g * g, (n, g)
     import os
-    r = int(os.environ.get("LAMENESS_SAM_ROWS", rows_per_program))
-    while g % r:                     # g not divisible: fall back toward 1
+    try:
+        r = int(os.environ.get("LAMENESS_SAM_ROWS", rows_per_program))
+    except ValueError:
+        r = rows_per_program
+    r = max(1, min(r, g))            # clamp: 0/negative/huge are operator
+    while g % r:                     # error, not a crash; then ensure g % r
         r -= 1
     scale = d ** -0.5
     grid = (bh, g // r)

@@ -161,11 +161,19 @@ def task_aligned_assign(pd_scores: jnp.ndarray, pd_boxes: jnp.ndarray,
     kth = jnp.sort(align, axis=-1)[..., -k][..., None]          # (B, M, 1)
     cand = in_box & (align >= jnp.maximum(kth, 1e-9)) & (align > 0)
 
-    # cold-start fallback: a gt whose align is 0 for EVERY anchor (box
-    # predictions collapsed to zero IoU early in training) would get no
-    # candidates, n_fg drops to 0 and the loss parks at a dead 0 forever.
-    # Such a gt claims its closest in-box anchor so a gradient path stays
-    # alive; TAL takes over as soon as any IoU is nonzero.
+    # anchors claimed by several gts go to the highest-IoU gt
+    n_claims = cand.sum(1)                                      # (B, A)
+    best_gt = jnp.argmax(jnp.where(cand, iou, -1.0), axis=1)    # (B, A)
+    keep = (jnp.arange(m)[None, :, None] == best_gt[:, None, :])
+    cand = cand & jnp.where(n_claims[:, None] > 1, keep, True)
+
+    # cold-start fallback AFTER dedup: a gt left with no candidate (all
+    # align zero because box predictions collapsed to zero IoU, or its
+    # only candidate lost the multi-claim resolution) would keep n_fg at
+    # 0 and park the loss at a dead 0 with no gradient forever.  Such a
+    # gt claims its closest in-box anchor OUTRIGHT (displacing any other
+    # claim on that one anchor — the displaced gt survived dedup, so it
+    # had candidates of its own); TAL takes over once any IoU is nonzero.
     gcx = (gt_boxes[..., 0:1] + gt_boxes[..., 2:3]) / 2
     gcy = (gt_boxes[..., 1:2] + gt_boxes[..., 3:4]) / 2
     cdist = jnp.where(in_box, (ax - gcx) ** 2 + (ay - gcy) ** 2, jnp.inf)
@@ -173,13 +181,8 @@ def task_aligned_assign(pd_scores: jnp.ndarray, pd_boxes: jnp.ndarray,
     fb_ok = (~cand.any(-1)) & gt_mask & in_box.any(-1)
     fb = (jax.nn.one_hot(fb_anchor, a, dtype=jnp.bool_)
           & fb_ok[..., None])                                   # (B, M, A)
-    cand = cand | fb
-
-    # anchors claimed by several gts go to the highest-IoU gt
-    n_claims = cand.sum(1)                                      # (B, A)
-    best_gt = jnp.argmax(jnp.where(cand, iou, -1.0), axis=1)    # (B, A)
-    keep = (jnp.arange(m)[None, :, None] == best_gt[:, None, :])
-    cand = cand & jnp.where(n_claims[:, None] > 1, keep, True)
+    fb_claimed = fb.any(axis=1)                                 # (B, A)
+    cand = (cand & ~fb_claimed[:, None, :]) | fb
 
     fg_mask = cand.any(axis=1)                                  # (B, A)
     gt_idx = jnp.argmax(cand, axis=1)                           # (B, A)

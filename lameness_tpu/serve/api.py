@@ -573,10 +573,20 @@ def build_admin_api(ctx: AdminContext) -> Router:
         stats = None
         if ctx.reliability:
             stats = ctx.reliability.rater_stats.get(user)
+        modules = []
+        prog_f = Path(dirs.training) / "learn_progress" / \
+            f"{req.user['sub']}.json"
+        if prog_f.exists():
+            try:
+                modules = json.load(open(prog_f)).get(
+                    "modules_completed", [])
+            except Exception:
+                pass
         return {"username": user, "comparisons": comps[0]["n"],
                 "tier": stats.tier if stats else "bronze",
                 "gold_accuracy": stats.gold_task_accuracy if stats else None,
-                "level": min(10, comps[0]["n"] // 10 + 1)}
+                "level": min(10, comps[0]["n"] // 10 + 1),
+                "modules_completed": modules}
 
     @r.get("/api/training/learn/leaderboard")
     def leaderboard(req: Request):
@@ -640,18 +650,21 @@ def build_admin_api(ctx: AdminContext) -> Router:
         if ctx.store is None:
             raise HTTPError(503, "vector store unavailable")
         coll = ctx.config.reid.collection_embeddings
-        c = ctx.store._collections.get(coll)
-        if c is None or c.vectors is None or len(c.ids) < 2:
+        # public bulk-read surface: works for the in-process store AND the
+        # Qdrant-wire remote store (scroll-backed export_collection)
+        exported = ctx.store.export_collection(coll)
+        if exported is None or len(exported["ids"]) < 2:
             raise HTTPError(404, "need at least two embedded videos")
-        x = c.vectors - c.vectors.mean(axis=0)
+        ids = exported["ids"]
+        x = exported["vectors"] - exported["vectors"].mean(axis=0)
         # top-2 principal directions via SVD
         _, _, vt = np.linalg.svd(x, full_matrices=False)
         coords = x @ vt[:2].T
         return {"points": [
-            {"video_id": c.ids[i], "x": float(coords[i, 0]),
+            {"video_id": ids[i], "x": float(coords[i, 0]),
              "y": float(coords[i, 1]),
-             "label": c.payloads.get(c.ids[i], {}).get("label")}
-            for i in range(len(c.ids))]}
+             "label": exported["payloads"].get(ids[i], {}).get("label")}
+            for i in range(len(ids))]}
 
     @r.get("/api/shap/{video_id}/local")
     def shap_local(req: Request):
@@ -731,6 +744,15 @@ def build_admin_api(ctx: AdminContext) -> Router:
     def pipeline_status(req: Request):
         return db.query("SELECT * FROM service_heartbeats")
 
+    def _requeue(vid: str, subject: Optional[str] = None) -> None:
+        """Re-publish a video into the pipeline (shared by retrigger,
+        analysis batch and batch reprocess)."""
+        ctx.bus.publish_sync(
+            subject or ctx.config.subjects.video_preprocessed,
+            {"video_id": vid,
+             "processed_path": str(dirs.processed / f"{vid}_cropped.mp4"),
+             "retriggered": True})
+
     @r.post("/api/pipeline/retrigger/{service}/{video_id}",
             roles=["admin", "researcher"])
     def retrigger(req: Request):
@@ -742,10 +764,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
             "ml": ctx.config.subjects.pipeline_dinov3,
             "fusion": ctx.config.subjects.pipeline_ml,
         }.get(service, ctx.config.subjects.video_preprocessed)
-        processed = dirs.processed / f"{vid}_cropped.mp4"
-        ctx.bus.publish_sync(subj, {"video_id": vid,
-                                    "processed_path": str(processed),
-                                    "retriggered": True})
+        _requeue(vid, subj)
         return {"status": "retriggered", "service": service,
                 "video_id": vid}
 
@@ -1056,13 +1075,15 @@ def build_admin_api(ctx: AdminContext) -> Router:
         for k in ("username", "password"):
             if not b.get(k):
                 raise HTTPError(422, f"missing {k}")
-        if db.one("SELECT id FROM users WHERE username=?", (b["username"],)):
-            raise HTTPError(409, "username taken")
+        email = b.get("email", f"{b['username']}@lameness.local")
+        if db.one("SELECT id FROM users WHERE username=? OR email=?",
+                  (b["username"], email)):
+            raise HTTPError(409, "username or email taken")
         role = b.get("role", "rater")
         if role not in ("admin", "researcher", "rater"):
             raise HTTPError(422, "invalid role")
         uid = db.insert("users", {
-            "email": b.get("email", f"{b['username']}@lameness.local"),
+            "email": email,
             "username": b["username"],
             "password_hash": hash_password(b["password"]),
             "role": role, "is_active": 1, "created_at": _now()})
@@ -1145,11 +1166,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
         """Re-queue a list of videos through the pipeline."""
         vids = (req.body or {}).get("video_ids") or []
         for vid in vids:
-            processed = dirs.processed / f"{vid}_cropped.mp4"
-            ctx.bus.publish_sync(ctx.config.subjects.video_preprocessed,
-                                 {"video_id": vid,
-                                  "processed_path": str(processed),
-                                  "retriggered": True})
+            _requeue(vid)
         return {"queued": len(vids)}
 
     # -- cows (routers/cows.py reference paths) ------------------------------
@@ -1159,6 +1176,11 @@ def build_admin_api(ctx: AdminContext) -> Router:
                         "ORDER BY observation_date DESC",
                         (req.params["cow_id"],))
 
+    # the reference exposes validation as a GET (routers/cows.py) — a
+    # side-effectful GET is a quirk we deliberately fix: POST is the real
+    # method; the GET alias remains for reference-client compatibility
+    @r.post("/api/cows/{cow_id}/lameness/{record_id}/validate",
+            roles=["admin", "researcher"])
     @r.get("/api/cows/{cow_id}/lameness/{record_id}/validate",
            roles=["admin", "researcher"])
     def validate_lameness(req: Request):
@@ -1324,11 +1346,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
                             "WHERE status='failed'")
             vids = [row["video_id"] for row in rows]
         for vid in vids:
-            processed = dirs.processed / f"{vid}_cropped.mp4"
-            ctx.bus.publish_sync(ctx.config.subjects.video_preprocessed,
-                                 {"video_id": vid,
-                                  "processed_path": str(processed),
-                                  "retriggered": True})
+            _requeue(vid)
         return {"requeued": vids}
 
     # -- training long tail (routers/training.py) ----------------------------
@@ -1394,6 +1412,9 @@ def build_admin_api(ctx: AdminContext) -> Router:
                             "tutorial_order", "is_active")}
         if not allowed:
             raise HTTPError(422, "no updatable fields")
+        if not db.one("SELECT id FROM gold_tasks WHERE id=?",
+                      (req.params["task_id"],)):
+            raise HTTPError(404, "no such gold task")
         db.update("gold_tasks", req.params["task_id"], allowed)
         return {"status": "updated"}
 

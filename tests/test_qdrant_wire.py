@@ -84,3 +84,46 @@ def test_reid_flow_over_socket(server, rng):
     m3 = m.match_or_create(noisy, "v3", track_id=3)
     assert not m3.is_new_identity
     assert m3.identity_id == m1.identity_id and m3.similarity > 0.9
+
+
+def test_ping_rejects_non_qdrant_http(server, tmp_path):
+    """A generic HTTP service answering 404s must NOT pass ping —
+    make_store would otherwise keep a remote store whose every upsert
+    silently no-ops."""
+    from lameness_tpu.io.db import Database
+    from lameness_tpu.io.bus import MessageBus
+    from lameness_tpu.serve.api import AdminContext, make_server
+    from lameness_tpu.core.config import Config
+    cfg = Config.load(data_root=str(tmp_path / "d"))
+    cfg.dirs.ensure()
+    admin = make_server(AdminContext(cfg, Database(tmp_path / "a.db"),
+                                     MessageBus()))
+    admin.start()
+    try:
+        not_qdrant = QdrantRestStore(f"http://127.0.0.1:{admin.port}")
+        assert not not_qdrant.ping()
+        real = QdrantRestStore(f"http://127.0.0.1:{server.port}")
+        assert real.ping()
+        assert isinstance(make_store(
+            url=f"http://127.0.0.1:{admin.port}"), VectorStore)
+    finally:
+        admin.stop()
+
+
+def test_export_collection_over_wire(server, rng):
+    """Scroll-backed bulk read matches the local store (feeds the
+    similarity-map PCA when the remote store is configured)."""
+    cl = QdrantRestStore(f"http://127.0.0.1:{server.port}")
+    local = VectorStore()
+    for s in (cl, local):
+        s.create_collection("e", 8)
+    for i in range(300):           # > one scroll page
+        v = rng.standard_normal(8)
+        for s in (cl, local):
+            s.upsert("e", f"p{i}", v, payload={"i": i})
+    remote = cl.export_collection("e")
+    ref = local.export_collection("e")
+    assert remote["ids"] == ref["ids"]
+    np.testing.assert_allclose(remote["vectors"], ref["vectors"], atol=1e-6)
+    assert remote["payloads"]["p7"] == {"i": 7}
+    assert cl.export_collection("missing") is None

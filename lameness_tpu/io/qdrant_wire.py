@@ -124,14 +124,13 @@ class QdrantRestServer:
             exported = store_ref.export_collection(name)
             ids = exported["ids"] if exported else []
             start = ids.index(str(offset)) if offset in ids else 0
-            page = ids[start:start + limit]
-            pts = []
-            for pid in page:
-                i = ids.index(pid)
-                pts.append({"id": pid,
-                            "payload": exported["payloads"].get(pid, {}),
-                            "vector": exported["vectors"][i].tolist()
-                            if body.get("with_vector", True) else None})
+            with_vec = body.get("with_vector", True)
+            pts = [{"id": pid,
+                    "payload": exported["payloads"].get(pid, {}),
+                    "vector": exported["vectors"][i].tolist()
+                    if with_vec else None}
+                   for i, pid in enumerate(ids[start:start + limit],
+                                           start=start)]
             nxt = ids[start + limit] if start + limit < len(ids) else None
             return ok({"points": pts, "next_page_offset": nxt})
 

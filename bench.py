@@ -245,10 +245,13 @@ def main():
         t0 = time.time()
         drv.run_feature_stages("bench", golden)
         single = round(time.time() - t0, 3)
+        from lameness_tpu.utils.timing import TIMERS
+        TIMERS.reset()
         t0 = time.time()
         drv.process_stream([(f"s{i}", golden) for i in range(3)],
                            batch_size=1)
         stream = round((time.time() - t0) / 3, 3)
+        _log(f"stream timers {TIMERS.summary()}")
         return single, stream
 
     sweep = []

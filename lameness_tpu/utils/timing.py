@@ -38,6 +38,10 @@ class StageTimers:
         with self._lock:
             self._samples[stage].append(seconds)
 
+    def reset(self) -> None:
+        with self._lock:
+            self._samples.clear()
+
     def summary(self) -> Dict[str, Dict[str, float]]:
         import numpy as np
         out = {}

@@ -65,17 +65,18 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float):
 def sam_global_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          rel_h: jnp.ndarray, rel_w: jnp.ndarray,
                          interpret: bool = False,
-                         rows_per_program: int = 4) -> jnp.ndarray:
+                         rows_per_program: int = 1) -> jnp.ndarray:
     """Fused biased attention over the (G, G) token grid.
 
     q, k, v: (BH, G*G, D); rel_h, rel_w: (BH, G, G, G) q-projected tables
     ([qh, qw, kh] / [qh, qw, kw]).  Returns (BH, G*G, D).
 
-    ``rows_per_program`` (R): each grid program owns R qh rows.  K/V are
-    re-fetched per program, so HBM traffic scales 1/R — at G=64, D=64,
-    BH=132 (11 frames x 12 heads) that is ~17 GB/clip at R=1 vs ~4 GB at
-    R=4.  VMEM per program ≈ R MB of f32 scores + 2 MB K/V (+ temps);
-    R=4 ≈ 11 MB, inside v5e's VMEM.
+    ``rows_per_program`` (R): each grid program owns R qh rows (K/V HBM
+    refetch scales 1/R).  Measured on a v5e at clip geometry (G=64,
+    D=64, BH=132): R=1 49.6 ms, R=4 53.6 ms (bit-identical), R=8 fails
+    to compile (VMEM) — the kernel is NOT refetch-bound, so R=1 stays
+    the default; the machinery + LAMENESS_SAM_ROWS env knob remain for
+    other geometries.
     """
     bh, n, d = q.shape
     g = rel_h.shape[1]

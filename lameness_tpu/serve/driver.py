@@ -261,6 +261,11 @@ class PipelineDriver:
         return results
 
     def _write_stage_results(self, video_id, out, bi, scale, info):
+        with TIMERS.time("write_results"):
+            return self._write_stage_results_inner(video_id, out, bi,
+                                                   scale, info)
+
+    def _write_stage_results_inner(self, video_id, out, bi, scale, info):
         sx, sy = scale
         s = self.engine.spec
         fps = info["fps"] or s.fps

@@ -258,6 +258,32 @@ def build_admin_api(ctx: AdminContext) -> Router:
             raise HTTPError(404, "video not found")
         return row
 
+    def _stream_file(req: Request, f: Path, ctype: str = "video/mp4"):
+        """Whole-file or RFC 7233 single-range response — browsers need
+        206 + Content-Range for video seeking (the reference's
+        FileResponse honors ranges)."""
+        size = f.stat().st_size
+        rng = req.headers.get("Range") or req.headers.get("range")
+        m = re.match(r"bytes=(\d*)-(\d*)$", rng.strip()) if rng else None
+        if not m:
+            return (200, f.read_bytes(), ctype,
+                    {"Accept-Ranges": "bytes"})
+        start = int(m.group(1)) if m.group(1) else None
+        end = int(m.group(2)) if m.group(2) else None
+        if start is None:                  # suffix range: last N bytes
+            start = max(0, size - (end or 0))
+            end = size - 1
+        else:
+            end = min(end if end is not None else size - 1, size - 1)
+        if start > end or start >= size:
+            return (416, b"", ctype, {"Content-Range": f"bytes */{size}"})
+        with open(f, "rb") as fh:
+            fh.seek(start)
+            chunk = fh.read(end - start + 1)
+        return (206, chunk, ctype,
+                {"Accept-Ranges": "bytes",
+                 "Content-Range": f"bytes {start}-{end}/{size}"})
+
     @r.get("/api/videos/{video_id}/stream")
     def stream_video(req: Request):
         vid = req.params["video_id"]
@@ -266,8 +292,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
             list(dirs.canonical.glob(f"{vid}_canonical.mp4"))
         if not matches:
             raise HTTPError(404, "video file not found")
-        data = matches[0].read_bytes()
-        return (200, data, "video/mp4")
+        return _stream_file(req, matches[0])
 
     @r.get("/api/videos/{video_id}/detections")
     def video_detections(req: Request):
@@ -326,7 +351,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
             f"{req.params['video_id']}_annotated.mp4"
         if not f.exists():
             raise HTTPError(404, "not rendered yet")
-        return (200, f.read_bytes(), "video/mp4")
+        return _stream_file(req, f)
 
     @r.post("/api/videos/{video_id}/label", auth=True)
     def label_video(req: Request):

@@ -306,11 +306,15 @@ class AdminHTTPServer:
         h.wfile.write(data)
 
     def _respond_bytes(self, h, status: int, data: bytes,
-                       content_type: str) -> None:
+                       content_type: str,
+                       extra_headers: Optional[Dict[str, str]] = None
+                       ) -> None:
         h.send_response(status)
         self._cors(h)
         h.send_header("Content-Type", content_type)
         h.send_header("Content-Length", str(len(data)))
+        for k, v in (extra_headers or {}).items():
+            h.send_header(k, v)
         h.end_headers()
         h.wfile.write(data)
 
@@ -360,6 +364,10 @@ class AdminHTTPServer:
                     self._respond(h, result[0], result[1])
                 elif isinstance(result, tuple) and len(result) == 3:
                     self._respond_bytes(h, result[0], result[1], result[2])
+                elif isinstance(result, tuple) and len(result) == 4:
+                    # (status, bytes, content_type, extra_headers)
+                    self._respond_bytes(h, result[0], result[1], result[2],
+                                        result[3])
                 else:
                     self._respond(h, 200, result)
             except HTTPError as e:

@@ -257,3 +257,28 @@ def test_parity_completion_endpoints(server):
 
     # cows reference paths
     assert httpx.get(f"{base}/api/cows/xyz/lameness").json() == []
+
+
+def test_range_streaming(server, tmp_path):
+    """RFC 7233 single-range requests on the video stream endpoints
+    (browser seeking needs 206 + Content-Range)."""
+    base, ctx = server
+    vid = "rangevid"
+    (ctx.dirs.videos / f"{vid}.mp4").write_bytes(bytes(range(100)) * 10)
+    full = httpx.get(f"{base}/api/videos/{vid}/stream")
+    assert full.status_code == 200 and len(full.content) == 1000
+    assert full.headers["accept-ranges"] == "bytes"
+    part = httpx.get(f"{base}/api/videos/{vid}/stream",
+                     headers={"Range": "bytes=10-19"})
+    assert part.status_code == 206
+    assert part.content == bytes(range(10, 20))
+    assert part.headers["content-range"] == "bytes 10-19/1000"
+    tail = httpx.get(f"{base}/api/videos/{vid}/stream",
+                     headers={"Range": "bytes=990-"})
+    assert tail.status_code == 206 and len(tail.content) == 10
+    sfx = httpx.get(f"{base}/api/videos/{vid}/stream",
+                    headers={"Range": "bytes=-5"})
+    assert sfx.status_code == 206 and len(sfx.content) == 5
+    bad = httpx.get(f"{base}/api/videos/{vid}/stream",
+                    headers={"Range": "bytes=5000-"})
+    assert bad.status_code == 416

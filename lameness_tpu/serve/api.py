@@ -1174,7 +1174,10 @@ def build_admin_api(ctx: AdminContext) -> Router:
     def analysis_frame(req: Request):
         """Per-frame analysis view: detections + nearest pose entry."""
         vid = req.params["video_id"]
-        n = int(req.params["frame_num"])
+        try:
+            n = int(req.params["frame_num"])
+        except ValueError:
+            raise HTTPError(422, "frame_num must be an integer")
         yolo = ctx.read_result("yolo", vid) or {}
         dets = [f for f in yolo.get("detections", [])
                 if f.get("frame") == n]

@@ -112,3 +112,26 @@ def test_real_footage_full_pipeline(curated, tmp_path):
                             / "golden1_fusion.json"))
     p = fusion["fusion_result"]["final_probability"]
     assert 0.0 <= p <= 1.0 and np.isfinite(p)
+
+
+@pytest.mark.slow
+def test_real_footage_annotation_render(curated, tmp_path):
+    """The annotation renderer produces a playable overlay video from
+    the real footage's result JSONs (skeleton, boxes, info bar)."""
+    from lameness_tpu.pipeline.engine import make_test_engine
+    from lameness_tpu.serve.annotation import AnnotationRenderer
+    from lameness_tpu.serve.driver import PipelineDriver
+    from lameness_tpu.video.decode import VideoReader
+    cfg, _, _ = curated
+    driver = PipelineDriver(config=cfg, engine=make_test_engine())
+    src = REF_CANONICAL / f"{VIDEO_ID}_canonical.mp4"
+    assert driver.process_video_file(src, video_id="golden-ann",
+                                     curate=False) is not None
+    renderer = AnnotationRenderer(cfg.dirs)
+    out = renderer.render("golden-ann", video_path=src)
+    assert out is not None and Path(out).exists()
+    assert renderer.status["golden-ann"]["status"] == "completed"
+    with VideoReader(Path(out)) as vr:
+        info = vr.info
+    assert info["total_frames"] > 50
+    assert info["width"] == 1280 and info["height"] == 720

@@ -96,7 +96,7 @@ def _log(msg: str) -> None:
           flush=True)
 
 
-def _measure(engine, frames_np, batch, rng, n_runs=5):
+def _measure(engine, frames_np, batch, rng, n_runs=4):
     """Warm + time one (engine precision, batch) configuration."""
     import jax
     # pack on host first: only the 33 frames the stages consume cross the
@@ -248,9 +248,9 @@ def main():
         from lameness_tpu.utils.timing import TIMERS
         TIMERS.reset()
         t0 = time.time()
-        drv.process_stream([(f"s{i}", golden) for i in range(3)],
+        drv.process_stream([(f"s{i}", golden) for i in range(2)],
                            batch_size=1)
-        stream = round((time.time() - t0) / 3, 3)
+        stream = round((time.time() - t0) / 2, 3)
         _log(f"stream timers {TIMERS.summary()}")
         return single, stream
 

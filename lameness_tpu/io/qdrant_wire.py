@@ -115,23 +115,27 @@ class QdrantRestServer:
 
         @router.post("/collections/{name}/points/scroll")
         def scroll_points(req):
-            """Qdrant scroll: page through all points (with vectors)."""
+            """Qdrant scroll: page through all points (with vectors).
+            Offsets are the integer cursors this server itself returns
+            (Qdrant permits numeric offsets), so each page copies only
+            its own slice."""
             name = req.params["name"]
             get_collection(name)
             body = req.body or {}
             limit = int(body.get("limit", 256))
             offset = body.get("offset")
-            exported = store_ref.export_collection(name)
-            ids = exported["ids"] if exported else []
-            start = ids.index(str(offset)) if offset in ids else 0
+            start = offset if isinstance(offset, int) and offset >= 0 else 0
+            page = store_ref.export_collection(name, start=start,
+                                               limit=limit)
+            if page is None:
+                return ok({"points": [], "next_page_offset": None})
             with_vec = body.get("with_vector", True)
             pts = [{"id": pid,
-                    "payload": exported["payloads"].get(pid, {}),
-                    "vector": exported["vectors"][i].tolist()
+                    "payload": page["payloads"].get(pid, {}),
+                    "vector": page["vectors"][i].tolist()
                     if with_vec else None}
-                   for i, pid in enumerate(ids[start:start + limit],
-                                           start=start)]
-            nxt = ids[start + limit] if start + limit < len(ids) else None
+                   for i, pid in enumerate(page["ids"])]
+            nxt = start + limit if start + limit < page["total"] else None
             return ok({"points": pts, "next_page_offset": nxt})
 
         @router.post("/collections/{name}/points/payload")
@@ -234,8 +238,10 @@ class QdrantRestStore:
         return [ScoredPoint(id=str(h["id"]), score=float(h["score"]),
                             payload=h.get("payload") or {}) for h in res]
 
-    def export_collection(self, name: str):
-        """Bulk read via Qdrant scroll pages -> {ids, vectors, payloads}."""
+    def export_collection(self, name: str, start: int = 0,
+                          limit: Optional[int] = None):
+        """Bulk read via Qdrant scroll pages -> {ids, vectors, payloads,
+        total} (same surface as VectorStore.export_collection)."""
         import numpy as np
         ids, vecs, payloads = [], [], {}
         offset = None
@@ -254,8 +260,13 @@ class QdrantRestStore:
                 break
         if not ids:
             return None
-        return {"ids": ids, "vectors": np.asarray(vecs, np.float32),
-                "payloads": payloads}
+        total = len(ids)
+        end = total if limit is None else min(start + limit, total)
+        ids = ids[start:end]
+        return {"ids": ids,
+                "vectors": np.asarray(vecs[start:end], np.float32),
+                "payloads": {i: payloads[i] for i in ids},
+                "total": total}
 
     def ping(self) -> bool:
         """True only for a server that actually speaks the Qdrant

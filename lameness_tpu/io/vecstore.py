@@ -148,16 +148,24 @@ class VectorStore:
                 c.payloads[str(point_id)].update(payload)
         self._save()
 
-    def export_collection(self, name: str) -> Optional[Dict[str, Any]]:
-        """All points of a collection: {ids, vectors (N, D), payloads}.
+    def export_collection(self, name: str, start: int = 0,
+                          limit: Optional[int] = None
+                          ) -> Optional[Dict[str, Any]]:
+        """Points of a collection: {ids, vectors (N, D), payloads, total}.
         The bulk-read surface (Qdrant's scroll) used by the similarity
-        map's PCA."""
+        map's PCA; ``start``/``limit`` page without copying the whole
+        collection per page."""
         c = self._collections.get(name)
         if not c or c.vectors is None or len(c.ids) == 0:
             return None
-        return {"ids": list(c.ids),
-                "vectors": np.asarray(c.vectors, np.float32).copy(),
-                "payloads": {i: c.payloads.get(i, {}) for i in c.ids}}
+        end = len(c.ids) if limit is None else min(start + limit,
+                                                   len(c.ids))
+        ids = list(c.ids[start:end])
+        return {"ids": ids,
+                "vectors": np.asarray(c.vectors[start:end],
+                                      np.float32).copy(),
+                "payloads": {i: c.payloads.get(i, {}) for i in ids},
+                "total": len(c.ids)}
 
     def search(self, name: str, query: Sequence[float],
                top_k: int = 5, use_device: bool = False) -> List[ScoredPoint]:

@@ -464,6 +464,13 @@ class LamenessEngine:
         return out
 
     # -- public API ----------------------------------------------------------
+    def _check_packed(self, frames_dev) -> None:
+        if frames_dev.shape[1] != self.spec.n_packed:
+            raise ValueError(
+                f"expected packed frames (P={self.spec.n_packed}), got "
+                f"T={frames_dev.shape[1]}; use spec.pack_frames() or "
+                f"process_clip_batch")
+
     def run_staged(self, frames_dev: jnp.ndarray,
                    rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
         """Chained per-stage jits; everything stays on device.
@@ -471,10 +478,7 @@ class LamenessEngine:
         frames_dev must be PACKED (B, P, H, W, 3) — see
         EngineSpec.pack_frames; callers with full clips should go through
         process_clip_batch, which packs before the transfer."""
-        if frames_dev.shape[1] != self.spec.n_packed:
-            raise ValueError(
-                f"run_staged expects packed frames (P={self.spec.n_packed}"
-                f"), got T={frames_dev.shape[1]}; use spec.pack_frames()")
+        self._check_packed(frames_dev)
         if rng is None:
             rng = jax.random.PRNGKey(0)
         out = dict(self._jit_detect(self.params, frames_dev))
@@ -493,9 +497,7 @@ class LamenessEngine:
         per-dispatch latency is high (tunnelled backends); the 4-program
         mode stays the default because its smaller HLOs are known to
         compile on remote-compile services."""
-        if frames_dev.shape[1] != self.spec.n_packed:
-            raise ValueError(
-                f"run_paired expects packed frames (P={self.spec.n_packed})")
+        self._check_packed(frames_dev)
         if rng is None:
             rng = jax.random.PRNGKey(0)
         out = dict(self._jit_front(self.params, frames_dev))

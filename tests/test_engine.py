@@ -126,3 +126,9 @@ def test_mc_dropout_rng_determinism(engine, frames):
     np.testing.assert_allclose(o1["tcn_probability"], o2["tcn_probability"])
     o3 = engine.process_clip_batch(frames, rng=jax.random.PRNGKey(10))
     assert not np.allclose(o1["tcn_probability"], o3["tcn_probability"])
+
+
+def test_warmup_pair_mode(engine):
+    t = engine.warmup(batch=1, mode="pair")
+    assert set(t) == {"front", "back"}
+    assert all(v >= 0 for v in t.values())

@@ -8,25 +8,177 @@ The reference publishes no measured numbers (BASELINE.md); the driver
 target is < 1 s p50 per 5 s clip on v5e-4, i.e. 4 s/clip/chip = 15
 clips/min/chip.  vs_baseline is measured clips/min/chip divided by 15, so
 vs_baseline >= 1.0 meets the north-star rate on a single chip.
+
+Tunnel-flap hardening (the axon link is alive ~10-20 min, wedged
+~20-60 min, in cycles):
+  * device probes run in SUBPROCESSES with a hard timeout — a wedged
+    probe can never poison this process's PJRT client or abort the
+    interpreter at exit (round-2 failure mode: rc 134, "FATAL:
+    exception not rethrown" from a stuck probe daemon thread);
+  * the probe loop retries across the FULL wall budget instead of
+    giving up after one attempt — it just needs to catch one alive
+    window;
+  * the moment the device answers, the cheapest DECISIVE config runs
+    first (bf16 batch-4, compute-only before transfer-inclusive), and
+    every partial result updates the output JSON in place — a wedge
+    mid-sweep still reports whatever landed;
+  * a deadman thread finalizes at the wall deadline: prints the JSON
+    (with partials and the last-good artifact) and exits via
+    ``os._exit`` so no stuck thread can turn the exit into an abort;
+  * every successful run writes ``BENCH_LASTGOOD.json`` (value +
+    timestamp + config), and every run embeds the previous last-good
+    as provenance.
 """
 import json
+import os
+import pathlib
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
 BASELINE_CLIPS_PER_MIN = 15.0       # 1 s p50 on 4 chips → 4 s/clip/chip
+REPO = pathlib.Path(__file__).parent
+LASTGOOD_PATH = REPO / "BENCH_LASTGOOD.json"
+
+_START = time.time()
+_WALL_BUDGET = float(os.environ.get("LAMENESS_BENCH_WALL_S", "520"))
+
+# -- the one output line, updated in place as results land -------------------
+RESULT = {
+    "metric": "clips_per_min_per_chip",
+    "value": 0.0,
+    "unit": "clips/min",
+    "vs_baseline": 0.0,
+}
+_FINALIZED = threading.Lock()
 
 
+def _remaining() -> float:
+    return _WALL_BUDGET - (time.time() - _START)
+
+
+def _log(msg: str) -> None:
+    """Timestamped progress to stderr (the tunnel wedges mid-run; the
+    artifact's stderr must show where the budget went)."""
+    print(f"[bench {time.time() - _START:5.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _finalize(rc: int) -> None:
+    """Print the JSON line exactly once and hard-exit.  ``os._exit``
+    (not sys.exit): a jax call wedged on the tunnel leaves non-daemon
+    machinery that otherwise aborts interpreter teardown (r02's rc 134).
+    """
+    if not _FINALIZED.acquire(blocking=False):
+        while True:           # another thread is finalizing; wait for exit
+            time.sleep(60)
+    RESULT["wall_s"] = round(time.time() - _START, 1)
+    print(json.dumps(RESULT), flush=True)
+    sys.stderr.flush()
+    os._exit(rc)
+
+
+def _update_headline() -> None:
+    """Recompute value/vs_baseline from whatever the sweep holds so far,
+    preferring transfer-inclusive clips/min, falling back to
+    compute-only (flagged) — then persist the last-good artifact."""
+    sweep = RESULT.get("sweep", [])
+    full = [m for m in sweep if m.get("clips_per_min")]
+    comp = [m for m in sweep if m.get("compute_clips_per_min")]
+    if full:
+        best = max(full, key=lambda m: m["clips_per_min"])
+        RESULT["value"] = best["clips_per_min"]
+        RESULT["compute_only"] = False
+        RESULT["p50_clip_latency_s"] = best.get("p50_clip_latency_s")
+    elif comp:
+        best = max(comp, key=lambda m: m["compute_clips_per_min"])
+        RESULT["value"] = best["compute_clips_per_min"]
+        RESULT["compute_only"] = True
+        RESULT["p50_clip_latency_s"] = best.get("p50_compute_s_per_clip")
+    else:
+        return
+    RESULT["vs_baseline"] = round(RESULT["value"] / BASELINE_CLIPS_PER_MIN, 3)
+    RESULT["best_config"] = {"bf16": best.get("bf16"),
+                             "batch": best.get("batch")}
+    if RESULT["value"] > 0 and os.environ.get("LAMENESS_BENCH_SMALL") != "1":
+        try:
+            LASTGOOD_PATH.write_text(json.dumps({
+                "value": RESULT["value"], "unit": RESULT["unit"],
+                "vs_baseline": RESULT["vs_baseline"],
+                "compute_only": RESULT.get("compute_only"),
+                "best_config": RESULT.get("best_config"),
+                "link_mb_s": RESULT.get("link_mb_s"),
+                "sweep": RESULT.get("sweep"),
+                "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime()),
+            }, indent=1))
+        except Exception:
+            pass
+
+
+def _deadman() -> None:
+    time.sleep(max(0.0, _WALL_BUDGET - (time.time() - _START)))
+    _log("deadman: wall budget exhausted, finalizing with partials")
+    RESULT.setdefault(
+        "error", "wall budget exhausted; reporting partial results")
+    _finalize(0 if RESULT["value"] > 0 else 1)
+
+
+# -- device probing (subprocess-isolated) ------------------------------------
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp\n"
+    "x = jnp.ones((256, 256))\n"
+    "print('PROBE_OK', float((x @ x)[0, 0]))\n"
+)
+
+
+def _probe_once(timeout_s: float = 30.0) -> bool:
+    """One trivial-matmul probe in a subprocess: a wedged tunnel kills
+    the child, never this process."""
+    try:
+        p = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                           capture_output=True, timeout=timeout_s)
+        return b"PROBE_OK 256.0" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
+def _wait_for_device() -> None:
+    """Retry probes across the whole wall budget; return the moment the
+    device answers.  Raises only when the budget is provably exhausted
+    without one alive window."""
+    attempt = 0
+    while _remaining() > 45:
+        attempt += 1
+        t0 = time.time()
+        if _probe_once(timeout_s=min(30.0, _remaining() - 10)):
+            _log(f"device alive (probe {attempt}, {time.time() - t0:.1f}s)")
+            RESULT["probe_attempts"] = attempt
+            return
+        _log(f"probe {attempt} failed ({time.time() - t0:.1f}s); "
+             f"{_remaining():.0f}s budget left")
+        time.sleep(min(8.0, max(0.0, _remaining() - 40)))
+    RESULT["probe_attempts"] = attempt
+    raise RuntimeError(
+        f"device never answered: {attempt} probes across "
+        f"{time.time() - _START:.0f}s wall (tunnel wedged for the whole "
+        f"budget)")
+
+
+# -- workload ----------------------------------------------------------------
 def load_clip_frames():
     """Golden canonical clip if available, else synthetic 720p frames.
     The decoded PACKED frames are cached to disk — decode of the 720p
     clip costs ~20 s of single-core CPU, which starves the bench's wall
     budget when the host is contended."""
-    import pathlib
     from lameness_tpu.pipeline.engine import EngineSpec
     spec = EngineSpec()
-    cache = pathlib.Path(__file__).parent / ".bench_frames.npy"
+    cache = REPO / ".bench_frames.npy"
     if cache.exists():
         try:
             packed = np.load(cache)
@@ -60,88 +212,80 @@ def load_clip_frames():
     return np.ascontiguousarray(full[:, spec.packed_idx])
 
 
-def _device_watchdog(timeout_s: float = 150.0) -> None:
-    """Fail fast if the accelerator can't run a trivial op (a wedged remote
-    TPU tunnel otherwise hangs the whole bench)."""
-    import threading
-    result = {}
-
-    def probe():
-        import jax
-        import jax.numpy as jnp
-        x = jnp.ones((128, 128))
-        result["ok"] = float((x @ x)[0, 0]) == 128.0
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not result.get("ok"):
-        raise RuntimeError(
-            f"device unresponsive: trivial matmul did not complete in "
-            f"{timeout_s}s (backend tunnel wedged?)")
-
-
-_START = time.time()
-_WALL_BUDGET = 500.0
-
-
-def _remaining() -> float:
-    return _WALL_BUDGET - (time.time() - _START)
-
-
-def _log(msg: str) -> None:
-    """Timestamped progress to stderr (the tunnel wedges mid-run; the
-    artifact's stderr must show where the budget went)."""
-    print(f"[bench {time.time() - _START:5.0f}s] {msg}", file=sys.stderr,
-          flush=True)
-
-
-def _measure(engine, frames_np, batch, rng, n_runs=4):
-    """Warm + time one (engine precision, batch) configuration."""
+def _measure_link_mb_s() -> float:
+    """Measured host->HBM bandwidth: 64 MB device_put, median of 3.
+    Recorded so the e2e-vs-compute gap is explained by numbers, not
+    prose (the tunnel link jitters ~2x)."""
     import jax
-    # pack on host first: only the 33 frames the stages consume cross the
-    # host->device link (the driver path does the same)
+    buf = np.ones((64, 1024, 1024), np.uint8)        # 64 MB
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        d = jax.device_put(buf)
+        _ = int(d[0, 0, 0])                          # force completion
+        ts.append(time.time() - t0)
+        del d
+    return round(64.0 / float(np.median(ts)), 1)
+
+
+def _measure_config(engine, frames_np, batch, rng, bf16, n_runs=4):
+    """Measure one (precision, batch) config, updating RESULT after each
+    phase so a mid-config wedge still reports the finished phases.
+    Phase order is cheapest-decisive-first: compute-only before
+    transfer-inclusive before per-stage breakdown."""
+    import jax
+    entry = {"bf16": bf16, "batch": batch}
+    RESULT.setdefault("sweep", []).append(entry)
     frames_np = engine.spec.pack_frames(frames_np)
     frames = np.repeat(frames_np, batch, axis=0) if batch > 1 else frames_np
 
-    def run_once():
-        # includes the host->HBM frame transfer (end-to-end per clip);
-        # scalar readbacks from each heavy stage force real completion
-        # (block_until_ready is unreliable on tunnelled backends)
-        fd = jax.device_put(frames)
+    t0 = time.time()
+    _log(f"warmup start (bf16={bf16} batch={batch})")
+    entry["stage_compiles_s"] = engine.warmup(batch=batch)
+    entry["compile_s"] = round(time.time() - t0, 1)
+    _log(f"warmup done {entry['stage_compiles_s']}")
+
+    # phase 1: compute-only on device-resident frames (separates TPU
+    # capability from the tunnel link; scalar readbacks force completion
+    # — block_until_ready under-syncs on tunnelled backends)
+    fd = jax.device_put(frames)
+    comp = []
+    for i in range(n_runs + 1):
+        t0 = time.time()
         out = engine.run_staged(fd, rng)
+        _ = (float(out["tcn_probability"][0])
+             + float(out["embeddings"][0, 0, 0]))
+        if i > 0:                                    # first run may compile
+            comp.append(time.time() - t0)
+        _log(f"compute run {i}: {time.time() - t0:.2f}s")
+    comp_p50 = float(np.median(comp))
+    entry["p50_compute_s_per_clip"] = round(comp_p50 / batch, 4)
+    entry["compute_clips_per_min"] = round(60.0 / comp_p50 * batch, 2)
+    entry["tcn_probability"] = float(out["tcn_probability"][0])
+    _update_headline()
+    _log(f"compute-only p50 {comp_p50:.3f}s "
+         f"({entry['compute_clips_per_min']} clips/min)")
+
+    # phase 2: transfer-inclusive (host->HBM device_put each run, the
+    # driver's per-clip path)
+    times = []
+    for i in range(n_runs):
+        t0 = time.time()
+        fd2 = jax.device_put(frames)
+        out = engine.run_staged(fd2, rng)
         _ = (float(out["tcn_probability"][0])
              + float(out["mask_area_frac"][0, 0])
              + float(out["embeddings"][0, 0, 0])
              + float(out["det_scores"][0, 0, 0]))
-        return out
-
-    t0 = time.time()
-    _log(f"warmup start (batch={batch})")
-    stage_compiles = engine.warmup(batch=batch)
-    _log(f"warmup done {stage_compiles}; first run")
-    out = run_once()
-    compile_s = time.time() - t0
-    _log(f"first run done ({compile_s:.1f}s incl warmup)")
-    times = []
-    for i in range(n_runs):
-        t0 = time.time()
-        out = run_once()
         times.append(time.time() - t0)
-        _log(f"run {i + 1}/{n_runs}: {times[-1]:.2f}s")
+        _log(f"e2e run {i + 1}/{n_runs}: {times[-1]:.2f}s")
     p50 = float(np.median(times))
-    # compute-only: same runs on device-RESIDENT frames — separates TPU
-    # capability from host-link bandwidth (which the tunnel throttles)
-    fd = jax.device_put(frames)
-    comp = []
-    for i in range(n_runs):
-        t0 = time.time()
-        out = engine.run_staged(fd, rng)
-        _ = float(out["tcn_probability"][0]) + float(out["embeddings"][0, 0, 0])
-        comp.append(time.time() - t0)
-    comp_p50 = float(np.median(comp))
-    _log(f"compute-only p50 {comp_p50:.2f}s")
-    # per-stage breakdown (one forced sync each; resident frames)
+    entry["p50_clip_latency_s"] = round(p50 / batch, 4)
+    entry["p50_batch_latency_s"] = round(p50, 4)
+    entry["clips_per_min"] = round(60.0 / p50 * batch, 2)
+    _update_headline()
+
+    # phase 3: per-stage breakdown (resident frames, one forced sync each)
     stage_s = {}
     det = engine._jit_detect(engine.params, fd)
     for name, fn, args in (
@@ -156,43 +300,75 @@ def _measure(engine, frames_np, batch, rng, n_runs=4):
         for _ in range(3):
             t0 = time.time()
             out_s = fn(*args)
-            jax.tree_util.tree_leaves(out_s)[0].block_until_ready()
+            _ = float(jax.tree_util.tree_leaves(out_s)[0].ravel()[0])
             ts.append(time.time() - t0)
         stage_s[name] = round(float(np.median(ts)), 3)
+    entry["stage_run_p50_s"] = stage_s
     _log(f"stage p50 {stage_s}")
-    return {
-        "p50_clip_latency_s": round(p50 / batch, 4),
-        "p50_batch_latency_s": round(p50, 4),
-        "clips_per_min": round(60.0 / p50 * batch, 2),
-        "p50_compute_s_per_clip": round(comp_p50 / batch, 4),
-        "compute_clips_per_min": round(60.0 / comp_p50 * batch, 2),
-        "stage_run_p50_s": stage_s,
-        "batch": batch,
-        "compile_s": round(compile_s, 1),
-        "stage_compiles_s": stage_compiles,
-        "tcn_probability": float(out["tcn_probability"][0]),
-    }
+    return entry
+
+
+def measure_driver_e2e(engine):
+    """True end-to-end through the driver on the golden clip: single
+    run_feature_stages latency (decode serial before the engine), and
+    process_stream amortized s/clip where background decode overlaps
+    device compute (the serving batcher's default path)."""
+    import tempfile
+    golden = pathlib.Path(
+        "/root/reference/data/canonical/"
+        "5c3864af-b292-43e7-a319-becb0e98c230_canonical.mp4")
+    if not golden.exists():
+        return None, None
+    from lameness_tpu.core.config import Config
+    from lameness_tpu.serve.driver import PipelineDriver
+    cfg = Config.load(data_root=tempfile.mkdtemp() + "/data")
+    cfg.dirs.ensure()
+    drv = PipelineDriver(config=cfg, engine=engine)
+    drv.run_feature_stages("warm", golden)   # warm the writers
+    t0 = time.time()
+    drv.run_feature_stages("bench", golden)
+    single = round(time.time() - t0, 3)
+    from lameness_tpu.utils.timing import TIMERS
+    TIMERS.reset()
+    t0 = time.time()
+    drv.process_stream([(f"s{i}", golden) for i in range(2)],
+                       batch_size=1)
+    stream = round((time.time() - t0) / 2, 3)
+    _log(f"stream timers {TIMERS.summary()}")
+    return single, stream
 
 
 def main():
+    small = os.environ.get("LAMENESS_BENCH_SMALL") == "1"
+    # provenance: embed the previous last-good on-chip artifact up front,
+    # so even an all-wedged run carries the best known number
+    if LASTGOOD_PATH.exists():
+        try:
+            RESULT["last_good"] = json.loads(LASTGOOD_PATH.read_text())
+        except Exception:
+            pass
+
+    if not small:
+        _wait_for_device()
+
     import jax
-    # persistent compilation cache: the ~3 min stage compiles amortise
-    # across processes/runs
+    if small:
+        # the environment pins the axon platform harder than env vars can
+        # override — self-test mode must run on host CPU
+        jax.config.update("jax_platforms", "cpu")
     try:
-        import pathlib
-        cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+        cache_dir = REPO / ".jax_cache"
         cache_dir.mkdir(exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
-    _device_watchdog()
-    _log("watchdog passed")
-    from lameness_tpu.pipeline.engine import EngineSpec, LamenessEngine
+    RESULT["backend"] = jax.default_backend()
+    RESULT["stages"] = ("yolo+sam_vitb+dino_vitb+pose+tcn+gait "
+                        "(4 staged jits, device-resident)")
 
-    import os
     t0 = time.time()
-    if os.environ.get("LAMENESS_BENCH_SMALL") == "1":
+    if small:
         # CI/self-test mode: tiny geometry exercises the identical sweep
         # code path in seconds (numbers are NOT comparable to the real
         # bench and vs_baseline is meaningless here)
@@ -203,63 +379,32 @@ def main():
         frames = rng0.integers(0, 255, (1, s.clip_frames, s.frame_height,
                                         s.frame_width, 3), dtype=np.uint8)
     else:
+        from lameness_tpu.pipeline.engine import EngineSpec, LamenessEngine
         frames = load_clip_frames()
         _log(f"frames loaded {frames.shape}")
         engine = LamenessEngine(spec=EngineSpec())
-    build_s = time.time() - t0
-    _log(f"engine built ({build_s:.1f}s)")
+    RESULT["build_s"] = round(time.time() - t0, 1)
+    _log(f"engine built ({RESULT['build_s']}s)")
     # snapshot for precision restore: apply_engine_policy replaces dict
     # ENTRIES in place, so alias the entries, not the dict
     f32_params = dict(engine.params)
     f32_dtype = engine.spec.dtype
     rng = jax.random.PRNGKey(0)
 
-    # sweep plan: env pins take precedence; otherwise measure the f32
-    # batch-1 reference config first, then spend any remaining wall
-    # budget on bf16 and larger batches, reporting the BEST as headline.
+    # sweep plan: env pins take precedence; otherwise bf16 batch-4 FIRST
+    # (the cheapest decisive config — best known throughput), then spend
+    # any remaining budget on the reference f32 batch-1 and the rest.
     env_batch = os.environ.get("LAMENESS_BENCH_BATCH")
     env_bf16 = os.environ.get("LAMENESS_BF16")
     if env_batch or env_bf16:
         plan = [(env_bf16 == "1", int(env_batch or "1"))]
     else:
-        plan = [(False, 1), (True, 1), (True, 4), (False, 4)]
+        plan = [(True, 4), (False, 1), (True, 1), (False, 4)]
 
-    def measure_driver_e2e():
-        """True end-to-end through the driver on the golden clip: single
-        run_feature_stages latency (decode serial before the engine), and
-        process_stream amortized s/clip where background decode overlaps
-        device compute (the serving batcher's default path)."""
-        import pathlib
-        import tempfile
-        golden = pathlib.Path(
-            "/root/reference/data/canonical/"
-            "5c3864af-b292-43e7-a319-becb0e98c230_canonical.mp4")
-        if not golden.exists():
-            return None, None
-        from lameness_tpu.core.config import Config
-        from lameness_tpu.serve.driver import PipelineDriver
-        cfg = Config.load(data_root=tempfile.mkdtemp() + "/data")
-        cfg.dirs.ensure()
-        drv = PipelineDriver(config=cfg, engine=engine)
-        drv.run_feature_stages("warm", golden)   # warm the writers
-        t0 = time.time()
-        drv.run_feature_stages("bench", golden)
-        single = round(time.time() - t0, 3)
-        from lameness_tpu.utils.timing import TIMERS
-        TIMERS.reset()
-        t0 = time.time()
-        drv.process_stream([(f"s{i}", golden) for i in range(2)],
-                           batch_size=1)
-        stream = round((time.time() - t0) / 2, 3)
-        _log(f"stream timers {TIMERS.summary()}")
-        return single, stream
-
-    sweep = []
-    driver_e2e = driver_stream = None
     bf16_applied = False
     for cfg_i, (bf16, batch) in enumerate(plan):
-        # leave room for the runs themselves (compile ~40 s/stage cold)
-        if sweep and _remaining() < 150:
+        if cfg_i > 0 and _remaining() < 150:
+            _log(f"skipping remaining configs ({_remaining():.0f}s left)")
             break
         try:
             if bf16 and not bf16_applied:
@@ -272,30 +417,34 @@ def main():
                 engine.spec.dtype = f32_dtype
                 engine._build_jits()
                 bf16_applied = False
-            m = _measure(engine, frames, batch, rng)
-            m["bf16"] = bf16
-            sweep.append(m)
+            _measure_config(engine, frames, batch, rng, bf16)
         except Exception as e:
-            sweep.append({"bf16": bf16, "batch": batch,
-                          "error": repr(e)[:200]})
-        if cfg_i == 0 and "clips_per_min" in sweep[-1]:
-            # capture the driver e2e secondary right after the reference
-            # config — a tunnel wedge later must not cost this metric
+            RESULT.setdefault("sweep", []).append(
+                {"bf16": bf16, "batch": batch, "error": repr(e)[:200]})
+        if cfg_i == 0:
+            # link bandwidth + driver e2e right after the headline config
+            # — a tunnel wedge later must not cost these
             try:
-                driver_e2e, driver_stream = measure_driver_e2e()
-                _log(f"driver e2e {driver_e2e}s, stream {driver_stream}"
-                     f"s/clip")
+                RESULT["link_mb_s"] = _measure_link_mb_s()
+                _log(f"link {RESULT['link_mb_s']} MB/s")
+                _update_headline()
             except Exception:
                 pass
-    measured = [m for m in sweep if "clips_per_min" in m]
-    if not measured:
-        raise RuntimeError(f"no config measured: {sweep}")
-    best = max(measured, key=lambda m: m["clips_per_min"])
+            if not small and _remaining() > 120:
+                try:
+                    e2e, stream = measure_driver_e2e(engine)
+                    RESULT["driver_e2e_s_incl_decode"] = e2e
+                    RESULT["driver_stream_s_per_clip"] = stream
+                    _log(f"driver e2e {e2e}s, stream {stream}s/clip")
+                except Exception:
+                    pass
+
+    if RESULT["value"] <= 0:
+        raise RuntimeError(f"no config measured: {RESULT.get('sweep')}")
 
     # 2-dispatch mode ([detect+dino] -> [sam+heads]): same computation,
     # half the per-clip dispatch round trips — measure compute-only in
     # whatever precision the sweep left installed
-    pair_mode = None
     if _remaining() > 120:
         try:
             _log("pair-mode warmup")
@@ -313,49 +462,21 @@ def main():
                 t0 = time.time()
                 pair_once()
                 ts.append(time.time() - t0)
-            pair_mode = {"p50_compute_s": round(float(np.median(ts)), 4),
-                         "bf16": bf16_applied}
-            _log(f"pair mode {pair_mode}")
+            RESULT["pair_mode_2_dispatch"] = {
+                "p50_compute_s": round(float(np.median(ts)), 4),
+                "bf16": bf16_applied}
+            _log(f"pair mode {RESULT['pair_mode_2_dispatch']}")
         except Exception as e:
-            pair_mode = {"error": repr(e)[:200]}
+            RESULT["pair_mode_2_dispatch"] = {"error": repr(e)[:200]}
 
-    result = {
-        "metric": "clips_per_min_per_chip",
-        "value": best["clips_per_min"],
-        "unit": "clips/min",
-        "vs_baseline": round(best["clips_per_min"] / BASELINE_CLIPS_PER_MIN,
-                             3),
-        "p50_clip_latency_s": best["p50_clip_latency_s"],
-        "best_config": {"bf16": best["bf16"], "batch": best["batch"]},
-        "sweep": sweep,
-        "driver_e2e_s_incl_decode": driver_e2e,
-        "driver_stream_s_per_clip": driver_stream,
-        "pair_mode_2_dispatch": pair_mode,
-        "build_s": round(build_s, 1),
-        "backend": jax.default_backend(),
-        "stages": "yolo+sam_vitb+dino_vitb+pose+tcn+gait "
-                  "(4 staged jits, device-resident)",
-    }
-    print(json.dumps(result))
+    _update_headline()
+    _finalize(0)
 
 
 if __name__ == "__main__":
-    # hard wall: if anything (compile RPC, device dispatch) wedges after the
-    # watchdog passed, still emit a JSON line instead of hanging forever
-    import signal
-
-    def _alarm(signum, frame):
-        raise TimeoutError("bench exceeded the 540s wall-clock budget")
-
-    try:
-        signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(540)
-    except Exception:
-        pass
+    threading.Thread(target=_deadman, daemon=True).start()
     try:
         main()
     except Exception as e:  # never leave the driver without a JSON line
-        print(json.dumps({"metric": "clips_per_min_per_chip", "value": 0.0,
-                          "unit": "clips/min", "vs_baseline": 0.0,
-                          "error": repr(e)[:300]}))
-        sys.exit(1)
+        RESULT["error"] = repr(e)[:300]
+        _finalize(0 if RESULT["value"] > 0 else 1)

@@ -238,6 +238,7 @@ class NatsClient:
         self.server_info: Dict[str, Any] = {}
         self.errors: List[str] = []
         self._pong_waiters: List[threading.Event] = []
+        self._pong_lock = threading.Lock()
         self._buf = b""
 
     # -- lifecycle -------------------------------------------------------------
@@ -308,9 +309,15 @@ class NatsClient:
 
     def flush(self, timeout_s: float = 5.0) -> bool:
         """Round-trip PING/PONG: when it returns, every prior publish has
-        been processed by the server."""
+        been processed by the server.
+
+        PING/PONG pair FIFO (one PONG releases exactly the oldest waiter),
+        so concurrent flush() calls each wait for their OWN round trip —
+        a later flush cannot ride an earlier flush's PONG.
+        """
         ev = threading.Event()
-        self._pong_waiters.append(ev)
+        with self._pong_lock:
+            self._pong_waiters.append(ev)
         self._send(b"PING" + _CRLF)
         return ev.wait(timeout_s)
 
@@ -366,8 +373,10 @@ class NatsClient:
                 elif op == b"PING":
                     self._send(b"PONG" + _CRLF)
                 elif op == b"PONG":
-                    waiters, self._pong_waiters = self._pong_waiters, []
-                    for w in waiters:
+                    with self._pong_lock:
+                        w = (self._pong_waiters.pop(0)
+                             if self._pong_waiters else None)
+                    if w is not None:
                         w.set()
                 # +OK / -ERR / INFO updates: record errors, ignore the rest
                 elif op == b"-ERR":

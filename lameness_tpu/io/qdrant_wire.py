@@ -241,31 +241,40 @@ class QdrantRestStore:
     def export_collection(self, name: str, start: int = 0,
                           limit: Optional[int] = None):
         """Bulk read via Qdrant scroll pages -> {ids, vectors, payloads,
-        total} (same surface as VectorStore.export_collection)."""
+        total} (same surface as VectorStore.export_collection).
+
+        Server-side paging: the scroll starts at ``offset=start`` (this
+        server hands out integer cursors) and stops once ``limit`` points
+        are in hand, so a paged caller transfers only its own slice —
+        ``total`` comes from the collection metadata, not a full scan.
+        """
         import numpy as np
+        total = self.count(name)
+        if not self.has_collection(name):
+            return None
+        want = (total - start) if limit is None else limit
         ids, vecs, payloads = [], [], {}
-        offset = None
-        while True:
+        offset: Optional[int] = start
+        while want > 0 and offset is not None:
             res = self._call("POST", f"/collections/{name}/points/scroll",
-                             {"limit": 256, "offset": offset,
+                             {"limit": min(256, want), "offset": offset,
                               "with_vector": True})
             if res is None:
                 return None
-            for p in res.get("points", []):
+            pts = res.get("points", [])
+            if not pts:
+                break
+            for p in pts:
                 ids.append(str(p["id"]))
                 vecs.append(p.get("vector") or [])
                 payloads[str(p["id"])] = p.get("payload") or {}
+            want -= len(pts)
             offset = res.get("next_page_offset")
-            if offset is None:
-                break
         if not ids:
             return None
-        total = len(ids)
-        end = total if limit is None else min(start + limit, total)
-        ids = ids[start:end]
         return {"ids": ids,
-                "vectors": np.asarray(vecs[start:end], np.float32),
-                "payloads": {i: payloads[i] for i in ids},
+                "vectors": np.asarray(vecs, np.float32),
+                "payloads": payloads,
                 "total": total}
 
     def ping(self) -> bool:

@@ -5,10 +5,14 @@ three named boosted models + a weighted ensemble whose weights come from
 ``ensemble_weights.json``.  GBDT inference stays on host, bit-stable
 (SURVEY.md §2.7) — this is deliberately NOT a TPU workload.
 
-When the native libraries are installed they are used with the reference's
-file formats; otherwise sklearn gradient boosting stands in for each slot
-(documented degradation — identical ensemble math, different tree library),
-persisted with joblib under the same model-directory layout.
+Reference model FILES (``xgboost_latest.json`` / ``lightgbm_latest.txt``)
+load and predict exactly via the pure-numpy tree evaluators in
+:mod:`lameness_tpu.ml.gbdt_io` — no C++ library needed; ``.cbm`` needs the
+catboost lib.  For TRAINING (and for slots without a reference file),
+native libraries are used when installed, otherwise sklearn gradient
+boosting stands in (documented degradation — identical ensemble math,
+different tree library), persisted with joblib under the same
+model-directory layout.
 """
 from __future__ import annotations
 
@@ -87,7 +91,19 @@ class GBDTEnsemble:
         return self.models_dir / f"{slot}_latest.joblib"
 
     def load(self) -> None:
+        from .gbdt_io import load_reference_model
         for slot in MODEL_SLOTS:
+            # the reference's own model-file formats take precedence:
+            # xgboost_latest.json / lightgbm_latest.txt load via the
+            # pure-numpy readers (exact tree evaluation, no C++ libs),
+            # catboost_latest.cbm via the catboost lib when installed
+            try:
+                ref = load_reference_model(self.models_dir, slot)
+            except Exception:
+                ref = None
+            if ref is not None:
+                self.models[slot] = ref
+                continue
             p = self._slot_path(slot)
             if p.exists():
                 try:

@@ -99,7 +99,26 @@ class VisionAttention(nn.Module):
         if use_fused is None:
             use_fused = (jax.default_backend() == "tpu"
                          and h == w == self.input_size[0] and h >= 32)
-        if use_fused:
+        use_fused_win = (self.fused is not False
+                         and h == w == self.input_size[0] and h <= 16
+                         and (jax.default_backend() == "tpu"
+                              or self.fused is True))
+        if use_fused_win:
+            # fused windowed path: one Pallas program per window fuses
+            # bias + softmax + both matmuls for all heads (the windowed
+            # layers are ~91% of SAM encoder compute)
+            from ..ops.sam_attention import (project_rel_tables,
+                                             sam_window_attention)
+            interp = jax.default_backend() != "tpu"
+            qf = q.transpose(0, 2, 1, 3).reshape(b * self.heads, h * w, hd)
+            rh, rw = project_rel_tables(qf, rel_h, rel_w, h)
+            rh = rh.reshape(b, self.heads, h * w, h)
+            rw = rw.reshape(b, self.heads, h * w, h)
+            of = sam_window_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), rh, rw, interpret=interp)
+            out = of.transpose(0, 2, 1, 3)                  # (B, N, nH, hd)
+        elif use_fused:
             # fused Pallas path: never materialises the (N, N) bias
             from ..ops.sam_attention import (project_rel_tables,
                                              sam_global_attention)
@@ -158,10 +177,10 @@ class VisionLayer(nn.Module):
             orig_hw = (h.shape[1], h.shape[2])
             h, padded = window_partition(h, self.window_size)
             size = (self.window_size, self.window_size)
-            fused = False
         else:
             size = self.global_input_size
-            fused = self.fused_global
+        fused = self.fused_global      # None=auto / True=force / False=off
+                                       # — window kernel picks by size
         h = VisionAttention(self.dim, self.heads, size, fused,
                             name="attn")(h)
         if self.window_size > 0:

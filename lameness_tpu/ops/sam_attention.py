@@ -113,6 +113,89 @@ def sam_global_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(q, k, v, rel_h, rel_w)
 
 
+def _window_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
+                   scale: float, win: int, heads: int):
+    """All heads of one 14x14 window per program.
+
+    Refs: q/k/v/o (1, nH, N, D); rh/rw (1, nH, N, win) with
+    N = win².  Per head: s = qk^T·scale + bias, softmax, @v — the bias
+    tile bias[q, kh·win + kw] = rh[q, kh] + rw[q, kw] is rebuilt with
+    the same Mosaic-safe construction as the global kernel above (one-
+    hot MXU matmul for the kh spread, lane tiling for kw; no minor-dim
+    reshapes — those fail to compile on real TPU).
+    """
+    n = win * win
+    # one-hot spread shared across heads: spread[r, j] = 1 iff j//win == r
+    j = jax.lax.broadcasted_iota(jnp.int32, (win, n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (win, n), 0)
+    spread = jnp.where(j // win == row, 1.0, 0.0)          # (win, N)
+    for h in range(heads):
+        q = q_ref[0, h]                                    # (N, D)
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        rh = rh_ref[0, h].astype(jnp.float32)              # (N, win)
+        rw = rw_ref[0, h].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + jax.lax.dot_general(rh, spread, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        s = s + pltpu.repeat(rw, win, axis=1)              # rw[q, j % win]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, h] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def sam_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         rel_h: jnp.ndarray, rel_w: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Fused biased attention over ViTDet's padded 14x14 windows.
+
+    q, k, v: (BW, nH, N, D) — BW = frames · windows, N = win² tokens;
+    rel_h, rel_w: (BW, nH, N, win) q-projected decomposed rel-pos tables
+    ([token, kh] / [token, kw]).  Returns (BW, nH, N, D).
+
+    The windowed layers are 361 of SAM's 395 ms f32 compute (ROUND2
+    attribution); unfused, each window's (196, 196) bias + scores round-
+    trip HBM with 196-token layouts that tile poorly (196 = 1.5 lane
+    tiles) and turn bf16 into relayout soup (~18% gain).  One grid
+    program per window fuses bias + softmax + both matmuls for all 12
+    heads in VMEM: HBM touches only q/k/v/out and the (N, win) tables.
+
+    Pad parity: the caller zero-pads the token grid BEFORE qkv (exactly
+    like the reference ViTDet, ``segment_anything`` image encoder /
+    sam3-pipeline usage), so pad K/V rows hold the qkv bias values and
+    participate in attention identically — bit-for-bit the reference's
+    edge-window numerics, no masking required.
+    """
+    bw, nh, n, d = q.shape
+    win = rel_h.shape[-1]
+    assert n == win * win, (n, win)
+    scale = d ** -0.5
+    return pl.pallas_call(
+        functools.partial(_window_kernel, scale=scale, win=win, heads=nh),
+        grid=(bw,),
+        in_specs=[
+            pl.BlockSpec((1, nh, n, d), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, n, d), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, n, d), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, n, win), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, n, win), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nh, n, d), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bw, nh, n, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, rel_h, rel_w)
+
+
 def project_rel_tables(q: jnp.ndarray, rel_pos_h: jnp.ndarray,
                        rel_pos_w: jnp.ndarray, g: int):
     """q: (BH, G*G, D); rel tables (2G-1, D) -> projected (BH, G, G, G).

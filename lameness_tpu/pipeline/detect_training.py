@@ -177,12 +177,29 @@ def task_aligned_assign(pd_scores: jnp.ndarray, pd_boxes: jnp.ndarray,
     gcx = (gt_boxes[..., 0:1] + gt_boxes[..., 2:3]) / 2
     gcy = (gt_boxes[..., 1:2] + gt_boxes[..., 3:4]) / 2
     cdist = jnp.where(in_box, (ax - gcx) ** 2 + (ay - gcy) ** 2, jnp.inf)
-    fb_anchor = jnp.argmin(cdist, axis=-1)                      # (B, M)
-    fb_ok = (~cand.any(-1)) & gt_mask & in_box.any(-1)
-    fb = (jax.nn.one_hot(fb_anchor, a, dtype=jnp.bool_)
-          & fb_ok[..., None])                                   # (B, M, A)
-    fb_claimed = fb.any(axis=1)                                 # (B, A)
-    cand = (cand & ~fb_claimed[:, None, :]) | fb
+    # Two claim rounds: round 1 can (a) displace a gt whose ONLY TAL
+    # candidate gets fallback-claimed, and (b) collide two candidate-less
+    # gts on the same nearest anchor.  Collisions resolve to the closer
+    # gt (ties: lower index); the loser and any displaced gt re-enter in
+    # round 2 with already-fallback-claimed anchors masked out, so they
+    # claim their nearest still-free in-box anchor instead of silently
+    # losing the step.
+    fb_claimed = jnp.zeros_like(cand[:, 0, :])                  # (B, A)
+    for _ in range(2):
+        cdist_r = jnp.where(fb_claimed[:, None, :], jnp.inf, cdist)
+        need = ((~cand.any(-1)) & gt_mask
+                & jnp.isfinite(cdist_r).any(-1))                # (B, M)
+        fb_anchor = jnp.argmin(cdist_r, axis=-1)                # (B, M)
+        fb = (jax.nn.one_hot(fb_anchor, a, dtype=jnp.bool_)
+              & need[..., None])                                # (B, M, A)
+        d_at = jnp.take_along_axis(cdist_r, fb_anchor[..., None],
+                                   -1)[..., 0]                  # (B, M)
+        winner = jnp.argmin(jnp.where(fb, d_at[..., None], jnp.inf),
+                            axis=1)                             # (B, A)
+        fb = fb & (jnp.arange(m)[None, :, None] == winner[:, None, :])
+        fb_round = fb.any(axis=1)                               # (B, A)
+        cand = (cand & ~fb_round[:, None, :]) | fb
+        fb_claimed = fb_claimed | fb_round
 
     fg_mask = cand.any(axis=1)                                  # (B, A)
     gt_idx = jnp.argmax(cand, axis=1)                           # (B, A)
@@ -197,7 +214,7 @@ def task_aligned_assign(pd_scores: jnp.ndarray, pd_boxes: jnp.ndarray,
     soft = (align_sel * pos_iou.max(-1, keepdims=True) / norm).max(1)
     # fallback anchors carry zero align; floor their soft target so the
     # classifier gets a pull-up signal out of the dead zone
-    soft = jnp.where(fb.any(axis=1), jnp.maximum(soft, 0.5), soft)
+    soft = jnp.where(fb_claimed, jnp.maximum(soft, 0.5), soft)
     onehot = jax.nn.one_hot(target_labels, c)
     target_scores = onehot * jnp.where(fg_mask, soft, 0.0)[..., None]
     return target_labels, target_boxes, target_scores, fg_mask, gt_idx

@@ -6,6 +6,14 @@ strict evidence-only system prompt, the structured explanation template
 sections), and provider fallback OpenAI → Ollama → deterministic local
 template.  The local fallback produces the same four-section output format
 from the data alone, so explanations exist even with zero egress.
+
+NOTE: ``SYSTEM_PROMPT`` below reproduces the reference's prompt prose
+verbatim (``services/llm-service/app/main.py:37-61``) BY DESIGN — it is
+the output contract: downstream consumers (frontend explanation panes,
+the explanation parser, human raters) depend on the exact section
+headers and rule semantics this prose induces, so paraphrasing it would
+change model behavior against the same providers. It is a prose
+constant, not code.
 """
 from __future__ import annotations
 

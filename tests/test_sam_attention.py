@@ -42,6 +42,41 @@ def test_fused_path_matches_module_reference_path(rng):
     assert np.max(np.abs(np.asarray(got) - np.asarray(ref))) < 2e-5
 
 
+def test_window_kernel_matches_reference(rng):
+    """sam_window_attention == dense bias + softmax reference."""
+    from lameness_tpu.ops.sam_attention import sam_window_attention
+    win, d, bw, nh = 4, 16, 3, 2
+    n = win * win
+    q = jnp.asarray(rng.standard_normal((bw, nh, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bw, nh, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bw, nh, n, d)).astype(np.float32))
+    rh = jnp.asarray(rng.standard_normal((bw, nh, n, win)).astype(np.float32))
+    rw = jnp.asarray(rng.standard_normal((bw, nh, n, win)).astype(np.float32))
+    # dense reference: bias[q, kh*win+kw] = rh[q, kh] + rw[q, kw]
+    bias = (rh[..., :, None] + rw[..., None, :]).reshape(bw, nh, n, n)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d ** -0.5) + bias
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+    got = sam_window_attention(q, k, v, rh, rw, interpret=True)
+    assert np.max(np.abs(np.asarray(got) - np.asarray(ref))) < 2e-5
+
+
+def test_window_layer_fused_parity_with_padding(rng):
+    """VisionLayer(window) fused vs unfused — includes the zero-pad edge
+    windows, so pad-token numerics match the reference path exactly."""
+    from lameness_tpu.models.sam import VisionLayer
+    dim, heads, win, g = 32, 4, 4, 6        # 6x6 grid pads to 8x8
+    x = jnp.asarray(rng.standard_normal((2, g, g, dim)).astype(np.float32))
+    ref_mod = VisionLayer(dim, heads, 2.0, win, (g, g), fused_global=False)
+    params = ref_mod.init(jax.random.PRNGKey(0), x)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * np.random.default_rng(1).standard_normal(
+            a.shape).astype(a.dtype) if a.ndim == 2 else a, params)
+    ref = ref_mod.apply(params, x)
+    fused_mod = VisionLayer(dim, heads, 2.0, win, (g, g), fused_global=True)
+    got = fused_mod.apply(params, x)
+    assert np.max(np.abs(np.asarray(got) - np.asarray(ref))) < 2e-5
+
+
 def test_project_rel_tables_shapes(rng):
     g, d, bh = 4, 8, 2
     q = jnp.asarray(rng.standard_normal((bh, g * g, d)).astype(np.float32))

@@ -108,6 +108,50 @@ def test_sam_real_mask_parity(golden_frame):
     assert union > 0 and inter / union >= 0.99, inter / max(union, 1)
 
 
+def _shape_map(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(k): tuple(np.shape(v)) for k, v in flat}
+
+
+def test_sam_full_architecture_conversion_in_suite():
+    """Conversion validated against the FULL `transformers.SamModel`
+    (ViT-B architecture) with random weights — no download needed.
+
+    Every HF parameter maps into our tree at the exact template shape
+    (`jax.eval_shape` of the real 1024-px Sam init), so the only thing
+    the environment-blocked gates above still add is the numeric check
+    against the real checkpoints."""
+    torch = pytest.importorskip("torch")
+    from transformers import SamConfig, SamModel
+    from lameness_tpu.models.sam import Sam, convert_hf_state_dict
+    with torch.no_grad():
+        tm = SamModel(SamConfig()).eval()            # full facebook/sam-vit-base arch
+    params = convert_hf_state_dict(tm.state_dict(), depth=12)
+    model = Sam(img_size=1024)
+    template = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                              jnp.zeros((1, 1024, 1024, 3)),
+                              jnp.zeros((1, 4)))
+    assert _shape_map(template) == _shape_map(params)
+
+
+def test_dino_full_architecture_conversion_in_suite():
+    """Same full-architecture gate for `transformers.Dinov2Model`
+    (dinov2-base config, random weights)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Dinov2Config, Dinov2Model
+    from lameness_tpu.models.dino import DinoV2, convert_hf_state_dict
+    with torch.no_grad():
+        # image_size=518 matches the published facebook/dinov2-base
+        # checkpoint (37x37+1 position grid); the config-class default
+        # of 224 is not what the real weights ship with
+        tm = Dinov2Model(Dinov2Config(image_size=518)).eval()
+    params = convert_hf_state_dict(tm.state_dict(), num_layers=12)
+    model = DinoV2()
+    template = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                              jnp.zeros((1, 224, 224, 3)))
+    assert _shape_map(template) == _shape_map(params)
+
+
 def test_yolo_real_weights_load_into_engine():
     """The converted COCO yolov8n auto-loads and produces a working
     detect path (ultralytics isn't installed, so the torch side can't

@@ -598,20 +598,24 @@ def build_admin_api(ctx: AdminContext) -> Router:
         stats = None
         if ctx.reliability:
             stats = ctx.reliability.rater_stats.get(user)
-        modules = []
+        saved: Dict[str, Any] = {}
         prog_f = Path(dirs.training) / "learn_progress" / \
             f"{req.user['sub']}.json"
         if prog_f.exists():
             try:
-                modules = json.load(open(prog_f)).get(
-                    "modules_completed", [])
+                saved = json.load(open(prog_f))
             except Exception:
                 pass
         return {"username": user, "comparisons": comps[0]["n"],
                 "tier": stats.tier if stats else "bronze",
                 "gold_accuracy": stats.gold_task_accuracy if stats else None,
                 "level": min(10, comps[0]["n"] // 10 + 1),
-                "modules_completed": modules}
+                "modules_completed": saved.get("modules_completed", []),
+                # quiz-game persistence (TrainingModule.tsx score model)
+                "total_score": saved.get("total_score", 0),
+                "streak": saved.get("streak", 0),
+                "total_attempts": saved.get("total_attempts", 0),
+                "correct_count": saved.get("correct_count", 0)}
 
     @r.get("/api/training/learn/leaderboard")
     def leaderboard(req: Request):
@@ -1407,13 +1411,25 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.put("/api/training/learn/progress", auth=True)
     def put_learn_progress(req: Request):
-        """Client-side module completion marks (training.py learn PUT)."""
+        """Module completion marks + quiz-game stats (training.py learn
+        PUT; TrainingModule.tsx persists score/streak/accuracy here)."""
         b = req.body or {}
         prog_dir = Path(dirs.training) / "learn_progress"
         prog_dir.mkdir(parents=True, exist_ok=True)
-        json.dump({"modules_completed": b.get("modules_completed", []),
-                   "updated_at": _now()},
-                  open(prog_dir / f"{req.user['sub']}.json", "w"))
+        prog_f = prog_dir / f"{req.user['sub']}.json"
+        saved: Dict[str, Any] = {}
+        if prog_f.exists():
+            try:
+                saved = json.load(open(prog_f))
+            except Exception:
+                pass
+        for k in ("modules_completed", "total_score", "streak",
+                  "total_attempts", "correct_count"):
+            if k in b:
+                saved[k] = b[k]
+        saved.setdefault("modules_completed", [])
+        saved["updated_at"] = _now()
+        json.dump(saved, open(prog_f, "w"))
         return {"status": "saved"}
 
     # -- tutorial long tail (routers/tutorial.py) ----------------------------

@@ -22,8 +22,14 @@ export default async function VideoAnalysis(videoId) {
     return main.append(h(`<div class="panel">No results yet for
       <b>${esc(videoId)}</b> — still processing?</div>`));
   }
+  const vinfo = await api(`/api/videos/${videoId}`).catch(() => null);
   const fr = (a.fusion || {}).fusion_result || {};
   const contribs = fr.pipeline_contributions || {};
+  // collapsible raw-JSON viewer appended to every pipeline card
+  // (VideoResults.tsx renders raw JSON for each expanded pipeline)
+  const raw = (data) => `<details class="dim"><summary>raw JSON</summary>
+    <pre style="max-height:220px">${esc(JSON.stringify(data, null, 1))}
+    </pre></details>`;
 
   main.append(h(`<div class="panel"><h2>Video ${esc(short(videoId, 14))}
     <button class="mini" onclick="go('videos')">back</button></h2>
@@ -42,6 +48,18 @@ export default async function VideoAnalysis(videoId) {
           <button class="mini" id="retrigger">re-run pipeline</button></div>
         <div id="annotated"></div></div>
     </div></div>
+    ${vinfo ? `<div class="panel"><h3>Video info</h3><div class="kv">
+      <span class="dim">file</span><b>${esc(vinfo.original_filename
+        || vinfo.filename || "—")}</b>
+      <span class="dim">size</span><b>${vinfo.file_size ?
+        (vinfo.file_size / 1048576).toFixed(2) + " MB" : "—"}</b>
+      <span class="dim">duration</span><b>${vinfo.duration ?
+        vinfo.duration.toFixed(1) + " s" : "—"}</b>
+      <span class="dim">resolution</span><b>${vinfo.width ?
+        `${vinfo.width}×${vinfo.height}` : "—"}</b>
+      <span class="dim">status</span><b>${esc(vinfo.status || "—")}</b>
+      <span class="dim">label</span><b>${vinfo.label == null ? "—"
+        : vinfo.label ? "lame" : "sound"}</b></div></div>` : ""}
     <div class="grid3" id="cards"></div>`));
 
   document.getElementById("contrib").innerHTML = Object.keys(contribs).length
@@ -65,7 +83,7 @@ export default async function VideoAnalysis(videoId) {
       <span class="dim">detection rate</span><b>${pct(f.detection_rate)}</b>
       <span class="dim">position stability</span><b>${fmt(f.position_stability)}</b>
       <span class="dim">avg box</span><b>${fmt(f.avg_box_width, 0)}×${fmt(f.avg_box_height, 0)}</b>
-      </div></div>`));
+      </div>${raw(a.yolo)}</div>`));
   }
   // -- sam ----------------------------------------------------------------
   if (a.sam3) {
@@ -75,7 +93,7 @@ export default async function VideoAnalysis(videoId) {
       <span class="dim">area ratio</span><b>${fmt(g.avg_area_ratio)}</b>
       <span class="dim">circularity</span><b>${fmt(g.avg_circularity)}</b>
       <span class="dim">aspect ratio</span><b>${fmt(g.avg_aspect_ratio)}</b>
-      </div></div>`));
+      </div>${raw(a.sam3)}</div>`));
   }
   // -- dino ---------------------------------------------------------------
   if (a.dinov3) {
@@ -89,7 +107,7 @@ export default async function VideoAnalysis(videoId) {
         ["video", s => `<span class="dim">${short(s.video_id, 12)}</span>`],
         ["cos", s => fmt(s.similarity)],
         ["label", s => s.label == null ? "—" : s.label ? "lame" : "sound"]])
-        : '<span class="dim">no neighbors yet</span>'}</div>`));
+        : '<span class="dim">no neighbors yet</span>'}${raw(a.dinov3)}</div>`));
   }
   // -- tleap --------------------------------------------------------------
   if (a.tleap) {
@@ -101,7 +119,7 @@ export default async function VideoAnalysis(videoId) {
         <b>${fmt(lf.lameness_score)}</b>
         <span class="dim">frames</span><b>${a.tleap.frames_processed}</b></div>
       ${table(rows, [["feature", e => esc(e[0])],
-                     ["value", e => fmt(e[1])]])}</div>`));
+                     ["value", e => fmt(e[1])]])}${raw(a.tleap)}</div>`));
   }
   // -- predictors ----------------------------------------------------------
   const preds = [
@@ -121,6 +139,39 @@ export default async function VideoAnalysis(videoId) {
         ["", p => `<div class="bar" style="width:130px"><i style="width:${
           100 * (p[2] ?? 0)}%"></i></div>`],
         ["unc", p => fmt(p[1].uncertainty, 3)]])}</div>`));
+  }
+  // -- ml ensemble detail (VideoResults.tsx renderMlResults: per-model
+  // bars + weights, agreement strip, input feature grid) ------------------
+  if (a.ml && a.ml.predictions) {
+    const P = a.ml.predictions;
+    const ens = P.ensemble || {};
+    const w = ens.weights || {};
+    const slots = ["catboost", "xgboost", "lightgbm"].filter(s => P[s]);
+    const agree = slots.filter(s => P[s].prediction === ens.prediction);
+    const fnames = a.ml.feature_names || [];
+    const fvals = a.ml.features || [];
+    cards.append(h(`<div class="panel"><h2>ML ensemble
+        <span class="badge ${ens.prediction === 1 ? 'bad' : 'ok'}">${
+          ens.prediction === 1 ? "LAME" : "HEALTHY"}</span></h2>
+      <div class="row"><div class="bar" style="flex:1"><i style="width:${
+        100 * (ens.probability ?? 0)}%"></i></div>
+        <b>${pct(ens.probability)}</b></div>
+      ${slots.map(s => `<div class="row" style="margin-top:4px">
+        <span class="dim" style="width:72px">${s}</span>
+        <div class="bar" style="width:110px"><i style="width:${
+          100 * (P[s].probability ?? 0)}%"></i></div>
+        <span>${pct(P[s].probability)}</span>
+        <span class="dim">w=${fmt(w[s], 2)}</span>
+        <span class="${P[s].prediction === ens.prediction ? 'ok' : 'warn'}">${
+          P[s].prediction === ens.prediction ? "agrees" : "disagrees"}</span>
+        </div>`).join("")}
+      <div class="dim" style="margin-top:4px">${agree.length} of
+        ${slots.length} models agree with the ensemble</div>
+      ${fnames.length ? `<details><summary class="dim">input features
+          (${fnames.length})</summary><div class="kv">${
+        fnames.map((n, i) => `<span class="dim">${esc(n)}</span>
+          <b>${fmt(fvals[i], 4)}</b>`).join("")}</div></details>` : ""}
+      ${raw(a.ml)}</div>`));
   }
   // -- tracking -------------------------------------------------------------
   if (a.tracking) {
@@ -174,6 +225,19 @@ export default async function VideoAnalysis(videoId) {
         ex.explanation || JSON.stringify(ex);
     } catch (e) { toast(e.message, "bad"); }
   };
+
+  // -- availability strip: the full 9-pipeline set with explicit
+  // not-available placeholders (VideoResults.tsx pipelineOrder) ------------
+  const missing = ["fusion", "yolo", "sam3", "dinov3", "tleap", "tcn",
+                   "transformer", "gnn", "ml"].filter(p => !a[p]);
+  if (missing.length) {
+    cards.append(h(`<div class="panel"><h2>Not yet available</h2>
+      ${missing.map(p => `<div class="row">
+        <span class="warn">○</span><span class="dim">${p}</span></div>`)
+        .join("")}
+      <div class="dim">these pipelines have not processed this video</div>
+      </div>`));
+  }
 
   document.getElementById("annotate").onclick = async () => {
     toast("rendering…");

@@ -167,6 +167,55 @@ def test_js_modules_are_balanced():
         _js_balance(p.read_text(), p.name)
 
 
+def _page_sources():
+    return {p.name: p.read_text()
+            for p in sorted((STATIC / "pages").glob("*.js"))}
+
+
+def test_dom_hooks_exist_in_templates():
+    """Every literal `getElementById("x")` / `querySelector("#x")` a page
+    makes must have a matching `id="x"` in that page's own templates (or
+    the shared shell) — a renamed element id would otherwise only fail at
+    runtime, and no JS runtime ships in this image."""
+    shell = (STATIC / "app.js").read_text()
+    shell += (STATIC / "index.html").read_text() \
+        if (STATIC / "index.html").exists() else ""
+    missing = []
+    for name, src in _page_sources().items():
+        wanted = set(re.findall(r'getElementById\("([\w-]+)"\)', src))
+        wanted |= set(re.findall(r'querySelector\("#([\w-]+)"\)', src))
+        ids = set(re.findall(r'id="([\w-]+)"', src + shell))
+        # ids built inside template interpolations, e.g. id="ans${i}"
+        dyn_prefixes = [m for m in re.findall(r'id="([\w-]*)\$\{', src)]
+        for w in wanted:
+            if w in ids:
+                continue
+            if any(pre and w.startswith(pre) for pre in dyn_prefixes):
+                continue
+            missing.append((name, w))
+    assert missing == [], missing
+
+
+def test_ws_channels_are_served():
+    """Every WS channel a page subscribes to must be a channel the server
+    actually runs (serve/http.py WebSocketManager.CHANNELS)."""
+    from lameness_tpu.serve.http import WebSocketManager
+    for name, src in _page_sources().items():
+        for chan in re.findall(r'\bws\("([\w-]+)"', src):
+            assert chan in WebSocketManager.CHANNELS, (name, chan)
+
+
+def test_click_handlers_reference_real_pages():
+    """Every go('page', …) navigation target must be a registered route
+    in the app.js PAGES table."""
+    shell = (STATIC / "app.js").read_text()
+    pages = set(re.findall(r'^\s*(\w+):\s*\["', shell, re.M))
+    assert len(pages) >= 18, pages
+    for name, src in _page_sources().items():
+        for target in re.findall(r"go\('([\w-]+)'", src):
+            assert target in pages, (name, target)
+
+
 def _route_exists(base, path, headers):
     """A route exists if SOME method gives a non-router-404 response."""
     for method in ("GET", "POST", "PATCH", "PUT", "DELETE"):

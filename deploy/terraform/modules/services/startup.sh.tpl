@@ -19,7 +19,7 @@ ExecStart=/usr/bin/docker run --name lameness --net=host \
   -e LAMENESS_MODELS_BUCKET=${models_bucket} \
   -e LAMENESS_DB=${db_connection} \
   -e LAMENESS_JWT_SECRET_ID=${jwt_secret_id} \
-  ${image} serve --api-port 8000
+  ${image} serve --port 8000
 ExecStop=/usr/bin/docker stop lameness
 
 [Install]

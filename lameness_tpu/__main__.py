@@ -2,16 +2,20 @@
 
 One binary replaces the reference's 22-container compose file
 (docker-compose.yml) and deploy.sh: ``serve`` boots the reactive app +
-admin API, ``process`` runs one video through the full pipeline,
-``resume`` replays stranded jobs.
+admin API, ``worker`` joins the shared NATS bus as a headless TPU
+inference worker (the deploy/terraform tpu_worker shape), ``process``
+runs one video through the full pipeline, ``resume`` replays stranded
+jobs.
 
   python -m lameness_tpu serve [--port 8000] [--data DIR] [--async]
+  python -m lameness_tpu worker [--nats-url nats://host:4222] [--warmup]
   python -m lameness_tpu process VIDEO [--data DIR] [--small]
   python -m lameness_tpu resume [--data DIR]
 """
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -64,6 +68,18 @@ def main(argv=None):
     s.add_argument("--nats-url", default=None,
                    help="bridge bus subjects to a real NATS server "
                         "(ours via 'nats-server', or a stock Go one)")
+
+    w = sub.add_parser("worker",
+                       help="headless TPU inference worker: reactive "
+                            "engine consuming the shared NATS bus, no "
+                            "admin API (deploy/terraform tpu_worker)")
+    w.add_argument("--nats-url", required=False,
+                   default=os.environ.get("LAMENESS_NATS_URL"),
+                   help="broker to join (default $LAMENESS_NATS_URL)")
+    w.add_argument("--warmup", action="store_true",
+                   help="compile the stage programs before joining")
+    w.add_argument("--batch", type=int, default=1)
+    w.add_argument("--small", action="store_true")
 
     p = sub.add_parser("process", help="one video through the pipeline")
     p.add_argument("video", type=Path)
@@ -142,6 +158,32 @@ def main(argv=None):
             threading.Thread(
                 target=lambda: engine.warmup(batch=max(1, args.batch)),
                 daemon=True, name="engine-warmup").start()
+        try:
+            import time
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            app.close()
+    elif args.cmd == "worker":
+        cfg, engine, App = _build(args)
+        app = App(config=cfg, engine=engine, reactive=True,
+                  serve_api=False, clip_batch=args.batch)
+        if args.nats_url:
+            from .io.bus import NatsBridge
+            subjects = [v for v in vars(cfg.subjects).values()
+                        if isinstance(v, str)]
+            bridge = NatsBridge(app.bus, args.nats_url, subjects=subjects)
+            print("NATS bridge:",
+                  "connected" if bridge.start() else
+                  f"UNREACHABLE at {args.nats_url} (running without)",
+                  flush=True)
+        else:
+            print("worker: no --nats-url / $LAMENESS_NATS_URL — local bus "
+                  "only", flush=True)
+        if engine is not None and args.warmup:
+            print("warmup:", engine.warmup(batch=max(1, args.batch)),
+                  flush=True)
+        print("worker ready", flush=True)
         try:
             import time
             while True:

@@ -99,8 +99,10 @@ class VisionAttention(nn.Module):
         if use_fused is None:
             use_fused = (jax.default_backend() == "tpu"
                          and h == w == self.input_size[0] and h >= 32)
+        import os
         use_fused_win = (self.fused is not False
                          and h == w == self.input_size[0] and h <= 16
+                         and os.environ.get("LAMENESS_FUSED_WIN") != "0"
                          and (jax.default_backend() == "tpu"
                               or self.fused is True))
         if use_fused_win:

@@ -75,3 +75,23 @@ def test_app_with_api_round_trip(tmp_data_root, tmp_path, engine):
         assert "fused-engine" in overview["services"]
     finally:
         app.close()
+
+
+@pytest.mark.slow
+def test_worker_command_boots(tmp_path, monkeypatch, capsys):
+    """`python -m lameness_tpu worker` (deploy/terraform tpu_worker shape):
+    builds the engine, reports bus mode, reaches the ready loop."""
+    import time as _time
+    from lameness_tpu import __main__ as cli
+    real_sleep = _time.sleep
+
+    def bounded_sleep(s):
+        if s >= 3600:                       # the ready loop — exit the CLI
+            raise KeyboardInterrupt
+        real_sleep(s)
+
+    monkeypatch.setattr(_time, "sleep", bounded_sleep)
+    cli.main(["--cpu", "--data", str(tmp_path / "d"), "worker", "--small"])
+    out = capsys.readouterr().out
+    assert "worker ready" in out
+    assert "local bus only" in out          # no --nats-url given

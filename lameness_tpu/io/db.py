@@ -6,12 +6,19 @@ The reference runs Postgres with 14 ORM models
 the routers make — this module renders both in SQLite via stdlib
 ``sqlite3`` behind a thread-safe ``Database`` facade, every helper
 exercised by tests.  A Postgres deployment is a driver swap on this
-facade (the SQL here is deliberately portable: TEXT/INTEGER/REAL
-columns, no sqlite-only syntax beyond ``INSERT OR REPLACE``); no
-DB-API Postgres driver ships in this image, so that branch is
-documented in ``docs/DEPLOY.md`` rather than carried as dead code —
-the same reasoning that replaced the unexercisable qdrant-client
-branch with the first-party wire server in ``io/qdrant_wire.py``.
+facade: ``Database(path, driver=...)`` accepts any DB-API driver
+object (``.connect(path)`` + ``.paramstyle``); ``?`` placeholders are
+rewritten to ``%s`` for format/pyformat drivers and column reflection
+switches from ``PRAGMA`` to ``information_schema``.  The SQL is a
+deliberately portable subset (TEXT/INTEGER/REAL columns, standard
+CHECK/REFERENCES, no sqlite-only syntax), which
+``tests/test_db_pg_swap.py`` enforces by running the whole facade —
+and every SQL literal in the serve layer — through a strict
+Postgres-semantics driver.  No real DB-API Postgres driver ships in
+this image, so the live-psycopg branch stays documented in
+``docs/DEPLOY.md`` rather than carried as dead code — the same
+reasoning that replaced the unexercisable qdrant-client branch with
+the first-party wire server in ``io/qdrant_wire.py``.
 
 Tables: users, sessions, processing_jobs, videos, gold_tasks, rater_stats,
 service_heartbeats, video_elo_ratings, pairwise_comparisons, elo_history,
@@ -221,29 +228,53 @@ def _now() -> str:
 
 
 class Database:
-    def __init__(self, path: Path | str = ":memory:"):
+    def __init__(self, path: Path | str = ":memory:", driver=None):
+        """``driver``: DB-API-style object with ``.connect(path)`` and
+        ``.paramstyle`` (default: stdlib sqlite3).  Postgres drivers
+        (paramstyle format/pyformat, e.g. psycopg) get ``?`` → ``%s``
+        placeholder rewriting and information_schema reflection."""
         self.path = str(path)
+        self._driver = driver if driver is not None else sqlite3
+        self._qmark = getattr(self._driver, "paramstyle", "qmark") == "qmark"
         self._local = threading.local()
         self._lock = threading.Lock()
-        self._conn().executescript(_SCHEMA)
+        conn = self._conn()
+        if hasattr(conn, "executescript"):
+            conn.executescript(_SCHEMA)
+        else:
+            for stmt in _SCHEMA.split(";"):
+                if stmt.strip():
+                    conn.execute(stmt)
+            conn.commit()
 
-    def _conn(self) -> sqlite3.Connection:
+    def _conn(self):
         if not hasattr(self._local, "conn"):
-            conn = sqlite3.connect(self.path, check_same_thread=False)
-            conn.row_factory = sqlite3.Row
-            conn.execute("PRAGMA foreign_keys=ON")
+            if self._driver is sqlite3:
+                conn = sqlite3.connect(self.path, check_same_thread=False)
+                conn.row_factory = sqlite3.Row
+                conn.execute("PRAGMA foreign_keys=ON")
+            else:
+                conn = self._driver.connect(self.path)
             self._local.conn = conn
         return self._local.conn
 
-    def execute(self, sql: str, params: tuple = ()) -> sqlite3.Cursor:
+    def _sql(self, sql: str) -> str:
+        """Rewrite qmark placeholders for format/pyformat drivers."""
+        return sql if self._qmark else sql.replace("?", "%s")
+
+    def execute(self, sql: str, params: tuple = ()):
         with self._lock:
-            cur = self._conn().execute(sql, params)
+            cur = self._conn().execute(self._sql(sql), params)
             self._conn().commit()
             return cur
 
     def query(self, sql: str, params: tuple = ()) -> List[Dict[str, Any]]:
-        cur = self._conn().execute(sql, params)
-        return [dict(r) for r in cur.fetchall()]
+        cur = self._conn().execute(self._sql(sql), params)
+        rows = cur.fetchall()
+        if rows and not hasattr(rows[0], "keys"):   # tuple-row drivers
+            names = [d[0] for d in cur.description]
+            return [dict(zip(names, r)) for r in rows]
+        return [dict(r) for r in rows]
 
     def one(self, sql: str, params: tuple = ()) -> Optional[Dict[str, Any]]:
         rows = self.query(sql, params)
@@ -269,7 +300,13 @@ class Database:
                      tuple(_coerce(v) for v in fields.values()) + (pk_value,))
 
     def _columns(self, table: str) -> List[str]:
-        return [r["name"] for r in self.query(f"PRAGMA table_info({table})")]
+        if self._driver is sqlite3:
+            return [r["name"]
+                    for r in self.query(f"PRAGMA table_info({table})")]
+        # portable reflection for non-sqlite drivers (Postgres et al.)
+        return [r["column_name"] for r in self.query(
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_name=?", (table,))]
 
     # -- domain helpers the routers need -------------------------------------
     def upsert_heartbeat(self, service_name: str, status: str = "healthy",

@@ -167,6 +167,40 @@ class LamenessEngine:
         self._jit_front = jax.jit(self._front_stage)
         self._jit_back = jax.jit(self._back_stage)
         self._fused = jax.jit(self._fused_step)
+        from ..video.yuv import i420_to_rgb_device
+        self._jit_yuv = jax.jit(i420_to_rgb_device)
+
+    # -- transfer format -----------------------------------------------------
+    def default_transfer(self) -> str:
+        """'yuv420' on TPU backends (I420 planes halve host→HBM bytes on
+        the bandwidth-limited link; the device rebuilds RGB in one tiny
+        fused program within ±1 LSB of the decoder's own conversion —
+        video/yuv.py), 'rgb' elsewhere.  LAMENESS_YUV_INGEST=0 forces
+        rgb; =1 forces yuv420."""
+        import os
+        env = os.environ.get("LAMENESS_YUV_INGEST")
+        if env == "0":
+            return "rgb"
+        if env == "1":
+            return "yuv420"
+        return "yuv420" if jax.default_backend() == "tpu" else "rgb"
+
+    def to_device(self, frames: np.ndarray, transfer: Optional[str] = None):
+        """Pack host frames and move them to the device, returning
+        device-resident RGB ready for run_staged/run_paired.
+
+        frames: (B, T|P, H, W, 3) uint8 RGB.  transfer='yuv420' converts
+        to I420 on host (cv2 SIMD, ~1-2 ms/frame) so the wire carries
+        1.5 bytes/pixel instead of 3."""
+        transfer = transfer or self.default_transfer()
+        frames = self.spec.pack_frames(np.asarray(frames))
+        if transfer == "yuv420":
+            from ..video.yuv import rgb_to_i420
+            yuv = jax.device_put(jnp.asarray(rgb_to_i420(frames)))
+            return self._jit_yuv(yuv)
+        # explicit device_put: feeding numpy straight into jit takes a slow
+        # per-call transfer path on tunnelled TPU backends
+        return jax.device_put(jnp.asarray(frames))
 
     # -- paired programs (mode="pair"): halve per-clip dispatches ------------
     def _front_stage(self, params, frames):
@@ -508,15 +542,20 @@ class LamenessEngine:
 
     def process_clip_batch(self, frames: np.ndarray,
                            rng: Optional[jax.Array] = None,
-                           mode: str = "staged") -> Dict[str, np.ndarray]:
+                           mode: str = "staged",
+                           transfer: Optional[str] = None
+                           ) -> Dict[str, np.ndarray]:
         """frames: (B, T, H, W, 3) uint8 RGB, T == spec.clip_frames (packed
-        host-side before transfer) or already packed (T == n_packed)."""
+        host-side before transfer) or already packed (T == n_packed);
+        device arrays pass through untouched (pre-transferred callers).
+        transfer: see to_device — None picks the backend default."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        frames = self.spec.pack_frames(np.asarray(frames))
-        # explicit device_put: feeding numpy straight into jit takes a slow
-        # per-call transfer path on tunnelled TPU backends
-        frames_dev = jax.device_put(jnp.asarray(frames))
+        if isinstance(frames, jax.Array):
+            frames_dev = frames
+            self._check_packed(frames_dev)
+        else:
+            frames_dev = self.to_device(frames, transfer)
         if mode == "monolith":
             out = self._fused(self.params, frames_dev, rng)
         elif mode == "pair":

@@ -208,6 +208,12 @@ class PipelineDriver:
         call (including a trailing partial batch) to one fixed batch size
         by repeating the last clip so a single compiled XLA signature
         serves the whole stream.
+
+        The producer thread also issues the host→device transfer
+        (engine.to_device) so the wire is streaming batch N+1 while the
+        chip computes batch N — on tunnelled backends transfer is the
+        dominant per-clip cost, so without this overlap it serializes
+        with compute.
         """
         import queue as _queue
         import threading as _threading
@@ -220,6 +226,17 @@ class PipelineDriver:
             # batcher (and every later upload) in q.get() forever
             try:
                 batch = []
+
+                def flush(batch):
+                    frames_list = [b[1] for b in batch]
+                    if pad_to is not None:
+                        while len(frames_list) < pad_to:
+                            frames_list.append(frames_list[-1])
+                    with TIMERS.time("transfer"):
+                        fd = self.engine.to_device(np.stack(frames_list))
+                    q.put((fd, [(vid, scale, info)
+                                for vid, _, scale, info in batch]))
+
                 for video_id, path in jobs:
                     try:
                         with TIMERS.time("decode"):
@@ -233,10 +250,10 @@ class PipelineDriver:
                         continue
                     batch.append((video_id, frames[0], scale, info))
                     if len(batch) >= batch_size:
-                        q.put(batch)
+                        flush(batch)
                         batch = []
                 if batch:
-                    q.put(batch)
+                    flush(batch)
             finally:
                 q.put(None)
 
@@ -244,17 +261,13 @@ class PipelineDriver:
         t.start()
         results = []
         while True:
-            batch = q.get()
-            if batch is None:
+            item = q.get()
+            if item is None:
                 break
-            frames_list = [b[1] for b in batch]
-            if pad_to is not None:
-                while len(frames_list) < pad_to:
-                    frames_list.append(frames_list[-1])
-            stacked = np.stack(frames_list)
+            fd, metas = item
             with TIMERS.time("engine_stream"):
-                out = self.engine.process_clip_batch(stacked)
-            for bi, (video_id, _, scale, info) in enumerate(batch):
+                out = self.engine.process_clip_batch(fd)
+            for bi, (video_id, scale, info) in enumerate(metas):
                 results.append(self._write_stage_results(
                     video_id, out, bi, scale, info))
         t.join()

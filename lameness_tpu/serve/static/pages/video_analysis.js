@@ -254,4 +254,91 @@ export default async function VideoAnalysis(videoId) {
       toast("re-triggered — refresh shortly");
     } catch (e) { toast(e.message, "bad"); }
   };
+
+  // -- frame scrubber (PipelineAnalysis.tsx timeline scrubber: slider +
+  // frame stepping + per-frame detections/pose drill-down via
+  // /api/analysis/{id}/frames/{n}; detection-density tick marks mirror
+  // VideoAnalysis.tsx's timeline detection markers) ------------------------
+  const totalFrames = (a.yolo && a.yolo.total_frames) ||
+    (a.tleap && a.tleap.total_frames) || 0;
+  if (totalFrames > 1) {
+    const span = Math.max(totalFrames - 1, 1);
+    const detFrames = (a.yolo && a.yolo.detections || [])
+      .filter(e => (e.detections || []).length).map(e => e.frame);
+    main.append(h(`<div class="panel"><h2>Frame scrubber
+        <span class="dim">(${totalFrames} frames)</span></h2>
+      <div style="position:relative;display:inline-block;max-width:560px">
+        <img id="scrub-img" style="width:100%;display:block" alt="frame">
+        <div id="scrub-ov" style="position:absolute;left:0;top:0;width:100%;
+          height:100%;pointer-events:none"></div></div>
+      <div class="row" style="margin-top:6px">
+        <button class="mini" id="scrub-b10">−10</button>
+        <button class="mini" id="scrub-b1">−1</button>
+        <input type="range" id="scrub-range" min="0" max="${span}" value="0"
+          style="flex:1;min-width:220px">
+        <button class="mini" id="scrub-f1">+1</button>
+        <button class="mini" id="scrub-f10">+10</button>
+        <span id="scrub-label" class="dim">frame 0/${span}</span></div>
+      <div id="scrub-marks" style="position:relative;height:8px;
+          background:rgba(128,128,128,.15);border-radius:3px;margin-top:4px">
+        ${detFrames.map(f => `<i style="position:absolute;top:0;width:2px;
+          height:8px;background:var(--ok);left:${100 * f / span}%"></i>`)
+          .join("")}</div>
+      <div id="scrub-info" class="dim" style="margin-top:4px">
+        drag the slider to inspect a frame</div></div>`));
+
+    const img = document.getElementById("scrub-img");
+    const ov = document.getElementById("scrub-ov");
+    const range = document.getElementById("scrub-range");
+    const label = document.getElementById("scrub-label");
+    const info = document.getElementById("scrub-info");
+    let pending = 0;
+    const show = async (n) => {
+      n = Math.max(0, Math.min(span, n | 0));
+      range.value = n;
+      label.textContent = `frame ${n}/${span}`;
+      const seq = ++pending;
+      const loaded = new Promise(res => {
+        img.onload = img.onerror = res;
+      });
+      img.src = `/api/videos/${videoId}/frame?frame=${n}`;
+      const [fa] = await Promise.all([
+        api(`/api/analysis/${videoId}/frames/${n}`).catch(() => null),
+        loaded]);
+      if (seq !== pending) return;           // superseded by a later scrub
+      ov.innerHTML = "";
+      if (!fa) { info.textContent = "no per-frame analysis yet"; return; }
+      const W = img.naturalWidth || 1, H = img.naturalHeight || 1;
+      (fa.detections || []).forEach(d => {
+        const b = d.bbox || [];
+        if (b.length === 4) ov.append(h(`<div style="position:absolute;
+          border:2px solid var(--warn);left:${100 * b[0] / W}%;
+          top:${100 * b[1] / H}%;width:${100 * (b[2] - b[0]) / W}%;
+          height:${100 * (b[3] - b[1]) / H}%"><span style="font-size:10px;
+          background:var(--warn);color:#000;padding:0 2px">${
+            pct(d.confidence)}</span></div>`));
+      });
+      const kps = ((fa.pose || {}).keypoints) || [];
+      kps.forEach(k => {
+        if ((k.confidence ?? 0) > 0.2 && k.x != null) ov.append(h(
+          `<div style="position:absolute;width:5px;height:5px;
+            border-radius:50%;background:var(--ok);
+            left:calc(${100 * k.x / W}% - 2px);
+            top:calc(${100 * k.y / H}% - 2px)"></div>`));
+      });
+      info.textContent = `${(fa.detections || []).length} detection(s)` +
+        (fa.pose ? `, pose @ frame ${fa.pose.frame} ` +
+         `(${kps.length} keypoints)` : ", no pose for this frame");
+    };
+    let deb;
+    range.oninput = () => {
+      clearTimeout(deb);
+      deb = setTimeout(() => show(+range.value), 150);
+    };
+    document.getElementById("scrub-b10").onclick = () => show(+range.value - 10);
+    document.getElementById("scrub-b1").onclick = () => show(+range.value - 1);
+    document.getElementById("scrub-f1").onclick = () => show(+range.value + 1);
+    document.getElementById("scrub-f10").onclick = () => show(+range.value + 10);
+    show(Math.min(detFrames[0] ?? 0, span));
+  }
 }

@@ -506,7 +506,10 @@ def main():
                 _update_headline()
             except Exception:
                 pass
-            if not small and _remaining() > 120:
+            # driver e2e recompiles batch-1 jits (~2 min warm) — only
+            # spend that when it can't crowd out the remaining sweep
+            # configs (r3 capture: its warm pass alone took 130 s)
+            if not small and _remaining() > 300:
                 try:
                     e2e, stream = measure_driver_e2e(engine)
                     RESULT["driver_e2e_s_incl_decode"] = e2e

@@ -686,12 +686,38 @@ def build_admin_api(ctx: AdminContext) -> Router:
             raise HTTPError(404, "need at least two embedded videos")
         ids = exported["ids"]
         x = exported["vectors"] - exported["vectors"].mean(axis=0)
-        # top-2 principal directions via SVD
+        # top-3 principal directions via SVD (x/y feed the 2-D scatter,
+        # z the 3-D view — SimilarityMap.tsx viewMode '2d' | '3d')
         _, _, vt = np.linalg.svd(x, full_matrices=False)
-        coords = x @ vt[:2].T
+        k3 = min(3, vt.shape[0])
+        coords = x @ vt[:k3].T
+        if k3 < 3:
+            coords = np.pad(coords, ((0, 0), (0, 3 - k3)))
+        # lightweight k-means over the embedding space for the cluster
+        # coloring/ellipsoids the reference page renders
+        n = len(ids)
+        k = min(5, max(1, n // 3))
+        rng_km = np.random.default_rng(0)
+        cent = x[rng_km.choice(n, size=k, replace=False)]
+        assign = np.zeros(n, dtype=int)
+        for _ in range(12):
+            d2 = ((x[:, None, :] - cent[None]) ** 2).sum(-1)
+            new_assign = d2.argmin(1)
+            if (new_assign == assign).all() and _ > 0:
+                break
+            assign = new_assign
+            for j in range(k):
+                m = assign == j
+                if m.any():
+                    cent[j] = x[m].mean(0)
+        elo = {r["video_id"]: r["elo_rating"]
+               for r in db.query("SELECT video_id, elo_rating "
+                                 "FROM video_elo_ratings")}
         return {"points": [
             {"video_id": ids[i], "x": float(coords[i, 0]),
-             "y": float(coords[i, 1]),
+             "y": float(coords[i, 1]), "z": float(coords[i, 2]),
+             "cluster": int(assign[i]),
+             "elo_rating": elo.get(ids[i]),
              "label": exported["payloads"].get(ids[i], {}).get("label")}
             for i in range(len(ids))]}
 
@@ -941,9 +967,18 @@ def build_admin_api(ctx: AdminContext) -> Router:
     def elo_stats(req: Request):
         rows = db.query("SELECT * FROM video_elo_ratings")
         comps = db.query("SELECT COUNT(*) n FROM pairwise_comparisons")
+        uniq = db.query(
+            "SELECT COUNT(DISTINCT min(video_id_1, video_id_2) || '|' || "
+            "max(video_id_1, video_id_2)) n FROM pairwise_comparisons"
+        )[0]["n"]
         ratings = [r["elo_rating"] for r in rows]
+        n_vids = db.query("SELECT COUNT(*) n FROM videos")[0]["n"]
+        possible = n_vids * (n_vids - 1) // 2
         return {"total_videos": len(rows),
                 "total_comparisons": comps[0]["n"],
+                "unique_pairs_compared": uniq,
+                "total_possible_pairs": possible,
+                "completion_rate": uniq / possible if possible else 0.0,
                 "rating_mean": float(np.mean(ratings)) if ratings else None,
                 "rating_std": float(np.std(ratings)) if ratings else None}
 

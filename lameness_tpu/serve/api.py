@@ -1204,10 +1204,44 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/analysis/{video_id}/export")
     def analysis_export(req: Request):
+        """JSON or flattened-CSV export of every pipeline's result
+        (routers/analysis.py:188-239: ?format=csv emits
+        video_id,pipeline,metric,value rows; nested dicts dotted,
+        lists of dicts collapsed to a _count row)."""
         vid = req.params["video_id"]
+        fmt_q = req.query.get("format", "json")
+        if fmt_q not in ("json", "csv"):
+            raise HTTPError(400, "Format must be 'json' or 'csv'")
         video = db.one("SELECT * FROM videos WHERE id=?", (vid,))
-        return {"video": video, "exported_at": _now(),
-                "results": {p: ctx.read_result(p, vid) for p in PIPELINES}}
+        results = {p: ctx.read_result(p, vid) for p in PIPELINES}
+        if fmt_q == "json":
+            return {"video": video, "exported_at": _now(),
+                    "results": results}
+        rows = [["video_id", "pipeline", "metric", "value"]]
+
+        def flatten(pipeline, data, prefix=""):
+            for k, v in data.items():
+                name = f"{prefix}{k}" if prefix else k
+                if isinstance(v, dict):
+                    flatten(pipeline, v, f"{name}.")
+                elif isinstance(v, list):
+                    if v and isinstance(v[0], dict):
+                        rows.append([vid, pipeline, f"{name}_count", len(v)])
+                    else:
+                        rows.append([vid, pipeline, name, str(v)])
+                else:
+                    rows.append([vid, pipeline, name, v])
+
+        for p, data in results.items():
+            if data:
+                flatten(p, data)
+        import csv as _csv
+        import io as _io
+        buf = _io.StringIO()
+        _csv.writer(buf).writerows(rows)
+        return (200, buf.getvalue().encode(), "text/csv",
+                {"Content-Disposition":
+                 f"attachment; filename={vid}_analysis.csv"})
 
     @r.get("/api/analysis/{video_id}/frames/{frame_num}")
     def analysis_frame(req: Request):

@@ -946,17 +946,35 @@ def build_admin_api(ctx: AdminContext) -> Router:
         st, se = elo_mod.steepness(ds)
         icc = elo_mod.inter_rater_agreement(comps)
         ranked = sorted(ds.items(), key=lambda kv: kv[1], reverse=True)
+        ranking = []
         for pos, (vid, score) in enumerate(ranked, start=1):
             row = db.get_or_create_elo(vid)
             db.update("video_elo_ratings", row["id"],
                       {"normalized_score": score, "rank_position": pos})
+            # elo_ranking.py:475-488: full per-row Elo record
+            ranking.append({
+                "video_id": vid, "davids_score": score, "rank": pos,
+                "elo_rating": round(row["elo_rating"], 1),
+                "elo_uncertainty": round(row["elo_uncertainty"], 1),
+                "wins": row["wins"], "losses": row["losses"],
+                "ties": row["ties"],
+                "total_comparisons": row["total_comparisons"],
+                "win_rate": round(row["wins"] / row["total_comparisons"], 3)
+                if row["total_comparisons"] else 0,
+            })
         return {
-            "ranking": [{"video_id": v, "davids_score": s,
-                         "rank": i + 1}
-                        for i, (v, s) in enumerate(ranked)],
+            "ranking": ranking,
+            "total_videos": len(ranking),
             "steepness": st, "steepness_se": se,
             "inter_rater_reliability": icc,
             "total_comparisons": len(comps),
+            # elo_ranking.py:492-498
+            "metrics": {
+                "steepness": round(st, 4), "steepness_se": round(se, 4),
+                "inter_rater_agreement": round(icc, 4),
+                "hierarchy_linearity": "Strong" if st > 0.7
+                else "Moderate" if st > 0.4 else "Weak",
+            },
         }
 
     @r.get("/api/elo/next-pair", auth=True)

@@ -134,7 +134,26 @@ class TrainingService:
                   open(self.labels_dir / f"{video_id}_label.json", "w"))
 
     # -- training ------------------------------------------------------------
-    def run_training(self, cv_folds: int = 5) -> Dict[str, Any]:
+    def _apply_ml_config(self) -> int:
+        """Load the admin-editable ml_config.json (the reference persists
+        it via routers/ml_config.py save_config) and apply per-model
+        hyperparameters + cv_folds to this run. Returns cv_folds."""
+        cfg_path = Path(self.dirs.root) / "ml_config.json"
+        if not cfg_path.exists():
+            return 5
+        try:
+            cfg = json.load(open(cfg_path))
+        except Exception:
+            return 5
+        for slot in ("catboost", "xgboost", "lightgbm"):
+            if isinstance(cfg.get(slot), dict):
+                self.ensemble.params[slot] = cfg[slot]
+        return int((cfg.get("training") or {}).get("cv_folds", 5))
+
+    def run_training(self, cv_folds: Optional[int] = None) -> Dict[str, Any]:
+        configured = self._apply_ml_config()
+        if cv_folds is None:
+            cv_folds = configured
         x, y, vids, skipped = self.get_labeled_data()
         status: Dict[str, Any] = {
             "status": "running",

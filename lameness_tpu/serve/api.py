@@ -34,25 +34,153 @@ from .http import (AdminHTTPServer, HTTPError, Request, Router, TokenCodec,
 PIPELINES = ("yolo", "sam3", "dinov3", "tleap", "tcn", "transformer",
              "gnn", "graph_transformer", "ml", "tracking", "fusion")
 
+# Full editable hyperparameter surface mirroring the reference's pydantic
+# config models (routers/ml_config.py:28-135); our GBDT slots keep
+# n_estimators/max_depth naming across all three models.
 DEFAULT_ML_CONFIG = {
-    "catboost": {"n_estimators": 200, "learning_rate": 0.1, "max_depth": 6},
-    "xgboost": {"n_estimators": 200, "learning_rate": 0.1, "max_depth": 6},
-    "lightgbm": {"n_estimators": 200, "learning_rate": 0.1, "max_depth": 6},
+    "catboost": {"n_estimators": 200, "learning_rate": 0.1, "max_depth": 6,
+                 "l2_leaf_reg": 3.0, "random_strength": 1.0,
+                 "bagging_temperature": 1.0, "border_count": 254,
+                 "grow_policy": "SymmetricTree", "bootstrap_type": "MVS",
+                 "random_seed": 42},
+    "xgboost": {"n_estimators": 200, "learning_rate": 0.1, "max_depth": 6,
+                "min_child_weight": 1.0, "gamma": 0.0, "subsample": 1.0,
+                "colsample_bytree": 1.0, "colsample_bylevel": 1.0,
+                "reg_alpha": 0.0, "reg_lambda": 1.0,
+                "scale_pos_weight": 1.0, "booster": "gbtree",
+                "tree_method": "hist", "random_state": 42},
+    "lightgbm": {"n_estimators": 200, "learning_rate": 0.1, "max_depth": 6,
+                 "num_leaves": 31, "min_child_samples": 20,
+                 "min_child_weight": 0.001, "subsample": 1.0,
+                 "colsample_bytree": 1.0, "reg_alpha": 0.0,
+                 "reg_lambda": 0.0, "min_split_gain": 0.0,
+                 "boosting_type": "gbdt", "objective": "binary",
+                 "random_state": 42},
     "ensemble": {"weights": {"catboost": 0.35, "xgboost": 0.35,
-                             "lightgbm": 0.30}},
-    "training": {"cv_folds": 5, "min_new_videos": 10},
+                             "lightgbm": 0.30},
+                 "voting_method": "soft", "threshold": 0.5},
+    "training": {"cv_folds": 5, "min_new_videos": 10, "min_samples": 10,
+                 "test_size": 0.2, "stratify": True, "shuffle": True},
 }
+
+
+def _p(typ, lo, hi, desc, category, options=None):
+    d = {"type": typ, "min": lo, "max": hi, "description": desc,
+         "category": category}
+    if options:
+        d["options"] = options
+    return d
+
+
+# routers/ml_config.py:440-710 parameter-descriptions: name/category/range
 ML_CONFIG_SCHEMA = {
-    "catboost.n_estimators": {"type": "int", "min": 10, "max": 5000,
-                              "description": "Number of boosting iterations"},
-    "catboost.learning_rate": {"type": "float", "min": 0.001, "max": 1.0,
-                               "description": "Gradient step size"},
-    "catboost.max_depth": {"type": "int", "min": 1, "max": 16,
-                           "description": "Tree depth"},
+    "catboost.n_estimators": _p("int", 10, 10000,
+                                "Number of boosting iterations", "Training"),
+    "catboost.learning_rate": _p("float", 0.001, 1.0,
+                                 "Gradient step size", "Training"),
+    "catboost.max_depth": _p("int", 1, 16, "Tree depth", "Tree Structure"),
+    "catboost.l2_leaf_reg": _p("float", 0.0, 100.0,
+                               "L2 regularization coefficient",
+                               "Regularization"),
+    "catboost.random_strength": _p("float", 0.0, 10.0,
+                                   "Randomness for scoring splits",
+                                   "Regularization"),
+    "catboost.bagging_temperature": _p("float", 0.0, 10.0,
+                                       "Bayesian bootstrap intensity",
+                                       "Regularization"),
+    "catboost.border_count": _p("int", 1, 255,
+                                "Splits for numerical features",
+                                "Tree Structure"),
+    "catboost.grow_policy": _p("str", None, None, "Tree growing policy",
+                               "Tree Structure",
+                               ["SymmetricTree", "Depthwise", "Lossguide"]),
+    "catboost.bootstrap_type": _p("str", None, None,
+                                  "Bootstrap sampling method",
+                                  "Regularization",
+                                  ["Bayesian", "Bernoulli", "MVS", "No"]),
+    "catboost.random_seed": _p("int", 0, 2 ** 31 - 1, "Random seed",
+                               "Training"),
+    "xgboost.n_estimators": _p("int", 10, 10000, "Number of boosting rounds",
+                               "Training"),
+    "xgboost.learning_rate": _p("float", 0.001, 1.0, "Learning rate (eta)",
+                                "Training"),
+    "xgboost.max_depth": _p("int", 1, 20, "Maximum tree depth",
+                            "Tree Structure"),
+    "xgboost.min_child_weight": _p("float", 0.0, 100.0,
+                                   "Min sum of instance weight in child",
+                                   "Tree Structure"),
+    "xgboost.gamma": _p("float", 0.0, 10.0, "Min loss reduction for split",
+                        "Regularization"),
+    "xgboost.subsample": _p("float", 0.1, 1.0,
+                            "Subsample ratio of training data", "Sampling"),
+    "xgboost.colsample_bytree": _p("float", 0.1, 1.0,
+                                   "Column subsample per tree", "Sampling"),
+    "xgboost.colsample_bylevel": _p("float", 0.1, 1.0,
+                                    "Column subsample per level", "Sampling"),
+    "xgboost.reg_alpha": _p("float", 0.0, 100.0, "L1 regularization",
+                            "Regularization"),
+    "xgboost.reg_lambda": _p("float", 0.0, 100.0, "L2 regularization",
+                             "Regularization"),
+    "xgboost.scale_pos_weight": _p("float", 0.1, 100.0,
+                                   "Positive/negative weight balance",
+                                   "Training"),
+    "xgboost.booster": _p("str", None, None, "Booster type", "Training",
+                          ["gbtree", "gblinear", "dart"]),
+    "xgboost.tree_method": _p("str", None, None, "Tree method", "Training",
+                              ["auto", "exact", "approx", "hist"]),
+    "xgboost.random_state": _p("int", 0, 2 ** 31 - 1, "Random seed",
+                               "Training"),
+    "lightgbm.n_estimators": _p("int", 10, 10000,
+                                "Number of boosting iterations", "Training"),
+    "lightgbm.learning_rate": _p("float", 0.001, 1.0, "Learning rate",
+                                 "Training"),
+    "lightgbm.max_depth": _p("int", -1, 20, "Max tree depth (-1 = none)",
+                             "Tree Structure"),
+    "lightgbm.num_leaves": _p("int", 2, 131072, "Maximum number of leaves",
+                              "Tree Structure"),
+    "lightgbm.min_child_samples": _p("int", 1, 1000, "Min samples in leaf",
+                                     "Tree Structure"),
+    "lightgbm.min_child_weight": _p("float", 0.0, 100.0,
+                                    "Min sum of hessian in leaf",
+                                    "Tree Structure"),
+    "lightgbm.subsample": _p("float", 0.1, 1.0,
+                             "Subsample ratio of training data", "Sampling"),
+    "lightgbm.colsample_bytree": _p("float", 0.1, 1.0,
+                                    "Column subsample per tree", "Sampling"),
+    "lightgbm.reg_alpha": _p("float", 0.0, 100.0, "L1 regularization",
+                             "Regularization"),
+    "lightgbm.reg_lambda": _p("float", 0.0, 100.0, "L2 regularization",
+                              "Regularization"),
+    "lightgbm.min_split_gain": _p("float", 0.0, 10.0,
+                                  "Min gain to make a split",
+                                  "Regularization"),
+    "lightgbm.boosting_type": _p("str", None, None, "Boosting type",
+                                 "Training", ["gbdt", "dart", "goss", "rf"]),
+    "lightgbm.objective": _p("str", None, None, "Objective function",
+                             "Training", ["binary"]),
+    "lightgbm.random_state": _p("int", 0, 2 ** 31 - 1, "Random seed",
+                                "Training"),
     "ensemble.weights": {"type": "dict",
-                         "description": "Per-model ensemble weights"},
-    "training.cv_folds": {"type": "int", "min": 2, "max": 10,
-                          "description": "Stratified CV folds"},
+                         "description": "Per-model ensemble weights",
+                         "category": "Ensemble"},
+    "ensemble.voting_method": _p("str", None, None,
+                                 "soft (probability) or hard (class) voting",
+                                 "Ensemble", ["soft", "hard"]),
+    "ensemble.threshold": _p("float", 0.0, 1.0,
+                             "Classification threshold", "Ensemble"),
+    "training.cv_folds": _p("int", 2, 20, "Stratified CV folds", "Training"),
+    "training.min_new_videos": _p("int", 1, 1000,
+                                  "New labeled videos before auto-retrain",
+                                  "Training"),
+    "training.min_samples": _p("int", 2, 1000,
+                               "Minimum samples to start training",
+                               "Training"),
+    "training.test_size": _p("float", 0.1, 0.5, "Test set ratio",
+                             "Training"),
+    "training.stratify": _p("bool", None, None, "Use stratified splits",
+                            "Training"),
+    "training.shuffle": _p("bool", None, None,
+                           "Shuffle data before splitting", "Training"),
 }
 
 
@@ -1388,8 +1516,23 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/ml-config/parameter-descriptions")
     def ml_param_descriptions(req: Request):
-        return {k: v.get("description", "") for k, v in
-                ML_CONFIG_SCHEMA.items()}
+        """Nested {model: {param: {name, description, category, default,
+        range|options}}} shape (routers/ml_config.py:437-710)."""
+        out: Dict[str, Dict[str, Any]] = {}
+        for key, meta in ML_CONFIG_SCHEMA.items():
+            model, param = key.split(".", 1)
+            entry: Dict[str, Any] = {
+                "name": param.replace("_", " ").title(),
+                "description": meta.get("description", ""),
+                "category": meta.get("category", "Other"),
+                "default": DEFAULT_ML_CONFIG.get(model, {}).get(param),
+            }
+            if meta.get("options"):
+                entry["options"] = meta["options"]
+            elif meta.get("min") is not None:
+                entry["range"] = [meta["min"], meta["max"]]
+            out.setdefault(model, {})[param] = entry
+        return out
 
     @r.get("/api/ml-config/models/status")
     def ml_models_status(req: Request):
@@ -1528,12 +1671,26 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/tutorial/stats")
     def tutorial_stats(req: Request):
-        total = db.query("SELECT COUNT(*) n FROM gold_tasks "
-                         "WHERE is_active=1")
-        tut = db.query("SELECT COUNT(*) n FROM gold_tasks "
-                       "WHERE is_active=1 AND is_tutorial=1")
-        return {"total_gold_tasks": total[0]["n"],
-                "tutorial_tasks": tut[0]["n"]}
+        """Totals plus the reference's richer breakdown
+        (tutorial.py:449-500: tutorial/validation split + difficulty
+        distribution)."""
+        rows = db.query("SELECT is_tutorial, is_active, difficulty "
+                        "FROM gold_tasks")
+        tut = [t for t in rows if t["is_tutorial"]]
+        gold = [t for t in rows if not t["is_tutorial"]]
+        dist: Dict[str, int] = {}
+        for t in rows:
+            if t["is_active"]:
+                dist[t["difficulty"]] = dist.get(t["difficulty"], 0) + 1
+        return {"total_gold_tasks": sum(1 for t in rows if t["is_active"]),
+                "tutorial_tasks": sum(1 for t in tut if t["is_active"]),
+                "tutorials": {"total": len(tut),
+                              "active": sum(1 for t in tut
+                                            if t["is_active"])},
+                "gold_tasks": {"total": len(gold),
+                               "active": sum(1 for t in gold
+                                             if t["is_active"])},
+                "difficulty_distribution": dist}
 
     @r.put("/api/tutorial/tasks/{task_id}", roles=["admin", "researcher"])
     def update_gold_task(req: Request):

@@ -978,7 +978,27 @@ def build_admin_api(ctx: AdminContext) -> Router:
         disk_status = ("critical" if pct > 90 else
                        "warning" if pct > 75 else "healthy")
         hb = db.query("SELECT service_name, status FROM service_heartbeats")
+        components = {
+            "bus": "healthy",
+            "vector_store": "healthy" if ctx.store else "unconfigured",
+            "database": "healthy",
+            "disk": disk_status,
+        }
+        issues = []
+        if disk_status != "healthy":
+            issues.append(f"disk {disk_status}: {round(pct, 1)}% used")
+        if ctx.bus.errors:
+            issues.append(f"{len(ctx.bus.errors)} bus handler errors")
+        for hrow in hb:
+            if hrow["status"] not in ("healthy", "idle"):
+                issues.append(f"service {hrow['service_name']}: "
+                              f"{hrow['status']}")
+        overall = ("unhealthy" if disk_status == "critical"
+                   else "degraded" if issues else "healthy")
         return {
+            # health.py overview contract: status/components/issues
+            "status": overall, "components": components, "issues": issues,
+            "timestamp": _now(),
             "bus": {"status": "healthy" if True else "down",
                     "messages": len(ctx.bus.history),
                     "errors": len(ctx.bus.errors)},
@@ -1483,19 +1503,31 @@ def build_admin_api(ctx: AdminContext) -> Router:
         if store is None:
             return {"status": "unconfigured"}
         try:
+            t0 = time.perf_counter()
             names = store.collection_names()
+            counts = {n: store.count(n) for n in names}
+            ms = (time.perf_counter() - t0) * 1e3
             return {"status": "healthy",
                     "backend": type(store).__name__,
-                    "collections": {n: store.count(n) for n in names}}
+                    "collections": counts,
+                    "response_time_ms": round(ms, 2)}
         except Exception as e:
             return {"status": "unhealthy", "error": repr(e)[:200]}
 
     @r.get("/api/health/postgres")
     def health_postgres(req: Request):
-        """SQLite carries the reference's Postgres contract here."""
+        """SQLite carries the reference's Postgres contract here; the
+        response shape matches health.py (size MB + probe latency)."""
         try:
+            t0 = time.perf_counter()
             n = db.query("SELECT COUNT(*) n FROM users")[0]["n"]
-            return {"status": "healthy", "backend": "sqlite", "users": n}
+            ms = (time.perf_counter() - t0) * 1e3
+            size_mb = 0.0
+            if getattr(db, "path", None) and Path(db.path).exists():
+                size_mb = Path(db.path).stat().st_size / 1e6
+            return {"status": "healthy", "backend": "sqlite", "users": n,
+                    "database_size_mb": round(size_mb, 2),
+                    "response_time_ms": round(ms, 2)}
         except Exception as e:
             return {"status": "unhealthy", "error": repr(e)[:200]}
 

@@ -19,7 +19,7 @@ import re
 import shutil
 import time
 import uuid
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -1242,8 +1242,26 @@ def build_admin_api(ctx: AdminContext) -> Router:
     # ============================ cows ====================================
     @r.get("/api/cows")
     def list_cows(req: Request):
-        return db.query("SELECT * FROM cow_identities WHERE is_active=1 "
+        """Registry rows enriched with the latest lameness state the
+        reference's list view renders (cows.py get_cows: severity,
+        current score, video count)."""
+        cows = db.query("SELECT * FROM cow_identities WHERE is_active=1 "
                         "ORDER BY last_seen DESC")
+        latest: Dict[str, Dict[str, Any]] = {}
+        for row in db.query("SELECT cow_id, severity_level, fusion_score "
+                            "FROM lameness_records "
+                            "ORDER BY observation_date"):
+            latest[row["cow_id"]] = row
+        nvids: Dict[str, int] = {}
+        for row in db.query("SELECT cow_id, COUNT(*) n FROM track_history "
+                            "GROUP BY cow_id"):
+            nvids[row["cow_id"]] = row["n"]
+        for c in cows:
+            lr = latest.get(c["id"], {})
+            c["severity_level"] = lr.get("severity_level")
+            c["current_score"] = lr.get("fusion_score")
+            c["num_videos"] = nvids.get(c["id"], 0)
+        return cows
 
     @r.get("/api/cows/{cow_id}")
     def cow_detail(req: Request):
@@ -1255,7 +1273,36 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/cows/{cow_id}/lameness-history")
     def cow_history(req: Request):
-        return db.lameness_history(req.params["cow_id"])
+        """Timeline + trend per the reference shape (cows.py:159-237:
+        newest-first timeline, recent-vs-older trend, ?days filter)."""
+        try:
+            days = int(req.query.get("days", 30))
+        except ValueError:
+            days = 30
+        rows = db.lameness_history(req.params["cow_id"])
+        cutoff = (datetime.now(timezone.utc)
+                  - timedelta(days=days)).isoformat()
+        timeline = [row for row in rows
+                    if not row.get("observation_date")
+                    or row["observation_date"] >= cutoff]
+        timeline.reverse()          # newest first, like the reference
+        if len(timeline) >= 2:
+            recent = [t["fusion_score"] for t in timeline[:5]
+                      if t["fusion_score"] is not None]
+            older = [t["fusion_score"] for t in timeline[5:10]
+                     if t["fusion_score"] is not None]
+            if recent and older:
+                delta = (sum(recent) / len(recent)
+                         - sum(older) / len(older))
+                trend = ("worsening" if delta > 0.1 else
+                         "improving" if delta < -0.1 else "stable")
+            else:
+                trend = "unknown"
+        else:
+            trend = "insufficient_data"
+        return {"cow_id": req.params["cow_id"], "timeline": timeline,
+                "total_records": len(timeline), "days_range": days,
+                "trend": trend}
 
     @r.get("/api/cows/{cow_id}/videos")
     def cow_videos(req: Request):
@@ -1287,12 +1334,31 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/cows/summary/stats")
     def cow_summary(req: Request):
+        """Registry summary incl. the reference's severity distribution
+        (cows.py:433-477: latest severity_level per cow)."""
         cows = db.query("SELECT COUNT(*) n FROM cow_identities "
                         "WHERE is_active=1")
+        all_cows = db.query("SELECT COUNT(*) n FROM cow_identities")
         lame = db.query(
             "SELECT COUNT(DISTINCT cow_id) n FROM lameness_records "
             "WHERE is_lame=1")
-        return {"total_cows": cows[0]["n"], "cows_with_lameness": lame[0]["n"]}
+        tracked = db.query("SELECT COUNT(*) n FROM track_history")
+        nrec = db.query("SELECT COUNT(*) n FROM lameness_records")
+        sev = {"healthy": 0, "mild": 0, "moderate": 0, "severe": 0,
+               "unknown": 0}
+        latest: Dict[str, str] = {}
+        for row in db.query("SELECT cow_id, severity_level "
+                            "FROM lameness_records "
+                            "ORDER BY observation_date"):
+            latest[row["cow_id"]] = row["severity_level"]
+        for level in latest.values():
+            sev[level if level in sev else "unknown"] += 1
+        return {"total_cows": all_cows[0]["n"],
+                "active_cows": cows[0]["n"],
+                "cows_with_lameness": lame[0]["n"],
+                "total_videos_tracked": tracked[0]["n"],
+                "total_lameness_records": nrec[0]["n"],
+                "severity_distribution": sev}
 
     # ================== reference-parity completions =======================
     # The long tail of the reference's 112-endpoint surface (audited

@@ -705,6 +705,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
         rec = {"reference": b.get("reference"), "option_a": b.get("option_a"),
                "option_b": b.get("option_b"), "choice": b.get("choice"),
                "task_type": b.get("task_type"),
+               "confidence": b.get("confidence", "medium"),
                "rater": req.user["username"], "submitted_at": _now()}
         with open(out_dir / "triplets.jsonl", "a") as f:
             f.write(json.dumps(rec) + "\n")

@@ -606,8 +606,36 @@ def build_admin_api(ctx: AdminContext) -> Router:
                 pass
         comps = db.query("SELECT COUNT(*) n FROM pairwise_comparisons")
         return {"total_labeled": len(labeled), "lame": lame, "sound": sound,
+                # reference key spellings (routers/training.py:138-146)
+                "total_labels": len(labeled), "sound_count": sound,
+                "lame_count": lame,
+                "balance_ratio": sound / lame if lame else None,
+                "ready_for_training": len(labeled) >= 10 and sound > 0
+                and lame > 0,
                 "pairwise_comparisons": comps[0]["n"],
                 "min_new_videos": ctx.config.ml.min_new_videos}
+
+    @r.get("/api/training/label-queue")
+    def training_label_queue(req: Request):
+        """Active-learning queue: unlabeled videos with fusion results,
+        most uncertain (|p-0.5| smallest) first (routers/training.py:80-114)."""
+        labels_dir = dirs.training / "labels"
+        out = []
+        fdir = dirs.results_for("fusion")
+        if fdir.exists():
+            for f in fdir.glob("*_fusion.json"):
+                vid = f.stem[:-len("_fusion")]
+                if (labels_dir / f"{vid}_label.json").exists():
+                    continue
+                try:
+                    fr = json.load(open(f)).get("fusion_result", {})
+                except Exception:
+                    continue
+                p = fr.get("final_probability", 0.5)
+                out.append({"video_id": vid, "predicted_probability": p,
+                            "uncertainty": abs(0.5 - (p or 0.5))})
+        out.sort(key=lambda v: v["uncertainty"])
+        return {"videos": out[:50], "total": len(out)}
 
     @r.get("/api/training/status")
     def training_status(req: Request):
@@ -1718,10 +1746,14 @@ def build_admin_api(ctx: AdminContext) -> Router:
         mdir = Path(dirs.models)
         if mdir.exists():
             for p in sorted(mdir.iterdir()):
+                size = sum(q.stat().st_size for q in p.rglob("*")
+                           if q.is_file()) if p.is_dir() \
+                    else p.stat().st_size
                 out.append({"name": p.name,
                             "is_dir": p.is_dir(),
+                            "size_kb": size / 1024,
                             "modified": p.stat().st_mtime})
-        return {"models": out}
+        return {"models": out, "total": len(out)}
 
     @r.post("/api/training/pairwise", auth=True)
     def training_pairwise_submit(req: Request):

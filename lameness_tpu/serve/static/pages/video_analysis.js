@@ -57,10 +57,42 @@ export default async function VideoAnalysis(videoId) {
         vinfo.duration.toFixed(1) + " s" : "—"}</b>
       <span class="dim">resolution</span><b>${vinfo.width ?
         `${vinfo.width}×${vinfo.height}` : "—"}</b>
+      <span class="dim">fps</span><b>${vinfo.fps ?
+        (+vinfo.fps).toFixed(1) : "—"}</b>
+      <span class="dim">frames</span><b>${vinfo.frame_count ?? "—"}</b>
       <span class="dim">status</span><b>${esc(vinfo.status || "—")}</b>
-      <span class="dim">label</span><b>${vinfo.label == null ? "—"
-        : vinfo.label ? "lame" : "sound"}</b></div></div>` : ""}
+      <span class="dim">label</span><b id="va-label">${vinfo.label == null
+        ? "—" : vinfo.label ? "lame" : "sound"}</b></div>
+      <div class="row" style="margin-top:8px">
+        <button class="mini ok" id="va-sound">✓ Sound (S)</button>
+        <button class="mini bad" id="va-lame">✗ Lame (L)</button>
+        <span class="dim">expert label — keyboard: S sound, L lame
+        (VideoAnalysis.tsx:76-94)</span></div></div>` : ""}
     <div class="grid3" id="cards"></div>`));
+
+  // -- expert labeling with S/L shortcuts (VideoAnalysis.tsx:57-94) --------
+  async function setLabel(label) {
+    try {
+      await api(`/api/videos/${videoId}/label`, {json: {label}});
+      const el = document.getElementById("va-label");
+      if (el) el.textContent = label ? "lame" : "sound";
+      toast(`labeled ${label ? "lame" : "sound"}`);
+    } catch (e) { toast(e.message, "bad"); }
+  }
+  const vaS = document.getElementById("va-sound");
+  const vaL = document.getElementById("va-lame");
+  if (vaS) vaS.onclick = () => setLabel(0);
+  if (vaL) vaL.onclick = () => setLabel(1);
+  const keyHandler = (e) => {
+    if (!document.getElementById("va-sound"))
+      return window.removeEventListener("keypress", keyHandler);
+    if (e.target instanceof HTMLInputElement
+        || e.target instanceof HTMLTextAreaElement) return;
+    const k = e.key.toLowerCase();
+    if (k === "s") setLabel(0);
+    else if (k === "l") setLabel(1);
+  };
+  window.addEventListener("keypress", keyHandler);
 
   document.getElementById("contrib").innerHTML = Object.keys(contribs).length
     ? table(Object.entries(contribs), [

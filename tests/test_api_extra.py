@@ -282,3 +282,43 @@ def test_range_streaming(server, tmp_path):
     bad = httpx.get(f"{base}/api/videos/{vid}/stream",
                     headers={"Range": "bytes=5000-"})
     assert bad.status_code == 416
+
+
+def test_training_label_queue_and_stats(server):
+    """Active-learning queue: unlabeled-with-fusion only, most uncertain
+    first; stats carry the reference key spellings + readiness flag
+    (routers/training.py:80-146)."""
+    base, ctx = server
+    fdir = ctx.dirs.results_for("fusion")
+    fdir.mkdir(parents=True, exist_ok=True)
+    for vid, p in [("v-sure", 0.95), ("v-edge", 0.52), ("v-mid", 0.70),
+                   ("v-labeled", 0.50)]:
+        json.dump({"fusion_result": {"final_probability": p}},
+                  open(fdir / f"{vid}_fusion.json", "w"))
+    labels = ctx.dirs.training / "labels"
+    labels.mkdir(parents=True, exist_ok=True)
+    json.dump({"label": 1}, open(labels / "v-labeled_label.json", "w"))
+
+    q = httpx.get(f"{base}/api/training/label-queue").json()
+    assert q["total"] == 3
+    assert [v["video_id"] for v in q["videos"]] == ["v-edge", "v-mid",
+                                                    "v-sure"]
+    assert q["videos"][0]["predicted_probability"] == 0.52
+    assert abs(q["videos"][0]["uncertainty"] - 0.02) < 1e-12
+
+    st = httpx.get(f"{base}/api/training/stats").json()
+    assert st["total_labels"] == st["total_labeled"] == 1
+    assert st["lame_count"] == 1 and st["sound_count"] == 0
+    assert st["balance_ratio"] == 0.0
+    assert st["ready_for_training"] is False
+
+    # models listing carries size_kb for files and directories
+    mdir = ctx.dirs.models
+    (mdir / "tcn").mkdir(parents=True, exist_ok=True)
+    (mdir / "tcn" / "w.bin").write_bytes(b"\0" * 2048)
+    (mdir / "ensemble_weights.json").write_bytes(b"{}")
+    ms = httpx.get(f"{base}/api/training/models").json()
+    by = {m["name"]: m for m in ms["models"]}
+    assert by["tcn"]["size_kb"] == 2.0
+    assert by["ensemble_weights.json"]["size_kb"] > 0
+    assert ms["total"] == len(ms["models"])

@@ -102,7 +102,8 @@ def _update_headline() -> None:
         return
     RESULT["vs_baseline"] = round(RESULT["value"] / BASELINE_CLIPS_PER_MIN, 3)
     RESULT["best_config"] = {"bf16": best.get("bf16"),
-                             "batch": best.get("batch")}
+                             "batch": best.get("batch"),
+                             "ingest": best.get("ingest", "native")}
     if RESULT["value"] > 0 and os.environ.get("LAMENESS_BENCH_SMALL") != "1":
         try:
             prev = {}
@@ -252,6 +253,52 @@ def _measure_link_mb_s() -> float:
     return round(64.0 / float(np.median(ts)), 1)
 
 
+def _sync_out(out):
+    return (float(out["tcn_probability"][0])
+            + float(out["mask_area_frac"][0, 0])
+            + float(out["embeddings"][0, 0, 0])
+            + float(out["det_scores"][0, 0, 0]))
+
+
+def _e2e_yuv_overlap(engine, yuv_np, rng, n_runs):
+    """Steady-state s/batch with a producer thread putting batch N+1
+    while N computes (process_stream's structure)."""
+    import threading as _th
+
+    import jax
+    import jax.numpy as jnp
+    cur = engine._jit_yuv(jax.device_put(jnp.asarray(yuv_np)))
+    _sync_out(engine.run_staged(cur, rng))        # settle queues
+    t0 = time.time()
+    for i in range(n_runs):
+        holder = {}
+        th = None
+        if i < n_runs - 1:
+            def _put(h=holder):
+                h["d"] = jax.device_put(jnp.asarray(yuv_np))
+                h["d"].block_until_ready()
+            th = _th.Thread(target=_put)
+            th.start()
+        _sync_out(engine.run_staged(cur, rng))
+        if th is not None:
+            th.join()
+            cur = engine._jit_yuv(holder["d"])
+    return (time.time() - t0) / n_runs
+
+
+def _e2e_yuv_serial(engine, yuv_np, rng, n_runs):
+    import jax
+    import jax.numpy as jnp
+    times = []
+    for i in range(n_runs):
+        t0 = time.time()
+        fd2 = engine._jit_yuv(jax.device_put(jnp.asarray(yuv_np)))
+        _sync_out(engine.run_staged(fd2, rng))
+        times.append(time.time() - t0)
+        _log(f"e2e yuv run {i + 1}: {times[-1]:.2f}s")
+    return float(np.median(times))
+
+
 def _measure_config(engine, frames_np, batch, rng, bf16, n_runs=4):
     """Measure one (precision, batch) config, updating RESULT after each
     phase so a mid-config wedge still reports the finished phases.
@@ -296,49 +343,19 @@ def _measure_config(engine, frames_np, batch, rng, bf16, n_runs=4):
     # computes: process_stream's structure);  (b) yuv420 serial (the
     # per-clip latency a single upload sees);  (c) rgb serial (legacy
     # comparability with earlier rounds' artifacts).
-    import threading as _th
-
     import jax.numpy as jnp
     from lameness_tpu.video.yuv import rgb_to_i420
     yuv_np = rgb_to_i420(frames)
-
-    def _sync(out):
-        return (float(out["tcn_probability"][0])
-                + float(out["mask_area_frac"][0, 0])
-                + float(out["embeddings"][0, 0, 0])
-                + float(out["det_scores"][0, 0, 0]))
+    _sync = _sync_out
 
     # (a) overlapped steady state over n_runs batches
-    cur = engine._jit_yuv(jax.device_put(jnp.asarray(yuv_np)))
-    _sync(engine.run_staged(cur, rng))            # settle queues
-    t0 = time.time()
-    for i in range(n_runs):
-        holder = {}
-        th = None
-        if i < n_runs - 1:
-            def _put(h=holder):
-                h["d"] = jax.device_put(jnp.asarray(yuv_np))
-                h["d"].block_until_ready()
-            th = _th.Thread(target=_put)
-            th.start()
-        _sync(engine.run_staged(cur, rng))
-        if th is not None:
-            th.join()
-            cur = engine._jit_yuv(holder["d"])
-    stream_s = (time.time() - t0) / n_runs
+    stream_s = _e2e_yuv_overlap(engine, yuv_np, rng, n_runs)
     entry["clips_per_min_stream"] = round(60.0 / stream_s * batch, 2)
     _log(f"e2e yuv-overlap: {stream_s:.2f}s/batch "
          f"({entry['clips_per_min_stream']} clips/min)")
 
     # (b) yuv420 serial
-    times_yuv = []
-    for i in range(max(2, n_runs - 2)):
-        t0 = time.time()
-        fd2 = engine._jit_yuv(jax.device_put(jnp.asarray(yuv_np)))
-        _sync(engine.run_staged(fd2, rng))
-        times_yuv.append(time.time() - t0)
-        _log(f"e2e yuv run {i + 1}: {times_yuv[-1]:.2f}s")
-    p50_yuv = float(np.median(times_yuv))
+    p50_yuv = _e2e_yuv_serial(engine, yuv_np, rng, max(2, n_runs - 2))
     entry["clips_per_min_yuv"] = round(60.0 / p50_yuv * batch, 2)
     entry["p50_clip_latency_s"] = round(p50_yuv / batch, 4)
     entry["p50_batch_latency_s"] = round(p50_yuv, 4)
@@ -381,6 +398,76 @@ def _measure_config(engine, frames_np, batch, rng, bf16, n_runs=4):
         stage_s[name] = round(float(np.median(ts)), 3)
     entry["stage_run_p50_s"] = stage_s
     _log(f"stage p50 {stage_s}")
+    return entry
+
+
+def _measure_ingest_reduced(frames_native, batch, rng, n_runs=4,
+                            make_engine=None, size=(1024, 576)):
+    """bf16 e2e at 1024×576 ingest: SAM's own longest-side-1024 resize
+    (segment_anything ResizeLongestSide; sam3-pipeline/app/main.py:74-92)
+    moved host-side, so the wire carries 36% fewer I420 bytes while the
+    SAM encoder still sees a 1024² canvas (pad-only on device).  Engine
+    geometry is fully spec-parameterized and the driver maps detections
+    back to native coordinates (serve/driver.py:171), so this is a pure
+    transfer optimisation on the link-bound path."""
+    import cv2
+    import jax
+    from lameness_tpu.video.yuv import rgb_to_i420
+    w, hh = size
+    entry = {"bf16": make_engine is None, "batch": batch,
+             "ingest": f"{w}x{hh}"}
+    RESULT.setdefault("sweep", []).append(entry)
+    t0 = time.time()
+    if make_engine is None:
+        from lameness_tpu.pipeline.engine import EngineSpec, LamenessEngine
+        from lameness_tpu.pipeline.precision import apply_engine_policy
+        eng = LamenessEngine(spec=EngineSpec(frame_height=hh,
+                                             frame_width=w))
+        apply_engine_policy(eng)
+    else:
+        eng = make_engine()
+    frames = eng.spec.pack_frames(frames_native) \
+        if frames_native.shape[1] != eng.spec.n_packed else frames_native
+    frames = np.repeat(frames, batch, axis=0) if batch > 1 else frames
+    small = np.stack([
+        np.stack([cv2.resize(f, (w, hh),
+                             interpolation=cv2.INTER_LINEAR)
+                  for f in clip]) for clip in frames])
+    entry["prep_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    entry["stage_compiles_s"] = eng.warmup(batch=batch)
+    entry["compile_s"] = round(time.time() - t0, 1)
+    _log(f"ingest-1024 warmup done {entry['stage_compiles_s']}")
+
+    # compute-only (2 runs — expected ≈ native: same SAM canvas)
+    fd = jax.device_put(small)
+    comp = []
+    for i in range(3):
+        t0 = time.time()
+        out = eng.run_staged(fd, rng)
+        _sync_out(out)
+        if i > 0:
+            comp.append(time.time() - t0)
+    comp_p50 = float(np.median(comp))
+    entry["p50_compute_s_per_clip"] = round(comp_p50 / batch, 4)
+    entry["compute_clips_per_min"] = round(60.0 / comp_p50 * batch, 2)
+    _update_headline()
+    _log(f"ingest-1024 compute p50 {comp_p50:.3f}s")
+
+    yuv_np = rgb_to_i420(small)
+    stream_s = _e2e_yuv_overlap(eng, yuv_np, rng, n_runs)
+    entry["clips_per_min_stream"] = round(60.0 / stream_s * batch, 2)
+    _log(f"ingest-1024 yuv-overlap: {stream_s:.2f}s/batch "
+         f"({entry['clips_per_min_stream']} clips/min)")
+    p50_yuv = _e2e_yuv_serial(eng, yuv_np, rng, max(2, n_runs - 2))
+    entry["clips_per_min_yuv"] = round(60.0 / p50_yuv * batch, 2)
+    entry["p50_clip_latency_s"] = round(p50_yuv / batch, 4)
+    by_mode = {f"yuv420-overlap-{w}": entry["clips_per_min_stream"],
+               f"yuv420-{w}": entry["clips_per_min_yuv"]}
+    entry["e2e_mode"] = max(by_mode, key=by_mode.get)
+    entry["clips_per_min"] = by_mode[entry["e2e_mode"]]
+    _update_headline()
+    del eng, fd
     return entry
 
 
@@ -506,6 +593,25 @@ def main():
                 _update_headline()
             except Exception:
                 pass
+            # reduced-ingest config (1024×576): the strongest known
+            # e2e lever on the link-bound path — run it before the
+            # remaining sweep configs (self-test exercises the same
+            # code path at 128×72 on the tiny engine)
+            if ((small or _remaining() > 240)
+                    and os.environ.get("LAMENESS_BENCH_INGEST") != "0"):
+                try:
+                    if small:
+                        from lameness_tpu.pipeline.engine import \
+                            make_test_engine
+                        _measure_ingest_reduced(
+                            frames, batch, rng, n_runs=2,
+                            make_engine=lambda: make_test_engine(72, 128),
+                            size=(128, 72))
+                    else:
+                        _measure_ingest_reduced(frames, batch, rng)
+                except Exception as e:
+                    RESULT.setdefault("sweep", []).append(
+                        {"ingest": "reduced", "error": repr(e)[:200]})
             # driver e2e recompiles batch-1 jits (~2 min warm) — only
             # spend that when it can't crowd out the remaining sweep
             # configs (r3 capture: its warm pass alone took 130 s)

@@ -20,6 +20,21 @@ import sys
 from pathlib import Path
 
 
+def ingest_spec():
+    """EngineSpec honoring LAMENESS_INGEST=WxH (e.g. 1024x576): process
+    at a reduced ingest resolution.  The driver decodes+resizes to engine
+    geometry and maps results back to native coordinates
+    (serve/driver.py:171), so this only changes wire bytes on
+    tunnelled/link-bound backends (bench: ~36% fewer I420 bytes at
+    1024x576 — the SAM longest-side resize done host-side)."""
+    from .pipeline.engine import EngineSpec
+    ingest = os.environ.get("LAMENESS_INGEST")
+    if not ingest:
+        return EngineSpec()
+    w, h = (int(v) for v in ingest.lower().split("x"))
+    return EngineSpec(frame_height=h, frame_width=w)
+
+
 def _build(args, engine_needed=True):
     import jax
     if args.cpu:
@@ -35,7 +50,7 @@ def _build(args, engine_needed=True):
             engine = make_test_engine()
         else:
             from .pipeline.engine import LamenessEngine
-            engine = LamenessEngine()
+            engine = LamenessEngine(spec=ingest_spec())
         # ComputeConfig.dtype declares the serving precision; bf16 doubles
         # MXU throughput on v5e (encoders cast, heads/norms stay f32 —
         # pipeline/precision.py).  Only on real TPU: CPU test runs keep

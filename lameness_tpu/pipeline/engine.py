@@ -665,9 +665,12 @@ class LamenessEngine:
         return core, example
 
 
-def make_test_engine() -> LamenessEngine:
-    """Small-geometry engine for CPU tests: 15 frames at 160x90, no SAM."""
-    spec = EngineSpec(clip_frames=15, frame_height=90, frame_width=160,
+def make_test_engine(frame_height: int = 90,
+                     frame_width: int = 160) -> LamenessEngine:
+    """Small-geometry engine for CPU tests: 15 frames at 160x90 (or an
+    override geometry, e.g. the reduced-ingest bench self-test), no SAM."""
+    spec = EngineSpec(clip_frames=15, frame_height=frame_height,
+                      frame_width=frame_width,
                       fps=5, yolo_size=64, pose_size=64, dino_size=56,
                       use_sam_model=False, sam_mask_size=64)
     cfg = Config()

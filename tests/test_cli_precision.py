@@ -39,3 +39,18 @@ def test_build_cpu_stays_f32(tmp_path):
     from lameness_tpu import __main__ as cli
     _, engine, _ = cli._build(_args(data=str(tmp_path / "d")))
     assert engine.spec.dtype == jnp.float32
+
+
+def test_ingest_spec_env(monkeypatch):
+    """LAMENESS_INGEST=WxH builds a reduced-geometry spec; unset keeps
+    the canonical 1280x720."""
+    from lameness_tpu.__main__ import ingest_spec
+    monkeypatch.delenv("LAMENESS_INGEST", raising=False)
+    s = ingest_spec()
+    assert (s.frame_width, s.frame_height) == (1280, 720)
+    monkeypatch.setenv("LAMENESS_INGEST", "1024x576")
+    s = ingest_spec()
+    assert (s.frame_width, s.frame_height) == (1024, 576)
+    # packed frame subset is geometry-independent (clip_frames/fps only)
+    from lameness_tpu.pipeline.engine import EngineSpec
+    assert s.n_packed == EngineSpec().n_packed

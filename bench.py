@@ -260,14 +260,30 @@ def _sync_out(out):
             + float(out["det_scores"][0, 0, 0]))
 
 
+def _yuv_put(engine, yuv_np):
+    """device_put the host I420 array (or split dict) and block."""
+    import jax
+    import jax.numpy as jnp
+    if isinstance(yuv_np, dict):
+        d = jax.device_put({k: jnp.asarray(v) for k, v in yuv_np.items()})
+        jax.block_until_ready(d)
+        return d
+    d = jax.device_put(jnp.asarray(yuv_np))
+    d.block_until_ready()
+    return d
+
+
+def _yuv_to_rgb(engine, dev):
+    if isinstance(dev, dict):
+        return {k: engine._jit_yuv(v) for k, v in dev.items()}
+    return engine._jit_yuv(dev)
+
+
 def _e2e_yuv_overlap(engine, yuv_np, rng, n_runs):
     """Steady-state s/batch with a producer thread putting batch N+1
     while N computes (process_stream's structure)."""
     import threading as _th
-
-    import jax
-    import jax.numpy as jnp
-    cur = engine._jit_yuv(jax.device_put(jnp.asarray(yuv_np)))
+    cur = _yuv_to_rgb(engine, _yuv_put(engine, yuv_np))
     _sync_out(engine.run_staged(cur, rng))        # settle queues
     t0 = time.time()
     for i in range(n_runs):
@@ -275,24 +291,21 @@ def _e2e_yuv_overlap(engine, yuv_np, rng, n_runs):
         th = None
         if i < n_runs - 1:
             def _put(h=holder):
-                h["d"] = jax.device_put(jnp.asarray(yuv_np))
-                h["d"].block_until_ready()
+                h["d"] = _yuv_put(engine, yuv_np)
             th = _th.Thread(target=_put)
             th.start()
         _sync_out(engine.run_staged(cur, rng))
         if th is not None:
             th.join()
-            cur = engine._jit_yuv(holder["d"])
+            cur = _yuv_to_rgb(engine, holder["d"])
     return (time.time() - t0) / n_runs
 
 
 def _e2e_yuv_serial(engine, yuv_np, rng, n_runs):
-    import jax
-    import jax.numpy as jnp
     times = []
     for i in range(n_runs):
         t0 = time.time()
-        fd2 = engine._jit_yuv(jax.device_put(jnp.asarray(yuv_np)))
+        fd2 = _yuv_to_rgb(engine, _yuv_put(engine, yuv_np))
         _sync_out(engine.run_staged(fd2, rng))
         times.append(time.time() - t0)
         _log(f"e2e yuv run {i + 1}: {times[-1]:.2f}s")
@@ -402,7 +415,8 @@ def _measure_config(engine, frames_np, batch, rng, bf16, n_runs=4):
 
 
 def _measure_ingest_reduced(frames_native, batch, rng, n_runs=4,
-                            make_engine=None, size=(1024, 576)):
+                            make_engine=None, size=(1024, 576),
+                            lo_size=None):
     """bf16 e2e at 1024×576 ingest: SAM's own longest-side-1024 resize
     (segment_anything ResizeLongestSide; sam3-pipeline/app/main.py:74-92)
     moved host-side, so the wire carries 36% fewer I420 bytes while the
@@ -414,30 +428,35 @@ def _measure_ingest_reduced(frames_native, batch, rng, n_runs=4,
     import jax
     from lameness_tpu.video.yuv import rgb_to_i420
     w, hh = size
-    entry = {"bf16": make_engine is None, "batch": batch,
-             "ingest": f"{w}x{hh}"}
+    tag = f"{w}x{hh}" + (f"+{lo_size[0]}x{lo_size[1]}" if lo_size else "")
+    entry = {"bf16": make_engine is None, "batch": batch, "ingest": tag}
     RESULT.setdefault("sweep", []).append(entry)
     t0 = time.time()
     if make_engine is None:
         from lameness_tpu.pipeline.engine import EngineSpec, LamenessEngine
         from lameness_tpu.pipeline.precision import apply_engine_policy
-        eng = LamenessEngine(spec=EngineSpec(frame_height=hh,
-                                             frame_width=w))
+        spec = EngineSpec(frame_height=hh, frame_width=w)
+        if lo_size:
+            spec.lo_width, spec.lo_height = lo_size
+        eng = LamenessEngine(spec=spec)
         apply_engine_policy(eng)
     else:
         eng = make_engine()
     frames = eng.spec.pack_frames(frames_native) \
         if frames_native.shape[1] != eng.spec.n_packed else frames_native
     frames = np.repeat(frames, batch, axis=0) if batch > 1 else frames
-    small = np.stack([
-        np.stack([cv2.resize(f, (w, hh),
-                             interpolation=cv2.INTER_LINEAR)
-                  for f in clip]) for clip in frames])
+    if eng.spec.split:
+        small = eng.spec.split_pack_host(frames)
+    else:
+        small = np.stack([
+            np.stack([cv2.resize(f, (w, hh),
+                                 interpolation=cv2.INTER_LINEAR)
+                      for f in clip]) for clip in frames])
     entry["prep_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     entry["stage_compiles_s"] = eng.warmup(batch=batch)
     entry["compile_s"] = round(time.time() - t0, 1)
-    _log(f"ingest-1024 warmup done {entry['stage_compiles_s']}")
+    _log(f"ingest-{tag} warmup done {entry['stage_compiles_s']}")
 
     # compute-only (2 runs — expected ≈ native: same SAM canvas)
     fd = jax.device_put(small)
@@ -452,12 +471,13 @@ def _measure_ingest_reduced(frames_native, batch, rng, n_runs=4,
     entry["p50_compute_s_per_clip"] = round(comp_p50 / batch, 4)
     entry["compute_clips_per_min"] = round(60.0 / comp_p50 * batch, 2)
     _update_headline()
-    _log(f"ingest-1024 compute p50 {comp_p50:.3f}s")
+    _log(f"ingest-{tag} compute p50 {comp_p50:.3f}s")
 
-    yuv_np = rgb_to_i420(small)
+    yuv_np = {k: rgb_to_i420(v) for k, v in small.items()} \
+        if isinstance(small, dict) else rgb_to_i420(small)
     stream_s = _e2e_yuv_overlap(eng, yuv_np, rng, n_runs)
     entry["clips_per_min_stream"] = round(60.0 / stream_s * batch, 2)
-    _log(f"ingest-1024 yuv-overlap: {stream_s:.2f}s/batch "
+    _log(f"ingest-{tag} yuv-overlap: {stream_s:.2f}s/batch "
          f"({entry['clips_per_min_stream']} clips/min)")
     p50_yuv = _e2e_yuv_serial(eng, yuv_np, rng, max(2, n_runs - 2))
     entry["clips_per_min_yuv"] = round(60.0 / p50_yuv * batch, 2)
@@ -593,25 +613,49 @@ def main():
                 _update_headline()
             except Exception:
                 pass
-            # reduced-ingest config (1024×576): the strongest known
-            # e2e lever on the link-bound path — run it before the
-            # remaining sweep configs (self-test exercises the same
-            # code path at 128×72 on the tiny engine)
-            if ((small or _remaining() > 240)
-                    and os.environ.get("LAMENESS_BENCH_INGEST") != "0"):
-                try:
-                    if small:
-                        from lameness_tpu.pipeline.engine import \
-                            make_test_engine
-                        _measure_ingest_reduced(
-                            frames, batch, rng, n_runs=2,
-                            make_engine=lambda: make_test_engine(72, 128),
-                            size=(128, 72))
-                    else:
-                        _measure_ingest_reduced(frames, batch, rng)
-                except Exception as e:
-                    RESULT.setdefault("sweep", []).append(
-                        {"ingest": "reduced", "error": repr(e)[:200]})
+            # reduced-ingest configs — the strongest known e2e levers on
+            # the link-bound path, run before the remaining sweep
+            # configs.  (1) split: det/SAM at 1024×576 + dino/pose at
+            # 640×360 (≈18 MB I420/clip vs 46 native);  (2) plain
+            # 1024×576 as the safer fallback.  The self-test exercises
+            # both code paths on tiny engines.
+            if os.environ.get("LAMENESS_BENCH_INGEST") != "0":
+                if small or _remaining() > 240:
+                    try:
+                        if small:
+                            from lameness_tpu.pipeline.engine import \
+                                make_test_engine
+
+                            def _mk_split():
+                                e = make_test_engine(72, 128)
+                                e.spec.lo_height, e.spec.lo_width = 36, 64
+                                return e
+                            _measure_ingest_reduced(
+                                frames, batch, rng, n_runs=2,
+                                make_engine=_mk_split, size=(128, 72),
+                                lo_size=(64, 36))
+                        else:
+                            _measure_ingest_reduced(
+                                frames, batch, rng,
+                                lo_size=(640, 360))
+                    except Exception as e:
+                        RESULT.setdefault("sweep", []).append(
+                            {"ingest": "split", "error": repr(e)[:200]})
+                if small or _remaining() > 240:
+                    try:
+                        if small:
+                            from lameness_tpu.pipeline.engine import \
+                                make_test_engine
+                            _measure_ingest_reduced(
+                                frames, batch, rng, n_runs=2,
+                                make_engine=lambda: make_test_engine(
+                                    72, 128),
+                                size=(128, 72))
+                        else:
+                            _measure_ingest_reduced(frames, batch, rng)
+                    except Exception as e:
+                        RESULT.setdefault("sweep", []).append(
+                            {"ingest": "reduced", "error": repr(e)[:200]})
             # driver e2e recompiles batch-1 jits (~2 min warm) — only
             # spend that when it can't crowd out the remaining sweep
             # configs (r3 capture: its warm pass alone took 130 s)

@@ -21,17 +21,28 @@ from pathlib import Path
 
 
 def ingest_spec():
-    """EngineSpec honoring LAMENESS_INGEST=WxH (e.g. 1024x576): process
-    at a reduced ingest resolution.  The driver decodes+resizes to engine
-    geometry and maps results back to native coordinates
-    (serve/driver.py:171), so this only changes wire bytes on
-    tunnelled/link-bound backends (bench: ~36% fewer I420 bytes at
-    1024x576 — the SAM longest-side resize done host-side)."""
+    """EngineSpec honoring LAMENESS_INGEST:
+
+    - ``WxH`` (e.g. ``1024x576``): process at a reduced ingest
+      resolution.  The driver decodes+resizes to engine geometry and
+      maps results back to native coordinates (serve/driver.py:171), so
+      this only changes wire bytes on tunnelled/link-bound backends
+      (~36% fewer I420 bytes at 1024x576 — the SAM longest-side resize
+      done host-side).
+    - ``WxH+WlxHl`` (e.g. ``1024x576+640x360``): split-resolution
+      ingest — det/SAM frames at the first geometry (the canonical
+      coordinate space), dino/pose frames at the second (neither reads
+      more than ~640 px of width)."""
     from .pipeline.engine import EngineSpec
     ingest = os.environ.get("LAMENESS_INGEST")
     if not ingest:
         return EngineSpec()
-    w, h = (int(v) for v in ingest.lower().split("x"))
+    parts = ingest.lower().split("+")
+    w, h = (int(v) for v in parts[0].split("x"))
+    if len(parts) > 1:
+        lw, lh = (int(v) for v in parts[1].split("x"))
+        return EngineSpec(frame_height=h, frame_width=w,
+                          lo_height=lh, lo_width=lw)
     return EngineSpec(frame_height=h, frame_width=w)
 
 

@@ -66,6 +66,15 @@ class EngineSpec:
     use_sam_model: bool = True       # False => bbox-rectangle mask fallback
     sam_mask_size: int = 256         # decoder low-res mask side
     dtype: Any = jnp.float32
+    # split-resolution ingest: det/SAM frames stay at frame_* (the
+    # canonical coordinate space) while dino/pose frames transfer at a
+    # reduced lo_* geometry — neither consumer reads more than ~640 px
+    # of width (dino: 224² crop, pose: 640 letterbox whose content from
+    # 720p is already 640×360), so the wire carries fewer bytes with the
+    # same model-input information.  All boxes/keypoints stay in hi
+    # (frame_*) coordinates; only pixels ride the lo array.
+    lo_height: Optional[int] = None
+    lo_width: Optional[int] = None
 
     # stage frame subsets (reference sampling rules, SURVEY §6)
     @property
@@ -118,6 +127,58 @@ class EngineSpec:
             f"expected {self.clip_frames} (full) or {self.n_packed} " \
             f"(packed) frames, got {t}"
         return frames[:, self.packed_idx]
+
+    # -- split-resolution ingest ---------------------------------------------
+    @property
+    def split(self) -> bool:
+        return self.lo_height is not None
+
+    @property
+    def hi_idx(self):                # det ∪ SAM frames (SAM reuses det)
+        return self.det_idx
+
+    @property
+    def lo_idx(self):                # dino ∪ pose frames
+        return np.unique(np.concatenate([self.dino_idx, self.pose_idx]))
+
+    @property
+    def dino_pos_lo(self):
+        return np.searchsorted(self.lo_idx, self.dino_idx)
+
+    @property
+    def pose_pos_lo(self):
+        return np.searchsorted(self.lo_idx, self.pose_idx)
+
+    def split_pack_host(self, frames) -> Dict[str, np.ndarray]:
+        """Host-side split pack: (B, T|P, H, W, 3) uint8 RGB at ANY
+        source resolution → {"hi": (B, Th, frame_h, frame_w, 3),
+        "lo": (B, Tl, lo_h, lo_w, 3)} with cv2 bilinear resizes.
+        Accepts full clips (T == clip_frames) or packed arrays
+        (T == n_packed, rows ordered by packed_idx)."""
+        import cv2
+        assert self.split, "split_pack_host needs lo_height/lo_width"
+        frames = np.asarray(frames)
+        t = frames.shape[1]
+        if t == self.clip_frames:
+            hi_rows, lo_rows = self.hi_idx, self.lo_idx
+        else:
+            assert t == self.n_packed, \
+                f"expected {self.clip_frames} or {self.n_packed} frames, " \
+                f"got {t}"
+            hi_rows = np.searchsorted(self.packed_idx, self.hi_idx)
+            lo_rows = np.searchsorted(self.packed_idx, self.lo_idx)
+
+        def rs(sub, w, h):
+            if sub.shape[-3] == h and sub.shape[-2] == w:
+                return np.ascontiguousarray(sub)
+            return np.stack([
+                np.stack([cv2.resize(f, (w, h),
+                                     interpolation=cv2.INTER_LINEAR)
+                          for f in clip]) for clip in sub])
+        return {"hi": rs(frames[:, hi_rows], self.frame_width,
+                         self.frame_height),
+                "lo": rs(frames[:, lo_rows], self.lo_width,
+                         self.lo_height)}
 
 
 class LamenessEngine:
@@ -193,6 +254,16 @@ class LamenessEngine:
         to I420 on host (cv2 SIMD, ~1-2 ms/frame) so the wire carries
         1.5 bytes/pixel instead of 3."""
         transfer = transfer or self.default_transfer()
+        if self.spec.split:
+            frames = frames if isinstance(frames, dict) \
+                else self.spec.split_pack_host(frames)
+            if transfer == "yuv420":
+                from ..video.yuv import rgb_to_i420
+                yuv = jax.device_put({k: jnp.asarray(rgb_to_i420(v))
+                                      for k, v in frames.items()})
+                return {k: self._jit_yuv(v) for k, v in yuv.items()}
+            return jax.device_put({k: jnp.asarray(v)
+                                   for k, v in frames.items()})
         frames = self.spec.pack_frames(np.asarray(frames))
         if transfer == "yuv420":
             from ..video.yuv import rgb_to_i420
@@ -277,12 +348,32 @@ class LamenessEngine:
         ps = jnp.where(has, ps, 0.5)
         return pb, ps, has
 
-    def _detect_stage(self, params, frames):
-        """frames: (B, P, H, W, 3) packed uint8 → boxes + primaries."""
+    # -- stage frame accessors (single packed array OR split dict) -----------
+    def _det_frames(self, frames):
+        """det/SAM subset + its pixel geometry (always hi space)."""
         s = self.spec
-        b = frames.shape[0]
-        h, w = s.frame_height, s.frame_width
-        det_frames = frames[:, s.det_pos]
+        if isinstance(frames, dict):
+            return frames["hi"], s.frame_height, s.frame_width
+        return frames[:, s.det_pos], s.frame_height, s.frame_width
+
+    def _dino_frames(self, frames):
+        s = self.spec
+        if isinstance(frames, dict):
+            return frames["lo"][:, s.dino_pos_lo], s.lo_height, s.lo_width
+        return frames[:, s.dino_pos], s.frame_height, s.frame_width
+
+    def _pose_frames(self, frames):
+        s = self.spec
+        if isinstance(frames, dict):
+            return frames["lo"][:, s.pose_pos_lo], s.lo_height, s.lo_width
+        return frames[:, s.pose_pos], s.frame_height, s.frame_width
+
+    def _detect_stage(self, params, frames):
+        """frames: (B, P, H, W, 3) packed uint8 (or split dict) → boxes +
+        primaries, all in hi (frame_*) coordinates."""
+        s = self.spec
+        det_frames, h, w = self._det_frames(frames)
+        b = det_frames.shape[0]
         td = det_frames.shape[1]
         flat = det_frames.reshape(b * td, h, w, 3)
         canvases, ratio, pad = jax.vmap(
@@ -319,11 +410,11 @@ class LamenessEngine:
 
     # -- stage 2: segmentation ----------------------------------------------
     def _sam_stage(self, params, frames, primary_bt):
-        """frames: (B, P, H, W, 3) packed; primary_bt: (B, Td, 4)."""
+        """frames: (B, P, H, W, 3) packed (or split dict);
+        primary_bt: (B, Td, 4) in hi coordinates."""
         s = self.spec
-        b = frames.shape[0]
-        h, w = s.frame_height, s.frame_width
-        det_frames = frames[:, s.det_pos]
+        det_frames, h, w = self._det_frames(frames)
+        b = det_frames.shape[0]
         td = det_frames.shape[1]
         flat = det_frames.reshape(b * td, h, w, 3)
         primary = primary_bt.reshape(b * td, 4)
@@ -375,9 +466,8 @@ class LamenessEngine:
     # -- stage 3: embeddings -------------------------------------------------
     def _dino_stage(self, params, frames):
         s = self.spec
-        b = frames.shape[0]
-        h, w = s.frame_height, s.frame_width
-        dino_frames = frames[:, s.dino_pos]
+        dino_frames, h, w = self._dino_frames(frames)
+        b = dino_frames.shape[0]
         tdn = dino_frames.shape[1]
         dino_in = dino_mod.preprocess_frames(
             dino_frames.reshape(b * tdn, h, w, 3)).astype(s.dtype)
@@ -396,8 +486,8 @@ class LamenessEngine:
         from ..ops.boxes import pairwise_iou
         s = self.spec
         b, tp = pose_boxes.shape[:2]
-        h, w = s.frame_height, s.frame_width
-        flat = frames[:, s.pose_pos].reshape(b * tp, h, w, 3)
+        pose_frames, ph, pw = self._pose_frames(frames)
+        flat = pose_frames.reshape(b * tp, ph, pw, 3)
         canvases, ratio, pad = jax.vmap(
             lambda f: letterbox(f, s.pose_size))(flat)
         out = self.pose_model.apply(params["pose"], canvases.astype(s.dtype))
@@ -408,6 +498,12 @@ class LamenessEngine:
         kxy = (det["keypoints"][..., :2] - pad[:, None, None, :]) \
             / ratio[:, None, None, None]
         kconf = det["keypoints"][..., 2:]
+        # split mode: unletterboxed coords are in lo pixel space — scale
+        # to the canonical hi space (aspect ratios match, one factor)
+        if pw != s.frame_width:
+            sc = s.frame_width / pw
+            boxes = boxes * sc
+            kxy = kxy * sc
         prim = pose_boxes.reshape(b * tp, 4)
         iou = jax.vmap(pairwise_iou)(prim[:, None, :], boxes)[:, 0]  # (N, K)
         iou = jnp.where(det["valid"], iou, -1.0)
@@ -499,6 +595,16 @@ class LamenessEngine:
 
     # -- public API ----------------------------------------------------------
     def _check_packed(self, frames_dev) -> None:
+        if isinstance(frames_dev, dict):
+            s = self.spec
+            if (frames_dev["hi"].shape[1] != len(s.hi_idx)
+                    or frames_dev["lo"].shape[1] != len(s.lo_idx)):
+                raise ValueError(
+                    f"split frames need hi T={len(s.hi_idx)} / "
+                    f"lo T={len(s.lo_idx)}, got "
+                    f"{frames_dev['hi'].shape[1]}/"
+                    f"{frames_dev['lo'].shape[1]}")
+            return
         if frames_dev.shape[1] != self.spec.n_packed:
             raise ValueError(
                 f"expected packed frames (P={self.spec.n_packed}), got "
@@ -551,7 +657,9 @@ class LamenessEngine:
         transfer: see to_device — None picks the backend default."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        if isinstance(frames, jax.Array):
+        if isinstance(frames, jax.Array) or (
+                isinstance(frames, dict)
+                and all(isinstance(v, jax.Array) for v in frames.values())):
             frames_dev = frames
             self._check_packed(frames_dev)
         else:
@@ -572,8 +680,14 @@ class LamenessEngine:
         import threading
         import time as _time
         s = self.spec
-        frames = jnp.zeros((batch, s.n_packed, s.frame_height,
-                            s.frame_width, 3), jnp.uint8)
+        if s.split:
+            frames = {"hi": jnp.zeros((batch, len(s.hi_idx), s.frame_height,
+                                       s.frame_width, 3), jnp.uint8),
+                      "lo": jnp.zeros((batch, len(s.lo_idx), s.lo_height,
+                                       s.lo_width, 3), jnp.uint8)}
+        else:
+            frames = jnp.zeros((batch, s.n_packed, s.frame_height,
+                                s.frame_width, 3), jnp.uint8)
         td = len(s.det_idx)
         boxes = jnp.tile(jnp.asarray([[1.0, 1.0, 10.0, 10.0]]),
                          (batch, td, 1))
@@ -635,6 +749,8 @@ class LamenessEngine:
         if rng is None:
             rng = jax.random.PRNGKey(0)
         dp = self._mesh.shape[DATA_AXIS]
+        assert not self.spec.split, \
+            "sharded inference uses the single-array packed path"
         frames = self.spec.pack_frames(np.asarray(frames))
         padded, orig_b = pad_batch_to_multiple(frames, dp)
         frames_dev = jax.device_put(jnp.asarray(padded),

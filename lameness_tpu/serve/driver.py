@@ -157,6 +157,33 @@ class PipelineDriver:
             frames_map = vr.read_selected(union)
         if not frames_map:
             return None, None, info
+        sx = info["width"] / s.frame_width
+        sy = info["height"] / s.frame_height
+        if s.split:
+            # split-resolution ingest: det/SAM rows at hi geometry,
+            # dino/pose rows at lo — each decoded frame is resized once
+            # per set it belongs to; coords stay in hi space (scale sx/sy
+            # unchanged: frame_* IS the hi geometry)
+            out = {"hi": np.zeros((len(s.hi_idx), s.frame_height,
+                                   s.frame_width, 3), np.uint8),
+                   "lo": np.zeros((len(s.lo_idx), s.lo_height,
+                                   s.lo_width, 3), np.uint8)}
+            rows = {"hi": {int(i): pi for pi, i in enumerate(s.hi_idx)},
+                    "lo": {int(i): pi for pi, i in enumerate(s.lo_idx)}}
+            geom = {"hi": (s.frame_width, s.frame_height),
+                    "lo": (s.lo_width, s.lo_height)}
+            last = {"hi": None, "lo": None}
+            for idx in union:
+                f = frames_map.get(idx)
+                for key in ("hi", "lo"):
+                    pi = rows[key].get(idx)
+                    if pi is None:
+                        continue
+                    if f is not None:
+                        last[key] = cv2.resize(f, geom[key])
+                    if last[key] is not None:
+                        out[key][pi] = last[key]
+            return {k: v[None] for k, v in out.items()}, (sx, sy), info
         out = np.zeros((s.n_packed, s.frame_height, s.frame_width, 3),
                        np.uint8)
         last = None
@@ -168,8 +195,6 @@ class PipelineDriver:
                 # missing tail frames repeat the last decoded one (the
                 # previous pad-by-repeat semantics)
                 out[pi] = last
-        sx = info["width"] / s.frame_width
-        sy = info["height"] / s.frame_height
         return out[None], (sx, sy), info
 
     def run_feature_stages(self, video_id: str,
@@ -232,8 +257,13 @@ class PipelineDriver:
                     if pad_to is not None:
                         while len(frames_list) < pad_to:
                             frames_list.append(frames_list[-1])
+                    if isinstance(frames_list[0], dict):
+                        stacked = {k: np.stack([f[k] for f in frames_list])
+                                   for k in frames_list[0]}
+                    else:
+                        stacked = np.stack(frames_list)
                     with TIMERS.time("transfer"):
-                        fd = self.engine.to_device(np.stack(frames_list))
+                        fd = self.engine.to_device(stacked)
                     q.put((fd, [(vid, scale, info)
                                 for vid, _, scale, info in batch]))
 
@@ -248,7 +278,9 @@ class PipelineDriver:
                         continue
                     if frames is None:
                         continue
-                    batch.append((video_id, frames[0], scale, info))
+                    f0 = {k: v[0] for k, v in frames.items()} \
+                        if isinstance(frames, dict) else frames[0]
+                    batch.append((video_id, f0, scale, info))
                     if len(batch) >= batch_size:
                         flush(batch)
                         batch = []

@@ -312,11 +312,15 @@ def _e2e_yuv_serial(engine, yuv_np, rng, n_runs):
     return float(np.median(times))
 
 
-def _measure_config(engine, frames_np, batch, rng, bf16, n_runs=4):
+def _measure_config(engine, frames_np, batch, rng, bf16, n_runs=4,
+                    quick=False):
     """Measure one (precision, batch) config, updating RESULT after each
     phase so a mid-config wedge still reports the finished phases.
     Phase order is cheapest-decisive-first: compute-only before
-    transfer-inclusive before per-stage breakdown."""
+    transfer-inclusive before per-stage breakdown.  quick=True stops
+    after the overlap e2e (the decisive number) so the budget can reach
+    the reduced-ingest configs; run _measure_config_extras later to
+    fill in the serial modes + stage breakdown."""
     import jax
     entry = {"bf16": bf16, "batch": batch}
     RESULT.setdefault("sweep", []).append(entry)
@@ -366,6 +370,30 @@ def _measure_config(engine, frames_np, batch, rng, bf16, n_runs=4):
     entry["clips_per_min_stream"] = round(60.0 / stream_s * batch, 2)
     _log(f"e2e yuv-overlap: {stream_s:.2f}s/batch "
          f"({entry['clips_per_min_stream']} clips/min)")
+    if quick:
+        entry["e2e_mode"] = "yuv420-overlap"
+        entry["clips_per_min"] = entry["clips_per_min_stream"]
+        entry["p50_clip_latency_s"] = round(stream_s / batch, 4)
+        _update_headline()
+        return entry
+
+    _measure_config_extras(engine, frames, batch, rng, entry, n_runs,
+                           fd=fd, yuv_np=yuv_np)
+    return entry
+
+
+def _measure_config_extras(engine, frames, batch, rng, entry, n_runs=4,
+                           fd=None, yuv_np=None):
+    """Serial e2e modes (yuv + rgb) and the per-stage breakdown for an
+    entry whose warmup/compute/overlap already ran.  ``frames`` must be
+    the batch-expanded packed array."""
+    import jax
+    from lameness_tpu.video.yuv import rgb_to_i420
+    _sync = _sync_out
+    if fd is None:
+        fd = jax.device_put(frames)
+    if yuv_np is None:
+        yuv_np = rgb_to_i420(frames)
 
     # (b) yuv420 serial
     p50_yuv = _e2e_yuv_serial(engine, yuv_np, rng, max(2, n_runs - 2))
@@ -384,7 +412,7 @@ def _measure_config(engine, frames_np, batch, rng, bf16, n_runs=4):
     p50_rgb = float(np.median(times))
     entry["clips_per_min_rgb"] = round(60.0 / p50_rgb * batch, 2)
 
-    by_mode = {"yuv420-overlap": entry["clips_per_min_stream"],
+    by_mode = {"yuv420-overlap": entry.get("clips_per_min_stream", 0.0),
                "yuv420": entry["clips_per_min_yuv"],
                "rgb": entry["clips_per_min_rgb"]}
     entry["e2e_mode"] = max(by_mode, key=by_mode.get)
@@ -416,7 +444,7 @@ def _measure_config(engine, frames_np, batch, rng, bf16, n_runs=4):
 
 def _measure_ingest_reduced(frames_native, batch, rng, n_runs=4,
                             make_engine=None, size=(1024, 576),
-                            lo_size=None):
+                            lo_size=None, base_engine=None):
     """bf16 e2e at 1024×576 ingest: SAM's own longest-side-1024 resize
     (segment_anything ResizeLongestSide; sam3-pipeline/app/main.py:74-92)
     moved host-side, so the wire carries 36% fewer I420 bytes while the
@@ -434,12 +462,17 @@ def _measure_ingest_reduced(frames_native, batch, rng, n_runs=4,
     t0 = time.time()
     if make_engine is None:
         from lameness_tpu.pipeline.engine import EngineSpec, LamenessEngine
-        from lameness_tpu.pipeline.precision import apply_engine_policy
         spec = EngineSpec(frame_height=hh, frame_width=w)
         if lo_size:
             spec.lo_width, spec.lo_height = lo_size
-        eng = LamenessEngine(spec=spec)
-        apply_engine_policy(eng)
+        if base_engine is not None:
+            # share models + params with the already-built (and already
+            # bf16-cast) native engine — no re-init, no extra HBM
+            eng = base_engine.with_spec(spec)
+        else:
+            from lameness_tpu.pipeline.precision import apply_engine_policy
+            eng = LamenessEngine(spec=spec)
+            apply_engine_policy(eng)
     else:
         eng = make_engine()
     frames = eng.spec.pack_frames(frames_native) \
@@ -477,15 +510,19 @@ def _measure_ingest_reduced(frames_native, batch, rng, n_runs=4,
         if isinstance(small, dict) else rgb_to_i420(small)
     stream_s = _e2e_yuv_overlap(eng, yuv_np, rng, n_runs)
     entry["clips_per_min_stream"] = round(60.0 / stream_s * batch, 2)
+    entry["e2e_mode"] = f"yuv420-overlap-{tag}"
+    entry["clips_per_min"] = entry["clips_per_min_stream"]
+    entry["p50_clip_latency_s"] = round(stream_s / batch, 4)
+    _update_headline()
     _log(f"ingest-{tag} yuv-overlap: {stream_s:.2f}s/batch "
          f"({entry['clips_per_min_stream']} clips/min)")
-    p50_yuv = _e2e_yuv_serial(eng, yuv_np, rng, max(2, n_runs - 2))
-    entry["clips_per_min_yuv"] = round(60.0 / p50_yuv * batch, 2)
-    entry["p50_clip_latency_s"] = round(p50_yuv / batch, 4)
-    by_mode = {f"yuv420-overlap-{w}": entry["clips_per_min_stream"],
-               f"yuv420-{w}": entry["clips_per_min_yuv"]}
-    entry["e2e_mode"] = max(by_mode, key=by_mode.get)
-    entry["clips_per_min"] = by_mode[entry["e2e_mode"]]
+    if _remaining() > 90:
+        p50_yuv = _e2e_yuv_serial(eng, yuv_np, rng, max(2, n_runs - 2))
+        entry["clips_per_min_yuv"] = round(60.0 / p50_yuv * batch, 2)
+        if entry["clips_per_min_yuv"] > entry["clips_per_min"]:
+            entry["e2e_mode"] = f"yuv420-{tag}"
+            entry["clips_per_min"] = entry["clips_per_min_yuv"]
+            entry["p50_clip_latency_s"] = round(p50_yuv / batch, 4)
     _update_headline()
     del eng, fd
     return entry
@@ -600,8 +637,13 @@ def main():
                 engine.spec.dtype = f32_dtype
                 engine._build_jits()
                 bf16_applied = False
-            _measure_config(engine, frames, batch, rng, bf16)
+            # config 0 runs quick (warmup/compute/overlap only) so the
+            # budget reliably reaches the reduced-ingest configs; its
+            # serial modes + stage breakdown are filled in afterwards
+            entry0 = _measure_config(engine, frames, batch, rng, bf16,
+                                     quick=(cfg_i == 0))
         except Exception as e:
+            entry0 = None
             RESULT.setdefault("sweep", []).append(
                 {"bf16": bf16, "batch": batch, "error": repr(e)[:200]})
         if cfg_i == 0:
@@ -620,7 +662,7 @@ def main():
             # 1024×576 as the safer fallback.  The self-test exercises
             # both code paths on tiny engines.
             if os.environ.get("LAMENESS_BENCH_INGEST") != "0":
-                if small or _remaining() > 240:
+                if small or _remaining() > 150:
                     try:
                         if small:
                             from lameness_tpu.pipeline.engine import \
@@ -637,11 +679,13 @@ def main():
                         else:
                             _measure_ingest_reduced(
                                 frames, batch, rng,
-                                lo_size=(640, 360))
+                                lo_size=(640, 360), base_engine=engine)
                     except Exception as e:
                         RESULT.setdefault("sweep", []).append(
                             {"ingest": "split", "error": repr(e)[:200]})
-                if small or _remaining() > 240:
+                split_ok = any(m.get("ingest") and m.get("clips_per_min")
+                               for m in RESULT.get("sweep", []))
+                if small or (not split_ok and _remaining() > 200):
                     try:
                         if small:
                             from lameness_tpu.pipeline.engine import \
@@ -652,10 +696,20 @@ def main():
                                     72, 128),
                                 size=(128, 72))
                         else:
-                            _measure_ingest_reduced(frames, batch, rng)
+                            _measure_ingest_reduced(
+                                frames, batch, rng, base_engine=engine)
                     except Exception as e:
                         RESULT.setdefault("sweep", []).append(
                             {"ingest": "reduced", "error": repr(e)[:200]})
+            # fill in config 0's serial modes + stage breakdown now that
+            # the decisive numbers are in
+            if entry0 is not None and (small or _remaining() > 120):
+                try:
+                    fb = engine.spec.pack_frames(frames)
+                    fb = np.repeat(fb, batch, axis=0) if batch > 1 else fb
+                    _measure_config_extras(engine, fb, batch, rng, entry0)
+                except Exception as e:
+                    entry0["extras_error"] = repr(e)[:200]
             # driver e2e recompiles batch-1 jits (~2 min warm) — only
             # spend that when it can't crowd out the remaining sweep
             # configs (r3 capture: its warm pass alone took 130 s)

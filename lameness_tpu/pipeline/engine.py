@@ -220,6 +220,26 @@ class LamenessEngine:
                                ("yolo", "dino", "sam", "pose", "tcn", "gait")}
         self._build_jits()
 
+    def with_spec(self, spec: "EngineSpec") -> "LamenessEngine":
+        """A second engine over the SAME models + params (device arrays
+        shared — no re-init, no extra HBM) with a different static
+        geometry.  Model input sizes (yolo/pose/dino/sam canvases) must
+        match; only the frame geometry may differ."""
+        s = self.spec
+        assert (spec.yolo_size, spec.pose_size, spec.dino_size,
+                spec.sam_size) == (s.yolo_size, s.pose_size, s.dino_size,
+                                   s.sam_size), \
+            "with_spec shares params: model input sizes must match"
+        eng = LamenessEngine(config=self.config, spec=spec,
+                             init_models=False)
+        eng.yolo, eng.dino, eng.sam = self.yolo, self.dino, self.sam
+        eng.tcn, eng.gait = self.tcn, self.gait
+        eng.pose_model = self.pose_model
+        eng.params = self.params
+        eng.loaded_weights = self.loaded_weights
+        eng._build_jits()
+        return eng
+
     def _build_jits(self):
         self._jit_detect = jax.jit(self._detect_stage)
         self._jit_sam = jax.jit(self._sam_stage)

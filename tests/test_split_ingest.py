@@ -163,3 +163,31 @@ def test_ingest_spec_split_syntax(monkeypatch):
     assert (s.frame_width, s.frame_height) == (1024, 576)
     assert (s.lo_width, s.lo_height) == (640, 360)
     assert s.split
+
+
+def test_with_spec_shares_params(split_engine):
+    """with_spec derives a second engine over the same params (the bench
+    uses this to avoid re-initializing on-chip); outputs match the
+    spec-mutated engine bit-for-bit."""
+    import dataclasses
+    import jax
+    eng = split_engine
+    spec2 = dataclasses.replace(eng.spec)
+    eng2 = eng.with_spec(spec2)
+    assert eng2.params is eng.params
+    s = eng.spec
+    rng0 = np.random.default_rng(4)
+    full = rng0.integers(0, 255, (1, s.clip_frames, s.frame_height,
+                                  s.frame_width, 3), dtype=np.uint8)
+    d = {k: jax.device_put(v)
+         for k, v in s.split_pack_host(full).items()}
+    rng = jax.random.PRNGKey(0)
+    a = eng.run_staged(d, rng)
+    b = eng2.run_staged(d, rng)
+    np.testing.assert_array_equal(np.asarray(a["det_boxes"]),
+                                  np.asarray(b["det_boxes"]))
+    np.testing.assert_array_equal(np.asarray(a["tcn_probability"]),
+                                  np.asarray(b["tcn_probability"]))
+    # mismatched model-input geometry is rejected
+    with pytest.raises(AssertionError):
+        eng.with_spec(dataclasses.replace(eng.spec, yolo_size=128))

@@ -230,6 +230,10 @@ class LamenessEngine:
                 spec.sam_size) == (s.yolo_size, s.pose_size, s.dino_size,
                                    s.sam_size), \
             "with_spec shares params: model input sizes must match"
+        # compute dtype follows the shared params' precision policy — a
+        # fresh spec's default f32 would silently promote bf16-cast params
+        # back to f32 compute (≈30% slower on v5e, no accuracy gain)
+        spec.dtype = s.dtype
         eng = LamenessEngine(config=self.config, spec=spec,
                              init_models=False)
         eng.yolo, eng.dino, eng.sam = self.yolo, self.dino, self.sam

@@ -191,3 +191,19 @@ def test_with_spec_shares_params(split_engine):
     # mismatched model-input geometry is rejected
     with pytest.raises(AssertionError):
         eng.with_spec(dataclasses.replace(eng.spec, yolo_size=128))
+
+def test_with_spec_inherits_dtype(split_engine):
+    """A fresh spec defaults to f32; with_spec must override it with the
+    base engine's policy dtype, or bf16-cast params silently promote back
+    to f32 compute (the 17:08 bench capture's 0.377 vs 0.284 s/clip)."""
+    import dataclasses
+    import jax.numpy as jnp
+    eng = split_engine
+    old = eng.spec.dtype
+    try:
+        eng.spec.dtype = jnp.bfloat16
+        spec2 = dataclasses.replace(eng.spec, dtype=jnp.float32)
+        eng2 = eng.with_spec(spec2)
+        assert eng2.spec.dtype == jnp.bfloat16
+    finally:
+        eng.spec.dtype = old

@@ -237,6 +237,64 @@ def load_clip_frames():
     return np.ascontiguousarray(full[:, spec.packed_idx])
 
 
+def _prep_cache(name: str, builder):
+    """Host-side prep arrays (cv2 resizes, RGB->I420) cached to disk:
+    on this 1-core host they cost minutes, and spending them inside a
+    tunnel-alive window starves the device phases (r3: prep_s=123 inside
+    a 10-min window).  Keyed by caller-supplied name (include geometry +
+    batch).  Self-test mode never caches (tiny random inputs).  Run
+    ``LAMENESS_BENCH_PREP=1 python bench.py`` while the tunnel is DOWN to
+    pre-build every cache this sweep will need."""
+    if os.environ.get("LAMENESS_BENCH_SMALL") == "1":
+        return builder()
+    path = REPO / f".bench_prep_{name}.npz"
+    if path.exists():
+        try:
+            z = np.load(path)
+            d = {k: z[k] for k in z.files}
+            return d["__single__"] if "__single__" in d else d
+        except Exception:
+            path.unlink()
+    val = builder()
+    try:
+        if isinstance(val, dict):
+            np.savez(path, **val)
+        else:
+            np.savez(path, __single__=val)
+    except Exception:
+        pass
+    return val
+
+
+def _put_tiled(frames_np, batch):
+    """Device-resident batched frames for compute-only timing: transfer
+    ONE clip (or split dict) over the wire and tile to the batch on
+    device — the repeat rows are identical by construction (np.repeat),
+    so shipping them 4x through a ~40 MB/s link only burns the window.
+    Returns (fd, transfer_s)."""
+    import jax
+    import jax.numpy as jnp
+    t0 = time.time()
+
+    def tile(a):
+        if batch <= 1:
+            return a
+        return jax.jit(
+            lambda x: jnp.tile(x, (batch,) + (1,) * (x.ndim - 1)))(a)
+
+    if isinstance(frames_np, dict):
+        one = {k: v[:1] for k, v in frames_np.items()}
+        d1 = jax.device_put({k: jnp.asarray(v) for k, v in one.items()})
+        fd = {k: tile(v) for k, v in d1.items()}
+        for v in fd.values():
+            jax.device_get(v[(0,) * v.ndim])     # force completion
+    else:
+        d1 = jax.device_put(frames_np[:1])
+        fd = tile(d1)
+        jax.device_get(fd[(0,) * fd.ndim])
+    return fd, round(time.time() - t0, 1)
+
+
 def _measure_link_mb_s() -> float:
     """Measured host->HBM bandwidth: 64 MB device_put, median of 3.
     Recorded so the e2e-vs-compute gap is explained by numbers, not
@@ -335,8 +393,9 @@ def _measure_config(engine, frames_np, batch, rng, bf16, n_runs=4,
 
     # phase 1: compute-only on device-resident frames (separates TPU
     # capability from the tunnel link; scalar readbacks force completion
-    # — block_until_ready under-syncs on tunnelled backends)
-    fd = jax.device_put(frames)
+    # — block_until_ready under-syncs on tunnelled backends).  One clip
+    # rides the wire; the batch is tiled on device.
+    fd, entry["frames_put_s"] = _put_tiled(frames, batch)
     comp = []
     for i in range(n_runs + 1):
         t0 = time.time()
@@ -362,7 +421,9 @@ def _measure_config(engine, frames_np, batch, rng, bf16, n_runs=4,
     # comparability with earlier rounds' artifacts).
     import jax.numpy as jnp
     from lameness_tpu.video.yuv import rgb_to_i420
-    yuv_np = rgb_to_i420(frames)
+    yuv_np = _prep_cache(
+        f"yuv_native_b{batch}_{frames.shape[2]}x{frames.shape[3]}",
+        lambda: rgb_to_i420(frames))
     _sync = _sync_out
 
     # (a) overlapped steady state over n_runs batches
@@ -391,9 +452,11 @@ def _measure_config_extras(engine, frames, batch, rng, entry, n_runs=4,
     from lameness_tpu.video.yuv import rgb_to_i420
     _sync = _sync_out
     if fd is None:
-        fd = jax.device_put(frames)
+        fd, _ = _put_tiled(frames, batch)
     if yuv_np is None:
-        yuv_np = rgb_to_i420(frames)
+        yuv_np = _prep_cache(
+            f"yuv_native_b{batch}_{frames.shape[2]}x{frames.shape[3]}",
+            lambda: rgb_to_i420(frames))
 
     # (b) yuv420 serial
     p50_yuv = _e2e_yuv_serial(engine, yuv_np, rng, max(2, n_runs - 2))
@@ -442,6 +505,52 @@ def _measure_config_extras(engine, frames, batch, rng, entry, n_runs=4,
     return entry
 
 
+def _pack_ingest(frames_native, batch, spec, w, hh):
+    """Host prep for a reduced/split-ingest config: pack, batch-repeat,
+    and resize to the ingest geometry (split: {hi, lo} dict)."""
+    import cv2
+    frames = spec.pack_frames(frames_native) \
+        if frames_native.shape[1] != spec.n_packed else frames_native
+    frames = np.repeat(frames, batch, axis=0) if batch > 1 else frames
+    if spec.split:
+        return spec.split_pack_host(frames)
+    return np.stack([
+        np.stack([cv2.resize(f, (w, hh),
+                             interpolation=cv2.INTER_LINEAR)
+                  for f in clip]) for clip in frames])
+
+
+def _prep_all() -> None:
+    """LAMENESS_BENCH_PREP=1: build every host-side prep cache the real
+    sweep will need, WITHOUT touching the device — run while the tunnel
+    is down so alive-window seconds go to the chip."""
+    from lameness_tpu.pipeline.engine import EngineSpec
+    from lameness_tpu.video.yuv import rgb_to_i420
+    frames_native = load_clip_frames()
+    _log(f"prep: frames {frames_native.shape}")
+    batch = int(os.environ.get("LAMENESS_BENCH_BATCH") or "4")
+    frames = np.repeat(frames_native, batch, axis=0) \
+        if batch > 1 else frames_native
+    _prep_cache(f"yuv_native_b{batch}_{frames.shape[2]}x{frames.shape[3]}",
+                lambda: rgb_to_i420(frames))
+    _log("prep: native yuv done")
+    src = f"{frames_native.shape[2]}x{frames_native.shape[3]}"
+    for size, lo in (((1024, 576), (640, 360)), ((1024, 576), None)):
+        w, hh = size
+        tag = f"{w}x{hh}" + (f"+{lo[0]}x{lo[1]}" if lo else "")
+        spec = EngineSpec(frame_height=hh, frame_width=w)
+        if lo:
+            spec.lo_width, spec.lo_height = lo
+        small = _prep_cache(
+            f"ingest_{tag}_b{batch}_{src}",
+            lambda: _pack_ingest(frames_native, batch, spec, w, hh))
+        _prep_cache(
+            f"yuvingest_{tag}_b{batch}_{src}",
+            lambda: ({k: rgb_to_i420(v) for k, v in small.items()}
+                     if isinstance(small, dict) else rgb_to_i420(small)))
+        _log(f"prep: ingest {tag} done")
+
+
 def _measure_ingest_reduced(frames_native, batch, rng, n_runs=4,
                             make_engine=None, size=(1024, 576),
                             lo_size=None, base_engine=None):
@@ -475,24 +584,19 @@ def _measure_ingest_reduced(frames_native, batch, rng, n_runs=4,
             apply_engine_policy(eng)
     else:
         eng = make_engine()
-    frames = eng.spec.pack_frames(frames_native) \
-        if frames_native.shape[1] != eng.spec.n_packed else frames_native
-    frames = np.repeat(frames, batch, axis=0) if batch > 1 else frames
-    if eng.spec.split:
-        small = eng.spec.split_pack_host(frames)
-    else:
-        small = np.stack([
-            np.stack([cv2.resize(f, (w, hh),
-                                 interpolation=cv2.INTER_LINEAR)
-                      for f in clip]) for clip in frames])
+    src = f"{frames_native.shape[2]}x{frames_native.shape[3]}"
+    small = _prep_cache(
+        f"ingest_{tag}_b{batch}_{src}",
+        lambda: _pack_ingest(frames_native, batch, eng.spec, w, hh))
     entry["prep_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     entry["stage_compiles_s"] = eng.warmup(batch=batch)
     entry["compile_s"] = round(time.time() - t0, 1)
     _log(f"ingest-{tag} warmup done {entry['stage_compiles_s']}")
 
-    # compute-only (2 runs — expected ≈ native: same SAM canvas)
-    fd = jax.device_put(small)
+    # compute-only (2 runs — expected ≈ native: same SAM canvas); one
+    # clip over the wire, batch tiled on device
+    fd, entry["frames_put_s"] = _put_tiled(small, batch)
     comp = []
     for i in range(3):
         t0 = time.time()
@@ -506,8 +610,10 @@ def _measure_ingest_reduced(frames_native, batch, rng, n_runs=4,
     _update_headline()
     _log(f"ingest-{tag} compute p50 {comp_p50:.3f}s")
 
-    yuv_np = {k: rgb_to_i420(v) for k, v in small.items()} \
-        if isinstance(small, dict) else rgb_to_i420(small)
+    yuv_np = _prep_cache(
+        f"yuvingest_{tag}_b{batch}_{src}",
+        lambda: ({k: rgb_to_i420(v) for k, v in small.items()}
+                 if isinstance(small, dict) else rgb_to_i420(small)))
     stream_s = _e2e_yuv_overlap(eng, yuv_np, rng, n_runs)
     entry["clips_per_min_stream"] = round(60.0 / stream_s * batch, 2)
     entry["e2e_mode"] = f"yuv420-overlap-{tag}"
@@ -567,6 +673,11 @@ def main():
             RESULT["last_good"] = json.loads(LASTGOOD_PATH.read_text())
         except Exception:
             pass
+
+    if os.environ.get("LAMENESS_BENCH_PREP") == "1":
+        _prep_all()
+        print(json.dumps({"prep": "done"}), flush=True)
+        os._exit(0)
 
     if not small:
         _wait_for_device()

@@ -35,12 +35,15 @@ class LayerNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = x.mean(axis=-1, keepdims=True)
-        var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
-        x = (x - mean) / jnp.sqrt(var + self.eps)
+        # stats in f32 even for bf16 activations (bf16 variance loses ~3
+        # decimal digits); output dtype follows the f32 params as before
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=-1, keepdims=True)
+        var = ((x32 - mean) ** 2).mean(axis=-1, keepdims=True)
+        x32 = (x32 - mean) / jnp.sqrt(var + self.eps)
         w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
         b = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        return x * w + b
+        return x32 * w + b
 
 
 class MlpBlock(nn.Module):

@@ -52,7 +52,11 @@ class BN(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         mean = self.param("mean", nn.initializers.zeros, (c,))
         var = self.param("var", nn.initializers.ones, (c,))
-        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        # fold in the params' (f32) precision, then return in the INPUT
+        # dtype (torch-autocast semantics): under the bf16 policy the f32
+        # stats must not promote every downstream conv back to f32
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(x.dtype)
 
 
 class ConvBnSiLU(nn.Module):

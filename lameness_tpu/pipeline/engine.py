@@ -333,7 +333,17 @@ class LamenessEngine:
         else:
             raise ValueError(name)
         self.loaded_weights[name] = True
+        self._maybe_recast(name)
         self._build_jits()
+
+    def _maybe_recast(self, name: str) -> None:
+        """Weights installed AFTER apply_engine_policy must follow the
+        active precision policy, or their f32 params silently drag the
+        whole stage back to f32 compute."""
+        if self.spec.dtype != jnp.bfloat16 or name not in self.params:
+            return
+        from .precision import recast_installed
+        self.params[name] = recast_installed(name, self.params[name])
 
     def install_pose_params(self, params) -> None:
         """Install trained pose-model params (from load_torch_weights or a
@@ -345,6 +355,7 @@ class LamenessEngine:
                                      num_keypoints=pose_mod.NUM_KEYPOINTS)
         self.params["pose"] = params
         self.loaded_weights["pose"] = True
+        self._maybe_recast("pose")
         self._build_jits()
 
     # -- stage 1: detection --------------------------------------------------
@@ -722,7 +733,11 @@ class LamenessEngine:
         def run(name, fn, *args):
             t0 = _time.time()
             out = fn(*args)
-            jax.tree_util.tree_leaves(out)[0].block_until_ready()
+            # scalar readback, not block_until_ready: the latter under-syncs
+            # on tunnelled backends, letting warmup work bleed into the
+            # caller's first timed run
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            jax.device_get(leaf[(0,) * leaf.ndim])
             timings[name] = round(_time.time() - t0, 1)
 
         if mode == "pair":

@@ -868,7 +868,10 @@ def main():
 
 
 if __name__ == "__main__":
-    threading.Thread(target=_deadman, daemon=True).start()
+    # prep-only mode is pure host work (no device to wedge): exempt from
+    # the wall-budget deadman so large caches can finish building
+    if os.environ.get("LAMENESS_BENCH_PREP") != "1":
+        threading.Thread(target=_deadman, daemon=True).start()
     try:
         main()
     except Exception as e:  # never leave the driver without a JSON line

@@ -181,6 +181,19 @@ class EngineSpec:
                          self.lo_height)}
 
 
+def unpad_mask_logits(masks: jnp.ndarray, mh: int, mw: int,
+                      out_size: int) -> jnp.ndarray:
+    """(N, S, S) low-res logits over the PADDED square canvas -> (N, S, S)
+    over the FRAME: slice the content region [:mh, :mw] and rescale.
+    Static-shape analog of the reference predictor's unpad+resize
+    (segment_anything postprocess, models/sam.py::postprocess_mask)."""
+    if (mh, mw) == (masks.shape[-2], masks.shape[-1]) \
+            and masks.shape[-1] == out_size:
+        return masks
+    return jax.vmap(lambda m: jax.image.resize(
+        m[:mh, :mw], (out_size, out_size), "linear"))(masks)
+
+
 class LamenessEngine:
     """Owns model defs + params, staged jits, and the optional monolith."""
 
@@ -458,6 +471,10 @@ class LamenessEngine:
             sam_in = prep.normalize(sam_in).astype(s.dtype)
             sam_ratio = s.sam_size / max(h, w)
             sam_boxes = primary * sam_ratio
+            # content extent of the frame inside the padded square canvas,
+            # in low-res-mask pixels (pad_to_square pads bottom/right)
+            mh = int(round(s.sam_mask_size * (h * sam_ratio) / s.sam_size))
+            mw = int(round(s.sam_mask_size * (w * sam_ratio) / s.sam_size))
             if self._sam_fused_active():
                 # fused Pallas rel-pos attention never materialises the
                 # (N, N) bias — all clip frames encode in one batch
@@ -475,6 +492,13 @@ class LamenessEngine:
                 params["sam"], emb, sam_boxes, method=self.sam.decode_boxes)
             masks = masks[:, 0]
             iou_pred = iou_pred[:, 0]
+            # decoder logits cover the PADDED square canvas (segment_anything
+            # predictor unpads before returning, models/sam.py
+            # postprocess_mask); downstream (driver._mask_features, the
+            # rectangle fallback below, mask_area_frac) all treat the
+            # low-res mask as FRAME space — slice the content region and
+            # rescale so both paths share that convention
+            masks = unpad_mask_logits(masks, mh, mw, s.sam_mask_size)
         else:
             # reference fallback: rectangle mask from the box (sam3:94-100)
             gy = jax.lax.broadcasted_iota(

@@ -132,3 +132,27 @@ def test_warmup_pair_mode(engine):
     t = engine.warmup(batch=1, mode="pair")
     assert set(t) == {"front", "back"}
     assert all(v >= 0 for v in t.values())
+
+
+def test_unpad_mask_logits_frame_space():
+    """Model-path masks come back over the PADDED square canvas (content
+    in the top rows for landscape frames); the driver, the rectangle
+    fallback, and mask_area_frac all treat the low-res mask as frame
+    space.  unpad_mask_logits must slice the content region and rescale —
+    previously the pad region was kept and model-path masks were
+    vertically squashed in every result JSON."""
+    import jax.numpy as jnp
+    from lameness_tpu.pipeline.engine import unpad_mask_logits
+    s = 64
+    mh, mw = 36, 64          # 720p content inside a 1024 canvas at s=64
+    canvas = jnp.full((1, s, s), -10.0)
+    # a stripe spanning the full content height (frame top to bottom)
+    canvas = canvas.at[0, :mh, 20:40].set(10.0)
+    out = unpad_mask_logits(canvas, mh, mw, s)
+    bits = np.asarray(out[0] > 0)
+    # stripe now spans the full frame height, same columns
+    assert bits[:, 30].all()
+    assert not bits[:, 10].any() and not bits[:, 50].any()
+    # identity when content fills the canvas
+    same = unpad_mask_logits(canvas, s, s, s)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(canvas))

@@ -553,25 +553,35 @@ def _prep_all() -> None:
 
 def _measure_ingest_reduced(frames_native, batch, rng, n_runs=4,
                             make_engine=None, size=(1024, 576),
-                            lo_size=None, base_engine=None):
+                            lo_size=None, base_engine=None, rect=False):
     """bf16 e2e at 1024×576 ingest: SAM's own longest-side-1024 resize
     (segment_anything ResizeLongestSide; sam3-pipeline/app/main.py:74-92)
     moved host-side, so the wire carries 36% fewer I420 bytes while the
     SAM encoder still sees a 1024² canvas (pad-only on device).  Engine
     geometry is fully spec-parameterized and the driver maps detections
     back to native coordinates (serve/driver.py:171), so this is a pure
-    transfer optimisation on the link-bound path."""
+    transfer optimisation on the link-bound path.
+
+    rect=True additionally encodes SAM's pad-free rect canvas
+    (EngineSpec.sam_rect: 2304 vs 4096 tokens at 16:9).  That mode is
+    NOT numerically parity with the reference's padded-square canvas and
+    its accuracy is unvalidated without real weights, so its numbers are
+    recorded under *_rect keys that the headline/keep-best logic ignores."""
     import cv2
     import jax
     from lameness_tpu.video.yuv import rgb_to_i420
     w, hh = size
     tag = f"{w}x{hh}" + (f"+{lo_size[0]}x{lo_size[1]}" if lo_size else "")
-    entry = {"bf16": make_engine is None, "batch": batch, "ingest": tag}
+    sfx = "_rect" if rect else ""
+    entry = {"bf16": make_engine is None, "batch": batch,
+             "ingest": tag + ("+rect" if rect else "")}
+    if rect:
+        entry["accuracy_unvalidated"] = True
     RESULT.setdefault("sweep", []).append(entry)
     t0 = time.time()
     if make_engine is None:
         from lameness_tpu.pipeline.engine import EngineSpec, LamenessEngine
-        spec = EngineSpec(frame_height=hh, frame_width=w)
+        spec = EngineSpec(frame_height=hh, frame_width=w, sam_rect=rect)
         if lo_size:
             spec.lo_width, spec.lo_height = lo_size
         if base_engine is not None:
@@ -605,24 +615,24 @@ def _measure_ingest_reduced(frames_native, batch, rng, n_runs=4,
         if i > 0:
             comp.append(time.time() - t0)
     comp_p50 = float(np.median(comp))
-    entry["p50_compute_s_per_clip"] = round(comp_p50 / batch, 4)
-    entry["compute_clips_per_min"] = round(60.0 / comp_p50 * batch, 2)
+    entry["p50_compute_s_per_clip" + sfx] = round(comp_p50 / batch, 4)
+    entry["compute_clips_per_min" + sfx] = round(60.0 / comp_p50 * batch, 2)
     _update_headline()
-    _log(f"ingest-{tag} compute p50 {comp_p50:.3f}s")
+    _log(f"ingest-{entry['ingest']} compute p50 {comp_p50:.3f}s")
 
     yuv_np = _prep_cache(
         f"yuvingest_{tag}_b{batch}_{src}",
         lambda: ({k: rgb_to_i420(v) for k, v in small.items()}
                  if isinstance(small, dict) else rgb_to_i420(small)))
     stream_s = _e2e_yuv_overlap(eng, yuv_np, rng, n_runs)
-    entry["clips_per_min_stream"] = round(60.0 / stream_s * batch, 2)
-    entry["e2e_mode"] = f"yuv420-overlap-{tag}"
-    entry["clips_per_min"] = entry["clips_per_min_stream"]
-    entry["p50_clip_latency_s"] = round(stream_s / batch, 4)
+    entry["clips_per_min_stream" + sfx] = round(60.0 / stream_s * batch, 2)
+    entry["e2e_mode"] = f"yuv420-overlap-{entry['ingest']}"
+    entry["clips_per_min" + sfx] = entry["clips_per_min_stream" + sfx]
+    entry["p50_clip_latency_s" + sfx] = round(stream_s / batch, 4)
     _update_headline()
-    _log(f"ingest-{tag} yuv-overlap: {stream_s:.2f}s/batch "
-         f"({entry['clips_per_min_stream']} clips/min)")
-    if _remaining() > 90:
+    _log(f"ingest-{entry['ingest']} yuv-overlap: {stream_s:.2f}s/batch "
+         f"({entry['clips_per_min_stream' + sfx]} clips/min)")
+    if _remaining() > 90 and not rect:
         p50_yuv = _e2e_yuv_serial(eng, yuv_np, rng, max(2, n_runs - 2))
         entry["clips_per_min_yuv"] = round(60.0 / p50_yuv * batch, 2)
         if entry["clips_per_min_yuv"] > entry["clips_per_min"]:
@@ -812,6 +822,32 @@ def main():
                     except Exception as e:
                         RESULT.setdefault("sweep", []).append(
                             {"ingest": "reduced", "error": repr(e)[:200]})
+                # (3) rect-canvas SAM on top of split ingest — recorded
+                # under *_rect keys only (accuracy unvalidated without
+                # real weights; never the headline)
+                if os.environ.get("LAMENESS_BENCH_RECT") != "0" and (
+                        small or _remaining() > 150):
+                    try:
+                        if small:
+                            from lameness_tpu.pipeline.engine import \
+                                make_test_engine
+
+                            def _mk_rect():
+                                e = make_test_engine(72, 128)
+                                e.spec.lo_height, e.spec.lo_width = 36, 64
+                                e.spec.sam_rect = True
+                                return e
+                            _measure_ingest_reduced(
+                                frames, batch, rng, n_runs=2,
+                                make_engine=_mk_rect, size=(128, 72),
+                                lo_size=(64, 36), rect=True)
+                        else:
+                            _measure_ingest_reduced(
+                                frames, batch, rng, lo_size=(640, 360),
+                                base_engine=engine, rect=True)
+                    except Exception as e:
+                        RESULT.setdefault("sweep", []).append(
+                            {"ingest": "rect", "error": repr(e)[:200]})
             # fill in config 0's serial modes + stage breakdown now that
             # the decisive numbers are in
             if entry0 is not None and (small or _remaining() > 120):

@@ -34,16 +34,17 @@ def ingest_spec():
       coordinate space), dino/pose frames at the second (neither reads
       more than ~640 px of width)."""
     from .pipeline.engine import EngineSpec
+    rect = os.environ.get("LAMENESS_SAM_RECT") == "1"
     ingest = os.environ.get("LAMENESS_INGEST")
     if not ingest:
-        return EngineSpec()
+        return EngineSpec(sam_rect=rect)
     parts = ingest.lower().split("+")
     w, h = (int(v) for v in parts[0].split("x"))
     if len(parts) > 1:
         lw, lh = (int(v) for v in parts[1].split("x"))
         return EngineSpec(frame_height=h, frame_width=w,
-                          lo_height=lh, lo_width=lw)
-    return EngineSpec(frame_height=h, frame_width=w)
+                          lo_height=lh, lo_width=lw, sam_rect=rect)
+    return EngineSpec(frame_height=h, frame_width=w, sam_rect=rect)
 
 
 def _build(args, engine_needed=True):

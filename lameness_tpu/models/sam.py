@@ -80,31 +80,43 @@ def _rel_pos_bias(q_hw: Tuple[int, int], rel_pos_h: jnp.ndarray,
 class VisionAttention(nn.Module):
     dim: int
     heads: int
-    input_size: Tuple[int, int]    # (H, W) tokens this layer attends over
+    input_size: Tuple[int, int]    # param-table (H, W): the PRETRAINED
+                                   # grid; the runtime q grid may be
+                                   # smaller (rect canvases, sam_rect)
     fused: Optional[bool] = None   # None = auto (Pallas kernel on TPU for
-                                   # square global grids)
+                                   # large global grids)
 
     @nn.compact
     def __call__(self, x):
-        """x: (B, H, W, C) -> (B, H, W, C)."""
+        """x: (B, H, W, C) -> (B, H, W, C).  H/W may be smaller than
+        input_size (rect canvas): rel-pos tables are center-sliced to the
+        needed offset range — offsets -(H-1)..H-1 are exactly rows
+        [S-H, S+H-1) of the 2S-1-row pretrained table (an exact slice,
+        no interpolation)."""
         b, h, w, c = x.shape
         hd = self.dim // self.heads
         qkv = nn.Dense(self.dim * 3, name="qkv")(x.reshape(b, h * w, c))
         qkv = qkv.reshape(b, h * w, 3, self.heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, nH, hd)
 
+        sh, sw = self.input_size
+        assert h <= sh and w <= sw, ((h, w), self.input_size)
         rel_h = self.param("rel_pos_h", nn.initializers.zeros,
-                           (2 * self.input_size[0] - 1, hd))
+                           (2 * sh - 1, hd))
         rel_w = self.param("rel_pos_w", nn.initializers.zeros,
-                           (2 * self.input_size[1] - 1, hd))
+                           (2 * sw - 1, hd))
+        if h != sh:
+            rel_h = jax.lax.slice_in_dim(rel_h, sh - h, sh + h - 1, axis=0)
+        if w != sw:
+            rel_w = jax.lax.slice_in_dim(rel_w, sw - w, sw + w - 1, axis=0)
 
         use_fused = self.fused
         if use_fused is None:
             use_fused = (jax.default_backend() == "tpu"
-                         and h == w == self.input_size[0] and h >= 32)
+                         and min(h, w) >= 32)
         import os
         use_fused_win = (self.fused is not False
-                         and h == w == self.input_size[0] and h <= 16
+                         and h == w == sh and h <= 16
                          and os.environ.get("LAMENESS_FUSED_WIN") != "0"
                          and (jax.default_backend() == "tpu"
                               or self.fused is True))
@@ -131,7 +143,7 @@ class VisionAttention(nn.Module):
             qf = q.transpose(0, 2, 1, 3).reshape(b * self.heads, h * w, hd)
             kf = k.transpose(0, 2, 1, 3).reshape(b * self.heads, h * w, hd)
             vf = v.transpose(0, 2, 1, 3).reshape(b * self.heads, h * w, hd)
-            rh, rw = project_rel_tables(qf, rel_h, rel_w, h)
+            rh, rw = project_rel_tables(qf, rel_h, rel_w, h, w)
             of = sam_global_attention(qf, kf, vf, rh, rw, interpret=interp)
             out = of.reshape(b, self.heads, h * w, hd).transpose(0, 2, 1, 3)
         else:
@@ -211,13 +223,18 @@ class SamVisionEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        """x: (B, H, W, 3) with H, W ≤ img_size, multiples of patch_size.
+        H < W (or W < H) is the rect-canvas serving mode (sam_rect): the
+        pad-free token grid keeps the absolute pos-embed slice the content
+        tokens would get on the padded square canvas."""
         g = self.img_size // self.patch_size
         x = nn.Conv(self.dim, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
-                    padding="VALID", name="patch_embed")(x)     # (B, g, g, D)
+                    padding="VALID", name="patch_embed")(x)     # (B, gh, gw, D)
+        gh, gw = x.shape[1], x.shape[2]
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, g, g, self.dim))
-        x = x + pos
+        x = x + (pos if (gh, gw) == (g, g) else pos[:, :gh, :gw])
         for i in range(self.depth):
             win = 0 if i in self.global_attn_indexes else self.window_size
             x = VisionLayer(self.dim, self.heads, self.mlp_ratio, win,
@@ -295,15 +312,24 @@ class SamPromptEncoder(nn.Module):
                        pe + self.point_embed[0][0], pe)
         return pe
 
-    def dense_no_mask(self, batch: int) -> jnp.ndarray:
+    def dense_no_mask(self, batch: int, gh: int = None,
+                      gw: int = None) -> jnp.ndarray:
         e = self.image_embedding_size
+        gh = e if gh is None else gh
+        gw = e if gw is None else gw
         return jnp.tile(self.no_mask_embed.reshape(1, 1, 1, -1),
-                        (batch, e, e, 1))
+                        (batch, gh, gw, 1))
 
-    def image_pe(self) -> jnp.ndarray:
-        """Image-wide positional grid for the decoder: (1, 64, 64, 256)."""
+    def image_pe(self, gh: int = None, gw: int = None) -> jnp.ndarray:
+        """Image-wide positional grid for the decoder: (1, gh, gw, 256).
+        Rect grids (sam_rect) normalize by the SQUARE embedding size, so
+        a (gh, gw) grid is exactly the top-left slice of the square PE —
+        content tokens keep the coordinates they'd have on the padded
+        canvas, matching the box-prompt normalization (/input_image_size)."""
         e = self.image_embedding_size
-        grid = jnp.ones((e, e), dtype=jnp.float32)
+        gh = e if gh is None else gh
+        gw = e if gw is None else gw
+        grid = jnp.ones((gh, gw), dtype=jnp.float32)
         y = (jnp.cumsum(grid, axis=0) - 0.5) / e
         x = (jnp.cumsum(grid, axis=1) - 0.5) / e
         return self.shared_embedding(jnp.stack([x, y], axis=-1))[None]
@@ -521,8 +547,10 @@ class Sam(nn.Module):
         return self.vision_encoder(images)
 
     def decode_boxes(self, image_embeddings, boxes, multimask_output=False):
-        sparse, dense = self.prompt_encoder(boxes)
-        image_pe = self.prompt_encoder.image_pe()
+        gh, gw = image_embeddings.shape[1], image_embeddings.shape[2]
+        sparse = self.prompt_encoder.embed_boxes(boxes)
+        dense = self.prompt_encoder.dense_no_mask(boxes.shape[0], gh, gw)
+        image_pe = self.prompt_encoder.image_pe(gh, gw)
         return self.mask_decoder(image_embeddings, image_pe, sparse, dense,
                                  multimask_output)
 

@@ -105,19 +105,28 @@ def unletterbox_boxes(boxes_xyxy: jnp.ndarray, ratio: jnp.ndarray,
     return (boxes_xyxy - shift) / ratio
 
 
+def pad_to_rect(frame: jnp.ndarray, out_hw: Tuple[int, int], long_side: int,
+                pad_value: float = 0.0) -> Tuple[jnp.ndarray, float]:
+    """Scale the longest side to ``long_side`` and pad bottom/right into an
+    (out_h, out_w) canvas (segment-anything convention, generalized to
+    rectangular canvases for the sam_rect serving mode).  Returns
+    (canvas, ratio)."""
+    frame = _to_float(frame)
+    h, w = frame.shape[0], frame.shape[1]
+    r = long_side / max(h, w)
+    new_h, new_w = int(round(h * r)), int(round(w * r))
+    resized = jax.image.resize(frame, (new_h, new_w, frame.shape[-1]), "linear")
+    canvas = jnp.full((out_hw[0], out_hw[1], frame.shape[-1]), pad_value,
+                      dtype=frame.dtype)
+    canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, 0, 0))
+    return canvas, r
+
+
 def pad_to_square(frame: jnp.ndarray, out_size: int,
                   pad_value: float = 0.0) -> Tuple[jnp.ndarray, float]:
     """SAM-style preprocessing: scale longest side to `out_size`, pad
     bottom/right (segment-anything convention).  Returns (canvas, ratio)."""
-    frame = _to_float(frame)
-    h, w = frame.shape[0], frame.shape[1]
-    r = out_size / max(h, w)
-    new_h, new_w = int(round(h * r)), int(round(w * r))
-    resized = jax.image.resize(frame, (new_h, new_w, frame.shape[-1]), "linear")
-    canvas = jnp.full((out_size, out_size, frame.shape[-1]), pad_value,
-                      dtype=frame.dtype)
-    canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, 0, 0))
-    return canvas, r
+    return pad_to_rect(frame, (out_size, out_size), out_size, pad_value)
 
 
 def clip_views(

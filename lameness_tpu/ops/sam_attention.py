@@ -30,29 +30,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float):
-    q = q_ref[0]                    # (R*G, D) — R qh rows (qw = 0..G-1)
-    k = k_ref[0]                    # (G*G, D)
-    v = v_ref[0]                    # (G*G, D)
+    q = q_ref[0]                    # (R*GW, D) — R qh rows (qw = 0..GW-1)
+    k = k_ref[0]                    # (GH*GW, D)
+    v = v_ref[0]                    # (GH*GW, D)
     # f32 immediately: Mosaic can't insert/tile minor dims on 16-bit
     # vectors, and the bias feeds an f32 softmax anyway
-    r, g = rh_ref.shape[1], rh_ref.shape[2]
-    # (R, G, G) -> (R*G, G): major-dim merge only, Mosaic-safe
-    rh = rh_ref[0].astype(jnp.float32).reshape(r * g, g)   # [qh·G+qw, kh]
-    rw = rw_ref[0].astype(jnp.float32).reshape(r * g, g)   # [qh·G+qw, kw]
+    r, gw, gh = rh_ref.shape[1], rh_ref.shape[2], rh_ref.shape[3]
+    # (R, GW, G*) -> (R*GW, G*): major-dim merge only, Mosaic-safe
+    rh = rh_ref[0].astype(jnp.float32).reshape(r * gw, gh)  # [qh·GW+qw, kh]
+    rw = rw_ref[0].astype(jnp.float32).reshape(r * gw, gw)  # [qh·GW+qw, kw]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    # bias[q, kh*G + kw] = rh[q, kh] + rw[q, kw], built WITHOUT the
-    # (.., G, G) -> (.., G²) minor reshape (Mosaic rejects that shape
-    # cast on real TPU; interpret mode accepted it).  The kh spread
-    # (index j//G) is one small MXU matmul against a one-hot selector;
-    # the kw tile (index j%G) is a lane-repeat.
-    j = jax.lax.broadcasted_iota(jnp.int32, (g, g * g), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (g, g * g), 0)
-    spread = jnp.where(j // g == row, 1.0, 0.0)          # (G, G²) one-hot
+    # bias[q, kh*GW + kw] = rh[q, kh] + rw[q, kw], built WITHOUT the
+    # (.., GH, GW) -> (.., GH·GW) minor reshape (Mosaic rejects that
+    # shape cast on real TPU; interpret mode accepted it).  The kh spread
+    # (index j//GW) is one small MXU matmul against a one-hot selector;
+    # the kw tile (index j%GW) is a lane-repeat.
+    n = gh * gw
+    j = jax.lax.broadcasted_iota(jnp.int32, (gh, n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (gh, n), 0)
+    spread = jnp.where(j // gw == row, 1.0, 0.0)         # (GH, N) one-hot
     s = s + jax.lax.dot_general(rh, spread, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    s = s + pltpu.repeat(rw, g, axis=1)                  # rw[q, j % G]
+    s = s + pltpu.repeat(rw, gh, axis=1)                 # rw[q, j % GW]
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -68,8 +69,11 @@ def sam_global_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          rows_per_program: int = 1) -> jnp.ndarray:
     """Fused biased attention over the (G, G) token grid.
 
-    q, k, v: (BH, G*G, D); rel_h, rel_w: (BH, G, G, G) q-projected tables
-    ([qh, qw, kh] / [qh, qw, kw]).  Returns (BH, G*G, D).
+    q, k, v: (BH, GH*GW, D); rel_h: (BH, GH, GW, GH) and rel_w:
+    (BH, GH, GW, GW) q-projected tables ([qh, qw, kh] / [qh, qw, kw]).
+    Returns (BH, GH*GW, D).  GH == GW for the reference's square 1024²
+    canvas; rectangular grids (sam_rect serving mode) are supported with
+    the same bias construction.
 
     ``rows_per_program`` (R): each grid program owns R qh rows (K/V HBM
     refetch scales 1/R).  Measured on a v5e at clip geometry (G=64,
@@ -79,34 +83,35 @@ def sam_global_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     other geometries.
     """
     bh, n, d = q.shape
-    g = rel_h.shape[1]
-    assert n == g * g, (n, g)
+    gh, gw = rel_h.shape[1], rel_w.shape[3]
+    assert n == gh * gw, (n, gh, gw)
+    assert rel_h.shape[1:] == (gh, gw, gh) and rel_w.shape[1:] == (gh, gw, gw)
     import os
     try:
         r = int(os.environ.get("LAMENESS_SAM_ROWS", rows_per_program))
     except ValueError:
         r = rows_per_program
-    r = max(1, min(r, g))            # clamp: 0/negative/huge are operator
-    while g % r:                     # error, not a crash; then ensure g % r
+    r = max(1, min(r, gh))           # clamp: 0/negative/huge are operator
+    while gh % r:                    # error, not a crash; then ensure gh % r
         r -= 1
     scale = d ** -0.5
-    grid = (bh, g // r)
+    grid = (bh, gh // r)
     return pl.pallas_call(
         functools.partial(_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, r * g, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, r * gw, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g * g, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g * g, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, g, g), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, r, gw, gh), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, g, g), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, r, gw, gw), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, r * g, d), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, r * gw, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         interpret=interpret,
@@ -197,15 +202,21 @@ def sam_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def project_rel_tables(q: jnp.ndarray, rel_pos_h: jnp.ndarray,
-                       rel_pos_w: jnp.ndarray, g: int):
-    """q: (BH, G*G, D); rel tables (2G-1, D) -> projected (BH, G, G, G).
+                       rel_pos_w: jnp.ndarray, g: int, gw: int = None):
+    """q: (BH, GH*GW, D); rel tables (2GH-1, D) / (2GW-1, D) ->
+    projected (BH, GH, GW, GH) and (BH, GH, GW, GW).
 
-    rel_h[bh, qh, qw, kh] = Σ_d q[bh, qh·G+qw, d] · Rh[(qh−kh)+G−1, d]
+    rel_h[bh, qh, qw, kh] = Σ_d q[bh, qh·GW+qw, d] · Rh[(qh−kh)+GH−1, d]
+
+    ``g`` is GH; ``gw`` defaults to it (the reference's square canvas).
     """
-    idx = (np.arange(g)[:, None] - np.arange(g)[None, :]) + (g - 1)
-    rh = rel_pos_h[idx]             # (G, G, D) [qh, kh, d]
-    rw = rel_pos_w[idx]             # (G, G, D) [qw, kw, d]
-    qg = q.reshape(q.shape[0], g, g, -1)
+    gh = g
+    gw = gh if gw is None else gw
+    idx_h = (np.arange(gh)[:, None] - np.arange(gh)[None, :]) + (gh - 1)
+    idx_w = (np.arange(gw)[:, None] - np.arange(gw)[None, :]) + (gw - 1)
+    rh = rel_pos_h[idx_h]           # (GH, GH, D) [qh, kh, d]
+    rw = rel_pos_w[idx_w]           # (GW, GW, D) [qw, kw, d]
+    qg = q.reshape(q.shape[0], gh, gw, -1)
     rel_h = jnp.einsum("bhwd,hkd->bhwk", qg, rh)
     rel_w = jnp.einsum("bhwd,wkd->bhwk", qg, rw)
     # rel_w is [qh, qw, kw] after moving qw axis: einsum gives [b, qh, qw, kw]

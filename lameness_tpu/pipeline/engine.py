@@ -75,6 +75,13 @@ class EngineSpec:
     # (frame_*) coordinates; only pixels ride the lo array.
     lo_height: Optional[int] = None
     lo_width: Optional[int] = None
+    # rect-canvas SAM (serving knob LAMENESS_SAM_RECT): encode the
+    # pad-free (h·ratio, sam_size) canvas instead of the padded square —
+    # a 16:9 frame drops 4096 -> 2304 encoder tokens (global attention
+    # ~3x less work, windowed layers ~40% less).  NOT bit-parity with the
+    # reference's always-square canvas: pad tokens there participate in
+    # attention, so content activations differ slightly; default OFF.
+    sam_rect: bool = False
 
     # stage frame subsets (reference sampling rules, SURVEY §6)
     @property
@@ -183,12 +190,13 @@ class EngineSpec:
 
 def unpad_mask_logits(masks: jnp.ndarray, mh: int, mw: int,
                       out_size: int) -> jnp.ndarray:
-    """(N, S, S) low-res logits over the PADDED square canvas -> (N, S, S)
-    over the FRAME: slice the content region [:mh, :mw] and rescale.
-    Static-shape analog of the reference predictor's unpad+resize
-    (segment_anything postprocess, models/sam.py::postprocess_mask)."""
-    if (mh, mw) == (masks.shape[-2], masks.shape[-1]) \
-            and masks.shape[-1] == out_size:
+    """(N, Hm, Wm) low-res logits over the (possibly padded) canvas ->
+    (N, out, out) over the FRAME: slice the content region [:mh, :mw] and
+    rescale.  Static-shape analog of the reference predictor's
+    unpad+resize (segment_anything postprocess, models/sam.py::
+    postprocess_mask).  Handles the rect-canvas mode's non-square input."""
+    if masks.shape[-2:] == (out_size, out_size) \
+            and (mh, mw) == (out_size, out_size):
         return masks
     return jax.vmap(lambda m: jax.image.resize(
         m[:mh, :mw], (out_size, out_size), "linear"))(masks)
@@ -467,14 +475,23 @@ class LamenessEngine:
         flat = det_frames.reshape(b * td, h, w, 3)
         primary = primary_bt.reshape(b * td, 4)
         if self.sam is not None:
-            sam_in = jax.vmap(lambda f: pad_to_square(f, s.sam_size)[0])(flat)
-            sam_in = prep.normalize(sam_in).astype(s.dtype)
             sam_ratio = s.sam_size / max(h, w)
+            if s.sam_rect:
+                # pad-free rect canvas: content dims rounded up to the
+                # patch grid (16 px) — see EngineSpec.sam_rect
+                ch = -(-int(round(h * sam_ratio)) // 16) * 16
+                cw = -(-int(round(w * sam_ratio)) // 16) * 16
+            else:
+                ch = cw = s.sam_size
+            sam_in = jax.vmap(
+                lambda f: prep.pad_to_rect(f, (ch, cw), s.sam_size)[0])(flat)
+            sam_in = prep.normalize(sam_in).astype(s.dtype)
             sam_boxes = primary * sam_ratio
-            # content extent of the frame inside the padded square canvas,
-            # in low-res-mask pixels (pad_to_square pads bottom/right)
-            mh = int(round(s.sam_mask_size * (h * sam_ratio) / s.sam_size))
-            mw = int(round(s.sam_mask_size * (w * sam_ratio) / s.sam_size))
+            # content extent of the frame inside the (possibly padded)
+            # canvas, in low-res-mask pixels (decoder upscales the token
+            # grid 4x, so the mask canvas is (ch/4, cw/4))
+            mh = int(round((ch // 4) * (h * sam_ratio) / ch))
+            mw = int(round((cw // 4) * (w * sam_ratio) / cw))
             if self._sam_fused_active():
                 # fused Pallas rel-pos attention never materialises the
                 # (N, N) bias — all clip frames encode in one batch

@@ -725,12 +725,17 @@ class LamenessEngine:
     def process_clip_batch(self, frames: np.ndarray,
                            rng: Optional[jax.Array] = None,
                            mode: str = "staged",
-                           transfer: Optional[str] = None
+                           transfer: Optional[str] = None,
+                           readback: bool = True
                            ) -> Dict[str, np.ndarray]:
         """frames: (B, T, H, W, 3) uint8 RGB, T == spec.clip_frames (packed
         host-side before transfer) or already packed (T == n_packed);
         device arrays pass through untouched (pre-transferred callers).
-        transfer: see to_device — None picks the backend default."""
+        transfer: see to_device — None picks the backend default.
+        readback=False returns the on-device output tree without the
+        blocking device→host copy — pipelined callers (process_stream's
+        writer thread) read back off the dispatch path so batch N's
+        readback/writes overlap batch N+1's compute."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
         if isinstance(frames, jax.Array) or (
@@ -746,6 +751,8 @@ class LamenessEngine:
             out = self.run_paired(frames_dev, rng)
         else:
             out = self.run_staged(frames_dev, rng)
+        if not readback:
+            return out
         return jax.tree_util.tree_map(np.asarray, out)
 
     def warmup(self, batch: int = 1, mode: str = "staged") -> Dict[str, float]:

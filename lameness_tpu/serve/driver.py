@@ -239,11 +239,18 @@ class PipelineDriver:
         chip computes batch N — on tunnelled backends transfer is the
         dominant per-clip cost, so without this overlap it serializes
         with compute.
+
+        A third (writer) thread takes each batch's ON-DEVICE output tree
+        and does the device→host readback plus all result-file writes
+        there, so the consumer loop only dispatches compute: batch N's
+        readback and host-side JSON/feature work overlap batch N+1's
+        device time instead of serializing between engine calls.
         """
         import queue as _queue
         import threading as _threading
         jobs = list(jobs)
         q: "_queue.Queue" = _queue.Queue(maxsize=2)
+        wq: "_queue.Queue" = _queue.Queue(maxsize=2)
 
         def producer():
             # the None sentinel MUST reach the consumer even if a decode
@@ -289,20 +296,48 @@ class PipelineDriver:
             finally:
                 q.put(None)
 
-        t = _threading.Thread(target=producer, daemon=True)
-        t.start()
         results = []
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            fd, metas = item
-            with TIMERS.time("engine_stream"):
-                out = self.engine.process_clip_batch(fd)
-            for bi, (video_id, scale, info) in enumerate(metas):
-                results.append(self._write_stage_results(
-                    video_id, out, bi, scale, info))
+        werr = []
+
+        def writer():
+            import jax as _jax
+            while True:
+                item = wq.get()
+                if item is None:
+                    break
+                out_dev, metas = item
+                try:
+                    with TIMERS.time("readback"):
+                        out = _jax.tree_util.tree_map(np.asarray, out_dev)
+                    for bi, (video_id, scale, info) in enumerate(metas):
+                        results.append(self._write_stage_results(
+                            video_id, out, bi, scale, info))
+                except Exception as e:        # keep draining; re-raised below
+                    if not werr:
+                        werr.append(e)
+                    LOG.error("stream.write_failed", exc=e,
+                              video_ids=[m[0] for m in metas])
+
+        t = _threading.Thread(target=producer, daemon=True)
+        wt = _threading.Thread(target=writer, daemon=True)
+        t.start()
+        wt.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                fd, metas = item
+                with TIMERS.time("engine_stream"):
+                    out_dev = self.engine.process_clip_batch(fd,
+                                                             readback=False)
+                wq.put((out_dev, metas))
+        finally:
+            wq.put(None)
+            wt.join()
         t.join()
+        if werr:
+            raise werr[0]
         return results
 
     def _write_stage_results(self, video_id, out, bi, scale, info):

@@ -79,6 +79,39 @@ def test_selective_decode_matches_full(tmp_data_root, tmp_path):
     assert set(sel) == {0, 7, 13, 29}
 
 
+def test_process_stream_write_failure_propagates(tmp_data_root, tmp_path):
+    """A result-write failure on the writer thread must surface to the
+    caller (not vanish on a daemon thread) and must not wedge the
+    producer/consumer/writer pipeline."""
+    from lameness_tpu.video.curation import ClipCurator
+    cfg = tmp_data_root
+    engine = make_test_engine()
+    curator = ClipCurator(cfg.dirs, detector=_square_detector)
+    driver = PipelineDriver(config=cfg, engine=engine, curator=curator)
+    vp = _synthetic_walk_video(tmp_path / "wf.mp4", n_frames=40,
+                               w=160, h=90, fps=5)
+    vid = driver.ingest(vp, "wfvid")
+    pre = driver.preprocess(vid)
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+    driver._write_stage_results_inner = boom
+
+    import threading
+    err = []
+
+    def run():
+        try:
+            driver.process_stream([(vid, pre["processed_path"])])
+        except RuntimeError as e:
+            err.append(e)
+    t = threading.Thread(target=run)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), "process_stream wedged on a write failure"
+    assert err and "disk full" in str(err[0])
+
+
 def test_process_stream_survives_decode_failure(tmp_data_root, tmp_path):
     """A corrupt/missing clip in the stream must not wedge the consumer:
     the producer's sentinel reaches q.get() and the good jobs complete

@@ -60,6 +60,19 @@ def test_staged_equals_paired(engine, frames):
         np.testing.assert_allclose(staged[k], pair[k], atol=1e-5, err_msg=k)
 
 
+def test_readback_false_returns_device_tree(engine, frames):
+    """readback=False returns on-device arrays (the stream writer thread
+    does the host copy off the dispatch path) with identical values."""
+    rng = jax.random.PRNGKey(3)
+    host = engine.process_clip_batch(frames, rng=rng)
+    dev = engine.process_clip_batch(frames, rng=rng, readback=False)
+    assert all(isinstance(leaf, jax.Array)
+               for leaf in jax.tree_util.tree_leaves(dev))
+    for k in ("primary_boxes", "masks", "tcn_probability"):
+        np.testing.assert_allclose(host[k], np.asarray(dev[k]), atol=1e-6,
+                                   err_msg=k)
+
+
 def test_primary_box_fallback(engine, frames):
     """Random-weight YOLO rarely finds 'cows'; every frame must still have a
     primary box (the tleap margin fallback)."""

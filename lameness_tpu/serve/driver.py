@@ -222,7 +222,8 @@ class PipelineDriver:
                                    pad_to=pad_to)
 
     def process_stream(self, jobs, batch_size: int = 1,
-                       pad_to: Optional[int] = None):
+                       pad_to: Optional[int] = None,
+                       decode_workers: Optional[int] = None):
         """Throughput path with decode/compute overlap: a background thread
         decodes the next batch's frames while the engine runs the current
         one (host decode is ~1-2 s/clip vs ~0.9 s engine — without overlap
@@ -233,6 +234,15 @@ class PipelineDriver:
         call (including a trailing partial batch) to one fixed batch size
         by repeating the last clip so a single compiled XLA signature
         serves the whole stream.
+
+        ``decode_workers`` parallelizes the per-clip decode across a
+        bounded thread pool (cv2 releases the GIL during decode, so this
+        scales on multicore hosts where serial decode ~1 s/clip would cap
+        throughput below the device rate).  Job order is preserved and
+        readahead is bounded (workers + 2 clips in flight), so memory
+        stays flat for arbitrarily long streams.  Default: min(4,
+        cpu_count), overridable via ``LAMENESS_DECODE_WORKERS``; 1 keeps
+        the serial behavior.
 
         The producer thread also issues the host→device transfer
         (engine.to_device) so the wire is streaming batch N+1 while the
@@ -246,11 +256,30 @@ class PipelineDriver:
         readback and host-side JSON/feature work overlap batch N+1's
         device time instead of serializing between engine calls.
         """
+        import os as _os
         import queue as _queue
         import threading as _threading
+        from collections import deque as _deque
+        from concurrent.futures import ThreadPoolExecutor as _Pool
         jobs = list(jobs)
         q: "_queue.Queue" = _queue.Queue(maxsize=2)
         wq: "_queue.Queue" = _queue.Queue(maxsize=2)
+        if decode_workers is None:
+            decode_workers = int(_os.environ.get(
+                "LAMENESS_DECODE_WORKERS",
+                min(4, _os.cpu_count() or 1)))
+        decode_workers = max(1, decode_workers)
+
+        def load(job):
+            video_id, path = job
+            try:
+                with TIMERS.time("decode"):
+                    frames, scale, info = self._load_engine_frames(
+                        Path(path))
+            except Exception as e:
+                LOG.error("stream.decode_failed", exc=e, video_id=video_id)
+                return video_id, None, None, None
+            return video_id, frames, scale, info
 
         def producer():
             # the None sentinel MUST reach the consumer even if a decode
@@ -274,23 +303,28 @@ class PipelineDriver:
                     q.put((fd, [(vid, scale, info)
                                 for vid, _, scale, info in batch]))
 
-                for video_id, path in jobs:
-                    try:
-                        with TIMERS.time("decode"):
-                            frames, scale, info = self._load_engine_frames(
-                                Path(path))
-                    except Exception as e:
-                        LOG.error("stream.decode_failed",
-                                  exc=e, video_id=video_id)
-                        continue
-                    if frames is None:
-                        continue
-                    f0 = {k: v[0] for k, v in frames.items()} \
-                        if isinstance(frames, dict) else frames[0]
-                    batch.append((video_id, f0, scale, info))
-                    if len(batch) >= batch_size:
-                        flush(batch)
-                        batch = []
+                with _Pool(max_workers=decode_workers) as pool:
+                    # bounded order-preserving readahead: at most
+                    # workers + 2 decoded clips in flight
+                    it = iter(jobs)
+                    futs = _deque()
+                    for job in jobs[:decode_workers + 2]:
+                        futs.append(pool.submit(load, job))
+                        next(it)
+                    while futs:
+                        video_id, frames, scale, info = \
+                            futs.popleft().result()
+                        nxt = next(it, None)
+                        if nxt is not None:
+                            futs.append(pool.submit(load, nxt))
+                        if frames is None:
+                            continue
+                        f0 = {k: v[0] for k, v in frames.items()} \
+                            if isinstance(frames, dict) else frames[0]
+                        batch.append((video_id, f0, scale, info))
+                        if len(batch) >= batch_size:
+                            flush(batch)
+                            batch = []
                 if batch:
                     flush(batch)
             finally:

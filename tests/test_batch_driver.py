@@ -79,6 +79,41 @@ def test_selective_decode_matches_full(tmp_data_root, tmp_path):
     assert set(sel) == {0, 7, 13, 29}
 
 
+def test_process_stream_parallel_decode_order(tmp_data_root, tmp_path):
+    """decode_workers>1 must preserve job order and produce the same
+    per-video results as the serial producer (bounded readahead keeps
+    memory flat; cv2 releases the GIL during decode so the pool scales
+    on multicore hosts)."""
+    from lameness_tpu.video.curation import ClipCurator
+    cfg = tmp_data_root
+    engine = make_test_engine()
+    curator = ClipCurator(cfg.dirs, detector=_square_detector)
+    driver = PipelineDriver(config=cfg, engine=engine, curator=curator)
+    jobs = []
+    for i in range(5):
+        # distinct bob amplitude per clip => distinct gait signal, so a
+        # mispaired batch row would swap per-video scores detectably
+        vp = _synthetic_walk_video(tmp_path / f"p{i}.mp4", n_frames=40,
+                                   w=160, h=90, fps=5, bob=2.0 * i)
+        vid = driver.ingest(vp, f"par{i}")
+        pre = driver.preprocess(vid)
+        jobs.append((vid, pre["processed_path"]))
+
+    def tcn_scores():
+        return {vid: json.load(open(
+            cfg.dirs.results_for("tcn") / f"{vid}_tcn.json"
+        ))["severity_score"] for vid, _ in jobs}
+
+    res_par = driver.process_stream(jobs, batch_size=2, decode_workers=3)
+    assert len(res_par) == len(jobs)
+    par = tcn_scores()
+    assert len(set(par.values())) > 1, "clips should differ"
+    driver.process_stream(jobs, batch_size=2, decode_workers=1)
+    ser = tcn_scores()
+    for vid in par:
+        assert par[vid] == pytest.approx(ser[vid], abs=1e-6), vid
+
+
 def test_process_stream_write_failure_propagates(tmp_data_root, tmp_path):
     """A result-write failure on the writer thread must surface to the
     caller (not vanish on a daemon thread) and must not wedge the

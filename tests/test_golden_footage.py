@@ -115,6 +115,31 @@ def test_real_footage_full_pipeline(curated, tmp_path):
 
 
 @pytest.mark.slow
+def test_real_footage_stream_matches_single(curated):
+    """The 4-stage stream pipeline (pooled decode -> transfer -> dispatch
+    -> writer thread) produces the same result files on real footage as
+    the single-video path — the serving batcher routes everything through
+    process_stream, so this is the production path on real pixels."""
+    from lameness_tpu.pipeline.engine import make_test_engine
+    from lameness_tpu.serve.driver import PipelineDriver
+    cfg, _, _ = curated
+    driver = PipelineDriver(config=cfg, engine=make_test_engine())
+    src = REF_CANONICAL / f"{VIDEO_ID}_canonical.mp4"
+    vid = driver.ingest(src, "golden-stream")
+    pre = driver.preprocess(vid)
+    res = driver.process_stream([(vid, pre["processed_path"])],
+                                decode_workers=2)
+    assert len(res) == 1
+    tcn_stream = json.load(open(cfg.dirs.results_for("tcn")
+                                / f"{vid}_tcn.json"))
+    driver.run_feature_stages(vid, Path(pre["processed_path"]))
+    tcn_single = json.load(open(cfg.dirs.results_for("tcn")
+                                / f"{vid}_tcn.json"))
+    assert tcn_stream["severity_score"] == pytest.approx(
+        tcn_single["severity_score"], abs=2e-4)
+
+
+@pytest.mark.slow
 def test_real_footage_annotation_render(curated, tmp_path):
     """The annotation renderer produces a playable overlay video from
     the real footage's result JSONs (skeleton, boxes, info bar)."""

@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""On-chip micro-probes for the tunnelled TPU (round-3 probe queue).
+
+Each probe answers one question the bench artifacts left open
+(docs/ROUND3.md "On-chip probe queue"); results print as one JSON line
+per probe and accumulate into ``.probe_results.json`` so a wedged tunnel
+mid-run still leaves the finished probes on disk.
+
+  overlap   does host->device ``device_put`` overlap an executing
+            program on the axon tunnel, and what is the per-dispatch
+            RTT of a chained-jit hop?
+  samprof   per-op decomposition of one windowed SAM ViT layer at the
+            serving shape (b = batch x det-frames images): LN, MLP,
+            window partition round-trip, fused vs unfused attention.
+  pairab    staged 4-dispatch vs paired 2-dispatch full pipeline on the
+            headline split-ingest config (device-resident inputs, so the
+            difference isolates dispatch overhead).
+
+Usage:
+  python scripts/onchip_probes.py [overlap] [samprof] [pairab] [--small]
+
+With no probe names, runs all three.  --small uses test geometry on CPU
+(self-test of the probe code itself, not a measurement).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+OUT = REPO / ".probe_results.json"
+
+
+def _emit(name: str, payload: dict) -> None:
+    payload = {"probe": name, "ts": time.strftime("%H:%M:%S"), **payload}
+    print(json.dumps(payload), flush=True)
+    try:
+        acc = json.loads(OUT.read_text()) if OUT.exists() else {}
+    except Exception:
+        acc = {}
+    acc[name] = payload
+    OUT.write_text(json.dumps(acc, indent=1))
+
+
+def _sync_scalar(x) -> float:
+    """Scalar readback — block_until_ready under-syncs on the tunnel."""
+    import jax
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(np.asarray(jax.device_get(leaf[(0,) * leaf.ndim])))
+
+
+# ---------------------------------------------------------------------------
+def probe_overlap(small: bool) -> None:
+    """(a) per-dispatch RTT; (b) device_put during program execution."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 512 if small else 4096
+    reps = 8
+
+    @jax.jit
+    def hop(x):
+        return x + 1.0
+
+    @jax.jit
+    def heavy(x):               # ~0.2-0.5 s of MXU work at n=4096
+        for _ in range(48 if not small else 2):
+            x = jnp.tanh(x @ x) * 0.5
+        return x
+
+    x = jax.device_put(jnp.ones((n, n), jnp.bfloat16))
+    _sync_scalar(hop(x)); _sync_scalar(heavy(x))        # compile
+
+    # (a) chained-dispatch RTT: k sequential hops, each consuming the last
+    for k in (1, 4, 16):
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(k):
+            y = hop(y)
+        _sync_scalar(y)
+        dt = time.perf_counter() - t0
+        _emit(f"rtt_chain_{k}", {"total_s": round(dt, 4),
+                                 "per_hop_ms": round(1e3 * dt / k, 2)})
+
+    # single-dispatch readback RTT baseline
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync_scalar(hop(x))
+        ts.append(time.perf_counter() - t0)
+    _emit("rtt_single", {"p50_ms": round(1e3 * float(np.median(ts)), 2)})
+
+    # (b) transfer/compute overlap: time a 64 MB put on an idle device,
+    # then the same put issued while `heavy` is executing
+    buf = np.ones((64, 1024, 1024), np.uint8)           # 64 MB
+    t0 = time.perf_counter()
+    d = jax.device_put(buf); d.block_until_ready()
+    idle_s = time.perf_counter() - t0
+
+    t_heavy0 = time.perf_counter()
+    out = heavy(x)                                      # dispatch, don't wait
+    t0 = time.perf_counter()
+    d2 = jax.device_put(buf); d2.block_until_ready()
+    busy_s = time.perf_counter() - t0
+    _sync_scalar(out)
+    heavy_s = time.perf_counter() - t_heavy0
+    _emit("put_overlap", {
+        "put_idle_s": round(idle_s, 3), "put_busy_s": round(busy_s, 3),
+        "heavy_total_s": round(heavy_s, 3),
+        "overlaps": bool(busy_s < idle_s * 1.5 or busy_s < heavy_s * 0.5),
+        "mb_s_idle": round(64 / idle_s, 1),
+        "mb_s_busy": round(64 / busy_s, 1)})
+
+
+# ---------------------------------------------------------------------------
+def probe_samprof(small: bool) -> None:
+    """Per-op decomposition of one windowed SAM layer at serving shape."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from lameness_tpu.models.sam import (MlpBlock, VisionAttention,
+                                         VisionLayer, window_partition,
+                                         window_unpartition)
+
+    dim, heads, win = 768, 12, 14
+    g = 16 if small else 64                  # token grid side
+    b = 4 if small else 44                   # batch x det-frames images
+    dtype = jnp.float32 if small else jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b, g, g, dim), dtype)
+
+    def bench_mod(name, mod, inp, **kw):
+        var = jax.jit(mod.init)(key, inp, **kw)
+        var = jax.tree_util.tree_map(lambda a: a.astype(dtype), var)
+        fn = jax.jit(lambda v, i: mod.apply(v, i, **kw))
+        _sync_scalar(fn(var, inp))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _sync_scalar(fn(var, inp))
+            ts.append(time.perf_counter() - t0)
+        _emit(name, {"p50_ms": round(1e3 * float(np.median(ts)), 2),
+                     "shape": list(inp.shape), "dtype": str(dtype.__name__)})
+
+    # full layer, fused vs unfused window attention
+    for fused, tag in ((None, "auto"), (False, "unfused")):
+        bench_mod(f"layer_win_{tag}",
+                  VisionLayer(dim, heads, 4.0, win, (g, g), fused), x)
+
+    # pieces
+    bench_mod("ln", nn.LayerNorm(epsilon=1e-6), x)
+    bench_mod("mlp", MlpBlock(dim * 4, dim), x)
+
+    xp, padded = window_partition(x, win)
+    for fused, tag in ((None, "auto"), (False, "unfused")):
+        bench_mod(f"attn_win_{tag}",
+                  VisionAttention(dim, heads, (win, win), fused), xp)
+
+    # partition round-trip alone
+    rt = jax.jit(lambda t: window_unpartition(
+        window_partition(t, win)[0], win, padded, (g, g)))
+    _sync_scalar(rt(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync_scalar(rt(x))
+        ts.append(time.perf_counter() - t0)
+    _emit("partition_roundtrip",
+          {"p50_ms": round(1e3 * float(np.median(ts)), 2)})
+
+
+# ---------------------------------------------------------------------------
+def probe_pairab(small: bool) -> None:
+    """staged vs pair dispatch modes, device-resident inputs."""
+    import jax
+
+    from lameness_tpu.pipeline.engine import (LamenessEngine, EngineSpec,
+                                              make_test_engine)
+
+    if small:
+        eng = make_test_engine()
+    else:
+        from lameness_tpu.pipeline.precision import apply_engine_policy
+        eng = LamenessEngine(spec=EngineSpec(
+            frame_height=576, frame_width=1024,
+            lo_height=360, lo_width=640))
+        apply_engine_policy(eng)
+    spec = eng.spec
+    batch = 1 if small else 4
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (batch, spec.clip_frames, spec.frame_height,
+                                   spec.frame_width, 3), dtype=np.uint8)
+    dev = eng.to_device(frames)
+    key = jax.random.PRNGKey(0)
+
+    for mode in ("staged", "pair"):
+        eng.warmup(batch=batch, mode=mode)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = (eng.run_paired if mode == "pair"
+                   else eng.run_staged)(dev, key)
+            _sync_scalar(out["tcn_probability"])
+            ts.append(time.perf_counter() - t0)
+        _emit(f"e2e_{mode}", {
+            "p50_s_per_batch": round(float(np.median(ts)), 4),
+            "p50_s_per_clip": round(float(np.median(ts)) / batch, 4),
+            "batch": batch})
+
+
+PROBES = {"overlap": probe_overlap, "samprof": probe_samprof,
+          "pairab": probe_pairab}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", default=[],
+                    choices=[*PROBES, []], help="probes to run (default all)")
+    ap.add_argument("--small", action="store_true",
+                    help="CPU test geometry (validates probe code only)")
+    args = ap.parse_args()
+    if args.small:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    names = args.names or list(PROBES)
+    for n in names:
+        try:
+            PROBES[n](args.small)
+        except Exception as e:          # keep later probes alive
+            _emit(n + "_error", {"error": repr(e)})
+
+
+if __name__ == "__main__":
+    main()

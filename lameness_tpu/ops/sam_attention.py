@@ -175,6 +175,12 @@ def sam_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     participate in attention identically — bit-for-bit the reference's
     edge-window numerics, no masking required.
     """
+    import os
+    if os.environ.get("LAMENESS_WIN_KERNEL", "v1") == "v2":
+        # augmented-matmul variant (bias folded into the score
+        # contraction) — opt-in until on-chip parity + perf land
+        return sam_window_attention_v2(q, k, v, rel_h, rel_w,
+                                       interpret=interpret)
     bw, nh, n, d = q.shape
     win = rel_h.shape[-1]
     assert n == win * win, (n, win)
@@ -199,6 +205,100 @@ def sam_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((bw, nh, n, d), q.dtype),
         interpret=interpret,
     )(q, k, v, rel_h, rel_w)
+
+
+def _window_kernel_v2(qa_ref, ka_ref, v_ref, o_ref):
+    """Batched augmented attention: NB = windows·heads per program.
+
+    The decomposed rel-pos bias is folded into the score matmul by
+    augmenting the contraction dim (see sam_window_attention_v2), so a
+    program is ONE batched QK matmul + softmax + ONE batched PV matmul —
+    the v1 kernel's per-head bias-spread matmul (K=14 padded to a full
+    128 MXU tile, i.e. as expensive as the QK matmul itself) and the
+    lane-repeat disappear entirely.
+    """
+    qa = qa_ref[...]                 # (NB, N, A)
+    ka = ka_ref[...]                 # (NB, N, A)
+    v = v_ref[...]                   # (NB, N, D)
+    s = jax.lax.dot_general(qa, ka, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[...] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def sam_window_attention_v2(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            rel_h: jnp.ndarray, rel_w: jnp.ndarray,
+                            interpret: bool = False,
+                            windows_per_program: int = 1) -> jnp.ndarray:
+    """Augmented-matmul variant of sam_window_attention (same signature).
+
+    The bias bias[q, kh·win+kw] = rh[q, kh] + rw[q, kw] is a rank-2·win
+    correction to the score matrix, so it folds exactly into the QK
+    contraction by augmenting both operands:
+
+        Qa = [q·scale | rh | rw]          (N, D + 2·win)
+        Ka = [k | spreadᵀ | modᵀ]         (N, D + 2·win)
+        s  = Qa @ Kaᵀ
+           = scale·q@kᵀ + rh@spread + rw@mod
+
+    where spreadᵀ[j, r] = 1 iff j//win == r and modᵀ[j, w] = 1 iff
+    j%win == w are constants shared by every window/head.  The augment
+    lives in HLO (cheap concats); the kernel is a pure batched
+    attention over NB = windows_per_program·heads slices.
+
+    Numerics: scale = D^-1/2 is a power of two for SAM's hd=64, so
+    q·scale is exact in bf16; the only delta vs v1 is rh/rw rounded to
+    the compute dtype before the (exact, one-hot) spread — parity vs
+    the unfused path stays within the existing bf16 gate.
+    """
+    bw, nh, n, d = q.shape
+    win = rel_h.shape[-1]
+    assert n == win * win, (n, win)
+    import os
+    try:
+        wpp = int(os.environ.get("LAMENESS_SAM_WPP", windows_per_program))
+    except ValueError:
+        wpp = windows_per_program
+    wpp = max(1, min(wpp, bw))
+    while bw % wpp:
+        wpp -= 1
+    scale = d ** -0.5
+    jj = np.arange(n)
+    const = np.concatenate(
+        [(jj[:, None] // win) == np.arange(win)[None, :],
+         (jj[:, None] % win) == np.arange(win)[None, :]],
+        axis=1).astype(np.float32)                       # (N, 2·win)
+    const = jnp.asarray(const, q.dtype)
+    qa = jnp.concatenate(
+        [q * scale, rel_h.astype(q.dtype), rel_w.astype(q.dtype)], axis=-1)
+    ka = jnp.concatenate(
+        [k, jnp.broadcast_to(const, (bw, nh, n, 2 * win))], axis=-1)
+    a = d + 2 * win
+    nb = wpp * nh
+    qa = qa.reshape(bw * nh, n, a)
+    ka = ka.reshape(bw * nh, n, a)
+    vf = v.reshape(bw * nh, n, d)
+    out = pl.pallas_call(
+        _window_kernel_v2,
+        grid=((bw * nh) // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, n, a), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, n, a), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bw * nh, n, d), q.dtype),
+        interpret=interpret,
+    )(qa, ka, vf)
+    return out.reshape(bw, nh, n, d)
 
 
 def project_rel_tables(q: jnp.ndarray, rel_pos_h: jnp.ndarray,

@@ -215,8 +215,124 @@ def probe_pairab(small: bool) -> None:
             "batch": batch})
 
 
+# ---------------------------------------------------------------------------
+def probe_samstage(small: bool) -> None:
+    """Where does the SAM stage actually spend its 1.0 s? prep / patch
+    embed / windowed layers / global layers / neck / decoder / post,
+    at real serving geometry (b·td = 44 canvases, bf16, fused kernels)."""
+    import jax
+    import jax.numpy as jnp
+    from lameness_tpu.models import sam as sam_mod
+
+    from lameness_tpu.models.sam import Sam, VisionLayer
+
+    b = 2 if small else 44
+    size = 256 if small else 1024
+    dtype = jnp.float32 if small else jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+
+    model = Sam(img_size=size)
+    x = jax.random.normal(key, (b, size, size, 3), dtype)
+    params = jax.jit(model.init)(key, x[:1], jnp.ones((1, 4)))
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
+    boxes = jnp.tile(jnp.asarray([[0.1, 0.1, 0.9, 0.6], ], dtype) * size,
+                     (b, 1))
+
+    def timed(name, fn, *args, reps=3):
+        try:
+            jfn = jax.jit(fn)
+            out = jfn(*args)
+            _sync_scalar(out)
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = jfn(*args)
+                _sync_scalar(out)
+                ts.append(time.perf_counter() - t0)
+            _emit(name, {"p50_ms": round(1e3 * float(np.median(ts)), 1)})
+            return out
+        except Exception as e:
+            _emit(name + "_error", {"error": repr(e)[:300]})
+            return None
+
+    emb = timed("enc_full", lambda p, i: model.apply(
+        p, i, method=model.encode), params, x)
+    if emb is not None:
+        timed("decoder", lambda p, e, bx: model.apply(
+            p, e, bx, method=model.decode_boxes), params, emb, boxes)
+
+    # single layers on the embedded token grid, reusing the encoder's own
+    # trained(-shape) params for layer 0 (windowed) and 2 (global)
+    g = size // 16
+    dim, heads = model.encoder_dim, model.encoder_heads
+    tok = jax.random.normal(key, (b, g, g, dim), dtype)
+    p_enc = params["params"]["vision_encoder"]
+    win_mod = VisionLayer(dim, heads, 4.0, model.window_size, (g, g),
+                          model.fused_global)
+    glb_mod = VisionLayer(dim, heads, 4.0, 0, (g, g), model.fused_global)
+    gi = model.global_attn_indexes[0]
+    timed("layer_windowed", lambda p, t: win_mod.apply(p, t),
+          {"params": p_enc["layer0"]}, tok)
+    timed("layer_global", lambda p, t: glb_mod.apply(p, t),
+          {"params": p_enc[f"layer{gi}"]}, tok)
+
+
+def probe_winvar(small: bool) -> None:
+    """Window-attention kernel variants at serving shape: v1 vs v2."""
+    import jax
+    import jax.numpy as jnp
+    from lameness_tpu.ops.sam_attention import (sam_window_attention,
+                                                sam_window_attention_v2)
+
+    win, d, nh = 14, 64, 12
+    bw = 12 if small else 1100          # frames·windows (44 imgs × 25)
+    n = win * win
+    dtype = jnp.float32 if small else jnp.bfloat16
+    interp = small
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (bw, nh, n, d), dtype)
+    k = jax.random.normal(ks[1], (bw, nh, n, d), dtype)
+    v = jax.random.normal(ks[2], (bw, nh, n, d), dtype)
+    rh = jax.random.normal(ks[3], (bw, nh, n, win), dtype) * 0.2
+    rw = jax.random.normal(ks[4], (bw, nh, n, win), dtype) * 0.2
+
+    outs = {}
+
+    def run(name, fn):
+        try:
+            jfn = jax.jit(fn)
+            out = jfn(q, k, v, rh, rw)
+            _sync_scalar(out)
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                out = jfn(q, k, v, rh, rw)
+                _sync_scalar(out)
+                ts.append(time.perf_counter() - t0)
+            outs[name] = np.asarray(out[:2]).astype(np.float32)
+            _emit(name, {"p50_ms": round(1e3 * float(np.median(ts)), 2),
+                         "bw": bw, "dtype": str(np.dtype(dtype).name)})
+        except Exception as e:
+            _emit(name + "_error", {"error": repr(e)[:300]})
+
+    run("win_v1", lambda *a: sam_window_attention(*a, interpret=interp))
+    for wpp in (1, 2, 4):
+        run(f"win_v2_wpp{wpp}",
+            lambda *a, w=wpp: sam_window_attention_v2(
+                *a, interpret=interp, windows_per_program=w))
+    if "win_v1" in outs:
+        for name, o in outs.items():
+            if name == "win_v1":
+                continue
+            _emit(name + "_parity", {
+                "max_abs_vs_v1": float(np.max(np.abs(o - outs["win_v1"])))})
+
+
 PROBES = {"overlap": probe_overlap, "samprof": probe_samprof,
-          "pairab": probe_pairab}
+          "pairab": probe_pairab, "winvar": probe_winvar,
+          "samstage": probe_samstage}
 
 
 def main():

@@ -88,3 +88,39 @@ def test_project_rel_tables_shapes(rng):
     b_, qh, qw, kh = 1, 2, 3, 0
     expect = float(q[b_, qh * g + qw] @ rph[(qh - kh) + g - 1])
     assert float(rh[b_, qh, qw, kh]) == pytest.approx(expect, rel=1e-5)
+
+
+def test_window_kernel_v2_matches_reference(rng):
+    """Augmented-matmul window kernel == dense bias + softmax reference."""
+    from lameness_tpu.ops.sam_attention import sam_window_attention_v2
+    win, d, bw, nh = 4, 16, 3, 2
+    n = win * win
+    q = jnp.asarray(rng.standard_normal((bw, nh, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bw, nh, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bw, nh, n, d)).astype(np.float32))
+    rh = jnp.asarray(rng.standard_normal((bw, nh, n, win)).astype(np.float32))
+    rw = jnp.asarray(rng.standard_normal((bw, nh, n, win)).astype(np.float32))
+    bias = (rh[..., :, None] + rw[..., None, :]).reshape(bw, nh, n, n)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d ** -0.5) + bias
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+    for wpp in (1, 3):          # 3 covers the multi-window block path
+        got = sam_window_attention_v2(q, k, v, rh, rw, interpret=True,
+                                      windows_per_program=wpp)
+        assert np.max(np.abs(np.asarray(got) - np.asarray(ref))) < 2e-5, wpp
+
+
+def test_window_kernel_v2_env_dispatch(rng, monkeypatch):
+    """LAMENESS_WIN_KERNEL=v2 routes sam_window_attention through v2."""
+    from lameness_tpu.ops.sam_attention import sam_window_attention
+    win, d, bw, nh = 4, 8, 2, 2
+    n = win * win
+    q = jnp.asarray(rng.standard_normal((bw, nh, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bw, nh, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bw, nh, n, d)).astype(np.float32))
+    rh = jnp.asarray(rng.standard_normal((bw, nh, n, win)).astype(np.float32))
+    rw = jnp.asarray(rng.standard_normal((bw, nh, n, win)).astype(np.float32))
+    monkeypatch.setenv("LAMENESS_WIN_KERNEL", "v1")
+    v1 = sam_window_attention(q, k, v, rh, rw, interpret=True)
+    monkeypatch.setenv("LAMENESS_WIN_KERNEL", "v2")
+    v2 = sam_window_attention(q, k, v, rh, rw, interpret=True)
+    assert np.max(np.abs(np.asarray(v1) - np.asarray(v2))) < 2e-5

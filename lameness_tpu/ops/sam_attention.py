@@ -87,6 +87,11 @@ def sam_global_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert n == gh * gw, (n, gh, gw)
     assert rel_h.shape[1:] == (gh, gw, gh) and rel_w.shape[1:] == (gh, gw, gw)
     import os
+    if os.environ.get("LAMENESS_GLB_KERNEL", "v1") == "v2":
+        # augmented-matmul variant (bias_h folded into the score
+        # contraction) — opt-in until on-chip parity + perf land
+        return sam_global_attention_v2(q, k, v, rel_h, rel_w,
+                                       interpret=interpret)
     try:
         r = int(os.environ.get("LAMENESS_SAM_ROWS", rows_per_program))
     except ValueError:
@@ -116,6 +121,84 @@ def sam_global_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         interpret=interpret,
     )(q, k, v, rel_h, rel_w)
+
+
+def _global_kernel_v2(qa_ref, ka_ref, rw_ref, v_ref, o_ref, *, gh: int):
+    """Augmented global attention: QK + bias_h in ONE K=(D+GH) matmul.
+
+    qa = [q·scale | rh] and ka = [k | spreadᵀ] are built in HLO (see
+    sam_global_attention_v2); with D=64 and GH≤64 the contraction is at
+    most 128 — exactly one MXU K tile, so bias_h costs nothing over the
+    v1 kernel's q@kᵀ alone (which pads K 64→128 anyway) and the separate
+    bias-spread matmul disappears.  bias_w stays a lane-repeat.
+    """
+    qa = qa_ref[0]                  # (R·GW, A)
+    ka = ka_ref[0]                  # (N, A)
+    v = v_ref[0]                    # (N, D)
+    rw = rw_ref[0].astype(jnp.float32)                   # (R·GW, GW)
+    s = jax.lax.dot_general(qa, ka, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + pltpu.repeat(rw, gh, axis=1)                 # rw[t, j % GW]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def sam_global_attention_v2(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            rel_h: jnp.ndarray, rel_w: jnp.ndarray,
+                            interpret: bool = False,
+                            rows_per_program: int = 2) -> jnp.ndarray:
+    """Augmented-matmul variant of sam_global_attention (same signature).
+
+    Numerics: scale = D^-1/2 is a power of two for SAM's hd=64 (exact in
+    bf16); rh rounds to the compute dtype before the exact one-hot
+    selection — the only delta vs v1, inside the existing parity gates.
+    ``rows_per_program`` default 2 → M = 2·GW = 128 rows fills the MXU
+    sublane tile that v1's single-row (M=64) programs half-wasted.
+    """
+    bh, n, d = q.shape
+    gh, gw = rel_h.shape[1], rel_w.shape[3]
+    assert n == gh * gw, (n, gh, gw)
+    import os
+    try:
+        r = int(os.environ.get("LAMENESS_SAM_ROWS_V2", rows_per_program))
+    except ValueError:
+        r = rows_per_program
+    r = max(1, min(r, gh))
+    while gh % r:
+        r -= 1
+    scale = d ** -0.5
+    jj = np.arange(n)
+    spread_t = jnp.asarray(
+        ((jj[:, None] // gw) == np.arange(gh)[None, :]).astype(np.float32),
+        q.dtype)                                          # (N, GH)
+    qa = jnp.concatenate(
+        [q * scale, rel_h.reshape(bh, n, gh).astype(q.dtype)], axis=-1)
+    ka = jnp.concatenate(
+        [k, jnp.broadcast_to(spread_t, (bh, n, gh))], axis=-1)
+    rw = rel_w.reshape(bh, n, gw)
+    a = d + gh
+    return pl.pallas_call(
+        functools.partial(_global_kernel_v2, gh=gh),
+        grid=(bh, gh // r),
+        in_specs=[
+            pl.BlockSpec((1, r * gw, a), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, a), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r * gw, gw), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r * gw, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        interpret=interpret,
+    )(qa, ka, rw, v)
 
 
 def _window_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,

@@ -330,9 +330,122 @@ def probe_winvar(small: bool) -> None:
                 "max_abs_vs_v1": float(np.max(np.abs(o - outs["win_v1"])))})
 
 
+# ---------------------------------------------------------------------------
+def probe_glbvar(small: bool) -> None:
+    """Global-attention kernel variants at serving shape: v1 vs v2."""
+    import jax
+    import jax.numpy as jnp
+    from lameness_tpu.ops.sam_attention import (sam_global_attention,
+                                                sam_global_attention_v2)
+
+    d = 64
+    gh = gw = 8 if small else 64
+    bh = 6 if small else 528            # 44 imgs × 12 heads
+    n = gh * gw
+    dtype = jnp.float32 if small else jnp.bfloat16
+    interp = small
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    q = jax.random.normal(ks[0], (bh, n, d), dtype)
+    k = jax.random.normal(ks[1], (bh, n, d), dtype)
+    v = jax.random.normal(ks[2], (bh, n, d), dtype)
+    rh = jax.random.normal(ks[3], (bh, gh, gw, gh), dtype) * 0.2
+    rw = jax.random.normal(ks[4], (bh, gh, gw, gw), dtype) * 0.2
+
+    outs = {}
+
+    def run(name, fn):
+        try:
+            jfn = jax.jit(fn)
+            out = jfn(q, k, v, rh, rw)
+            _sync_scalar(out)
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                out = jfn(q, k, v, rh, rw)
+                _sync_scalar(out)
+                ts.append(time.perf_counter() - t0)
+            outs[name] = np.asarray(out[:2]).astype(np.float32)
+            _emit(name, {"p50_ms": round(1e3 * float(np.median(ts)), 2),
+                         "bh": bh, "dtype": str(np.dtype(dtype).name)})
+        except Exception as e:
+            _emit(name + "_error", {"error": repr(e)[:300]})
+
+    run("glb_v1", lambda *a: sam_global_attention(*a, interpret=interp))
+    for r in (1, 2, 4):
+        run(f"glb_v2_r{r}",
+            lambda *a, rr=r: sam_global_attention_v2(
+                *a, interpret=interp, rows_per_program=rr))
+    if "glb_v1" in outs:
+        for name, o in outs.items():
+            if name != "glb_v1":
+                _emit(name + "_parity", {
+                    "max_abs_vs_v1": float(np.max(np.abs(o - outs["glb_v1"])))})
+
+
+# ---------------------------------------------------------------------------
+def probe_attnover(small: bool) -> None:
+    """Decompose the ~29 ms/layer VisionAttention overhead around the
+    Pallas kernels: qkv dense, rel-table projection, transposes, out
+    proj — at windowed serving shape (b=1100 windows, 196 tokens)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from lameness_tpu.ops.sam_attention import project_rel_tables
+
+    dim, heads, hd, win = 768, 12, 64, 14
+    b = 8 if small else 1100
+    n = win * win
+    dtype = jnp.float32 if small else jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b, n, dim), dtype)
+    qf = jax.random.normal(key, (b * heads, n, hd), dtype)
+    rel_h = jax.random.normal(key, (2 * win - 1, hd), dtype) * 0.2
+    rel_w = jax.random.normal(key, (2 * win - 1, hd), dtype) * 0.2
+    q4 = jax.random.normal(key, (b, n, heads, hd), dtype)
+
+    def timed(name, jfn, *args, reps=5):
+        try:
+            out = jfn(*args)
+            _sync_scalar(out)
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = jfn(*args)
+                _sync_scalar(out)
+                ts.append(time.perf_counter() - t0)
+            _emit(name, {"p50_ms": round(1e3 * float(np.median(ts)), 2)})
+        except Exception as e:
+            _emit(name + "_error", {"error": repr(e)[:300]})
+
+    qkv = nn.Dense(dim * 3)
+    pq = jax.jit(qkv.init)(key, x)
+    pq = jax.tree_util.tree_map(lambda a: a.astype(dtype), pq)
+    timed("qkv_dense", jax.jit(lambda p, t: qkv.apply(p, t)), pq, x)
+
+    proj = nn.Dense(dim)
+    pp = jax.jit(proj.init)(key, x)
+    pp = jax.tree_util.tree_map(lambda a: a.astype(dtype), pp)
+    timed("out_dense", jax.jit(lambda p, t: proj.apply(p, t)), pp, x)
+
+    timed("rel_project", jax.jit(
+        lambda qq: project_rel_tables(qq, rel_h, rel_w, win)), qf)
+
+    timed("transpose_0213", jax.jit(
+        lambda t: t.transpose(0, 2, 1, 3) + 0), q4)
+
+    # full qkv split exactly as VisionAttention does it
+    def qkv_split(p, t):
+        y = qkv.apply(p, t).reshape(b, n, 3, heads, hd)
+        return (y[:, :, 0].transpose(0, 2, 1, 3),
+                y[:, :, 1].transpose(0, 2, 1, 3),
+                y[:, :, 2].transpose(0, 2, 1, 3))
+    timed("qkv_split_transpose", jax.jit(qkv_split), pq, x)
+
+
 PROBES = {"overlap": probe_overlap, "samprof": probe_samprof,
           "pairab": probe_pairab, "winvar": probe_winvar,
-          "samstage": probe_samstage}
+          "samstage": probe_samstage, "glbvar": probe_glbvar,
+          "attnover": probe_attnover}
 
 
 def main():

@@ -124,3 +124,25 @@ def test_window_kernel_v2_env_dispatch(rng, monkeypatch):
     monkeypatch.setenv("LAMENESS_WIN_KERNEL", "v2")
     v2 = sam_window_attention(q, k, v, rh, rw, interpret=True)
     assert np.max(np.abs(np.asarray(v1) - np.asarray(v2))) < 2e-5
+
+
+def test_global_kernel_v2_matches_reference(rng):
+    """Augmented-matmul global kernel == unfused dense reference,
+    square and rect grids, R=1 and R=2."""
+    from lameness_tpu.ops.sam_attention import sam_global_attention_v2
+    d, bh = 16, 3
+    for gh, gw in ((8, 8), (4, 8)):
+        n = gh * gw
+        q = jnp.asarray(rng.standard_normal((bh, n, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((bh, n, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((bh, n, d)).astype(np.float32))
+        rh = jnp.asarray(
+            rng.standard_normal((bh, gh, gw, gh)).astype(np.float32)) * 0.2
+        rw = jnp.asarray(
+            rng.standard_normal((bh, gh, gw, gw)).astype(np.float32)) * 0.2
+        ref = sam_attention_reference(q, k, v, rh, rw)
+        for r in (1, 2):
+            got = sam_global_attention_v2(q, k, v, rh, rw, interpret=True,
+                                          rows_per_program=r)
+            err = np.max(np.abs(np.asarray(got) - np.asarray(ref)))
+            assert err < 2e-5, (gh, gw, r, err)

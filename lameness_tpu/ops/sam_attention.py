@@ -87,9 +87,11 @@ def sam_global_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert n == gh * gw, (n, gh, gw)
     assert rel_h.shape[1:] == (gh, gw, gh) and rel_w.shape[1:] == (gh, gw, gw)
     import os
-    if os.environ.get("LAMENESS_GLB_KERNEL", "v1") == "v2":
-        # augmented-matmul variant (bias_h folded into the score
-        # contraction) — opt-in until on-chip parity + perf land
+    if os.environ.get("LAMENESS_GLB_KERNEL", "v2") != "v1":
+        # augmented-matmul variant: bias_h folded into the score
+        # contraction.  On-chip at serving shape (528 heads, 4096 tokens,
+        # bf16): v1 63 ms -> v2 47 ms real, bitwise-identical outputs
+        # (docs/PROBES_r03.json glbvar).  LAMENESS_GLB_KERNEL=v1 reverts.
         return sam_global_attention_v2(q, k, v, rel_h, rel_w,
                                        interpret=interpret)
     try:
@@ -150,14 +152,15 @@ def _global_kernel_v2(qa_ref, ka_ref, rw_ref, v_ref, o_ref, *, gh: int):
 def sam_global_attention_v2(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             rel_h: jnp.ndarray, rel_w: jnp.ndarray,
                             interpret: bool = False,
-                            rows_per_program: int = 2) -> jnp.ndarray:
+                            rows_per_program: int = 4) -> jnp.ndarray:
     """Augmented-matmul variant of sam_global_attention (same signature).
 
     Numerics: scale = D^-1/2 is a power of two for SAM's hd=64 (exact in
     bf16); rh rounds to the compute dtype before the exact one-hot
     selection — the only delta vs v1, inside the existing parity gates.
-    ``rows_per_program`` default 2 → M = 2·GW = 128 rows fills the MXU
-    sublane tile that v1's single-row (M=64) programs half-wasted.
+    ``rows_per_program`` default 4 (best measured: 63/58/50/47 ms for
+    v1/R1/R2/R4) — M = R·GW rows fills the MXU sublane tile that v1's
+    single-row (M=64) programs half-wasted.
     """
     bh, n, d = q.shape
     gh, gw = rel_h.shape[1], rel_w.shape[3]

@@ -441,6 +441,38 @@ def probe_attnover(small: bool) -> None:
                 y[:, :, 2].transpose(0, 2, 1, 3))
     timed("qkv_split_transpose", jax.jit(qkv_split), pq, x)
 
+    # --- global-layer shapes: 44 images x 4096 tokens --------------------
+    bg, g = (2, 16) if small else (44, 64)
+    ng = g * g
+    xg = jax.random.normal(key, (bg, ng, dim), dtype)
+    qg = jax.random.normal(key, (bg * heads, ng, hd), dtype)
+    relg_h = jax.random.normal(key, (2 * g - 1, hd), dtype) * 0.2
+    relg_w = jax.random.normal(key, (2 * g - 1, hd), dtype) * 0.2
+    q4g = jax.random.normal(key, (bg, ng, heads, hd), dtype)
+
+    timed("g_qkv_dense", jax.jit(lambda p, t: qkv.apply(p, t)), pq, xg)
+    timed("g_rel_project", jax.jit(
+        lambda qq: project_rel_tables(qq, relg_h, relg_w, g)), qg)
+    timed("g_transpose_0213", jax.jit(
+        lambda t: t.transpose(0, 2, 1, 3) + 0), q4g)
+
+    def qkv_split_g(p, t):
+        y = qkv.apply(p, t).reshape(bg, ng, 3, heads, hd)
+        return (y[:, :, 0].transpose(0, 2, 1, 3),
+                y[:, :, 1].transpose(0, 2, 1, 3),
+                y[:, :, 2].transpose(0, 2, 1, 3))
+    timed("g_qkv_split_transpose", jax.jit(qkv_split_g), pq, xg)
+
+    # the kernel-facing reshape (B, nH, N, D) -> (B*nH, N, D) + augment
+    def g_augment(qq):
+        from lameness_tpu.ops.sam_attention import project_rel_tables as prt
+        rh, rw = prt(qq, relg_h, relg_w, g)
+        qa = jnp.concatenate(
+            [qq * 0.125, rh.reshape(qq.shape[0], ng, g).astype(qq.dtype)],
+            axis=-1)
+        return qa
+    timed("g_augment_total", jax.jit(g_augment), qg)
+
 
 PROBES = {"overlap": probe_overlap, "samprof": probe_samprof,
           "pairab": probe_pairab, "winvar": probe_winvar,

@@ -120,7 +120,23 @@ class VisionAttention(nn.Module):
                          and os.environ.get("LAMENESS_FUSED_WIN") != "0"
                          and (jax.default_backend() == "tpu"
                               or self.fused is True))
-        if use_fused_win:
+        if use_fused_win and os.environ.get(
+                "LAMENESS_WIN_KERNEL", "v3") == "v3":
+            # transpose-free default: head-last layouts end-to-end, the
+            # kernel reads 128-lane-aligned per-head slices directly.
+            # On-chip (b=1100 windows, bf16): 46 -> 33 ms real module
+            # time vs the transpose-based v1 path, bitwise-identical
+            # (docs/PROBES_r03.json attnmod_*).  LAMENESS_WIN_KERNEL=v1
+            # (or v2) reverts to the transpose-based kernels.
+            from ..ops.sam_attention import (project_rel_tables_hl,
+                                             sam_window_attention_v3)
+            interp = jax.default_backend() != "tpu"
+            rh4, rw4 = project_rel_tables_hl(q, rel_h, rel_w, h)
+            of = sam_window_attention_v3(q, k, v, rh4, rw4,
+                                         interpret=interp)
+            out = of.reshape(b, h, w, self.dim)
+            return nn.Dense(self.dim, name="proj")(out)
+        elif use_fused_win:
             # fused windowed path: one Pallas program per window fuses
             # bias + softmax + both matmuls for all heads (the windowed
             # layers are ~91% of SAM encoder compute)

@@ -387,6 +387,110 @@ def sam_window_attention_v2(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(bw, nh, n, d)
 
 
+def _window_kernel_v3(qa_ref, ka_ref, va_ref, o_ref, *, heads: int,
+                      lane: int):
+    """Head-interleaved augmented window attention.
+
+    qa/ka/va/o refs: (1, N, heads·lane) with each head's slice 128-lane
+    aligned (lane = 128), so every in-kernel slice is tile-aligned —
+    no relayouts, no HLO transposes feeding the kernel.  Per head: one
+    augmented QK matmul (bias folded, see sam_window_attention_v2) +
+    softmax + one PV matmul against the zero-padded (N, 128) V tile
+    (the pad lanes cost nothing: N=64 PV wasted the same half-tile).
+    """
+    for h in range(heads):
+        sl = slice(h * lane, (h + 1) * lane)
+        qa = qa_ref[0, :, sl]                    # (N, 128)
+        ka = ka_ref[0, :, sl]
+        va = va_ref[0, :, sl]
+        s = jax.lax.dot_general(qa, ka, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p.astype(va.dtype), va, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def sam_window_attention_v3(q4: jnp.ndarray, k4: jnp.ndarray,
+                            v4: jnp.ndarray, rh4: jnp.ndarray,
+                            rw4: jnp.ndarray,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Transpose-free windowed attention over head-last layouts.
+
+    q4/k4/v4: (BW, N, nH, hd) — the qkv Dense output sliced, NOT
+    transposed; rh4/rw4: (BW, N, nH, win) head-last projected rel
+    tables (project_rel_tables_hl).  Returns (BW, N, nH·hd) ready for
+    the out projection (feature index h·hd + d, the same order the
+    transpose-based path produces).
+
+    Packing: per head, [q·scale | rh | rw | 0] and [k | spreadᵀ | modᵀ
+    | 0] fill exactly one 128-lane group (hd=64 + 2·win=28 + pad), so
+    the kernel's per-head slices are tile-aligned and the augmented QK
+    matmul contracts a single full MXU K tile.  V pads hd → 128 with
+    zeros (same MXU passes as the half-wasted N=64 PV).
+    """
+    bw, n, nh, hd = q4.shape
+    win = rh4.shape[-1]
+    assert n == win * win, (n, win)
+    lane = 128
+    aug = hd + 2 * win
+    assert aug <= lane, (hd, win)
+    scale = hd ** -0.5
+    jj = np.arange(n)
+    const = np.concatenate(
+        [(jj[:, None] // win) == np.arange(win)[None, :],
+         (jj[:, None] % win) == np.arange(win)[None, :]],
+        axis=1).astype(np.float32)                       # (N, 2·win)
+    const = jnp.broadcast_to(jnp.asarray(const, q4.dtype)[:, None, :],
+                             (n, nh, 2 * win))
+    zpad = jnp.zeros((bw, n, nh, lane - aug), q4.dtype)
+    qa = jnp.concatenate(
+        [q4 * scale, rh4.astype(q4.dtype), rw4.astype(q4.dtype), zpad], -1)
+    ka = jnp.concatenate(
+        [k4, jnp.broadcast_to(const, (bw, n, nh, 2 * win)), zpad], -1)
+    va = jnp.concatenate(
+        [v4, jnp.zeros((bw, n, nh, lane - hd), q4.dtype)], -1)
+    c = nh * lane
+    out = pl.pallas_call(
+        functools.partial(_window_kernel_v3, heads=nh, lane=lane),
+        grid=(bw,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bw, n, c), q4.dtype),
+        interpret=interpret,
+    )(qa.reshape(bw, n, c), ka.reshape(bw, n, c), va.reshape(bw, n, c))
+    return out.reshape(bw, n, nh, lane)[..., :hd].reshape(bw, n, nh * hd)
+
+
+def project_rel_tables_hl(q4: jnp.ndarray, rel_pos_h: jnp.ndarray,
+                          rel_pos_w: jnp.ndarray, gh: int,
+                          gw: int = None):
+    """Head-last rel-table projection: q4 (BW, N, nH, hd) ->
+    rh4 (BW, N, nH, GH), rw4 (BW, N, nH, GW) — the transpose-free
+    counterpart of project_rel_tables (token index t = qh·GW + qw)."""
+    gw = gh if gw is None else gw
+    idx_h = (np.arange(gh)[:, None] - np.arange(gh)[None, :]) + (gh - 1)
+    idx_w = (np.arange(gw)[:, None] - np.arange(gw)[None, :]) + (gw - 1)
+    rh_tok = rel_pos_h[idx_h]            # (GH, GH, D) [qh, kh, d]
+    rw_tok = rel_pos_w[idx_w]            # (GW, GW, D) [qw, kw, d]
+    # expand to token-major: token t -> row t//GW / col t%GW
+    rh_tok = jnp.repeat(rh_tok, gw, axis=0)              # (N, GH, D)
+    rw_tok = jnp.tile(rw_tok, (gh, 1, 1))                # (N, GW, D)
+    rh4 = jnp.einsum("bthd,tkd->bthk", q4, rh_tok)
+    rw4 = jnp.einsum("bthd,tkd->bthk", q4, rw_tok)
+    return rh4, rw4
+
+
 def project_rel_tables(q: jnp.ndarray, rel_pos_h: jnp.ndarray,
                        rel_pos_w: jnp.ndarray, g: int, gw: int = None):
     """q: (BH, GH*GW, D); rel tables (2GH-1, D) / (2GW-1, D) ->

@@ -318,16 +318,47 @@ def probe_winvar(small: bool) -> None:
             _emit(name + "_error", {"error": repr(e)[:300]})
 
     run("win_v1", lambda *a: sam_window_attention(*a, interpret=interp))
-    for wpp in (1, 2, 4):
-        run(f"win_v2_wpp{wpp}",
-            lambda *a, w=wpp: sam_window_attention_v2(
-                *a, interpret=interp, windows_per_program=w))
+    run("win_v2_wpp1",
+        lambda *a: sam_window_attention_v2(*a, interpret=interp,
+                                           windows_per_program=1))
     if "win_v1" in outs:
         for name, o in outs.items():
             if name == "win_v1":
                 continue
             _emit(name + "_parity", {
                 "max_abs_vs_v1": float(np.max(np.abs(o - outs["win_v1"])))})
+
+    # module level (qkv dense + rel projection + kernel + out proj) —
+    # where v3's transpose-free layout actually pays
+    import os as _os
+    from lameness_tpu.models.sam import VisionAttention
+    x = jax.random.normal(ks[0], (bw, win, win, 768), dtype)
+    mod = VisionAttention(768, 12, (win, win), fused=True)
+    pinit = jax.jit(mod.init)(jax.random.PRNGKey(1), x[:1])
+    pinit = jax.tree_util.tree_map(lambda a: a.astype(dtype), pinit)
+    mouts = {}
+    for ver in ("v1", "v3"):
+        _os.environ["LAMENESS_WIN_KERNEL"] = ver
+        try:
+            jfn = jax.jit(lambda p, t: mod.apply(p, t))
+            out = jfn(pinit, x)
+            _sync_scalar(out)
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                out = jfn(pinit, x)
+                _sync_scalar(out)
+                ts.append(time.perf_counter() - t0)
+            mouts[ver] = np.asarray(out[:2]).astype(np.float32)
+            _emit(f"attnmod_{ver}",
+                  {"p50_ms": round(1e3 * float(np.median(ts)), 2)})
+        except Exception as e:
+            _emit(f"attnmod_{ver}_error", {"error": repr(e)[:300]})
+    _os.environ.pop("LAMENESS_WIN_KERNEL", None)
+    if len(mouts) == 2:
+        _emit("attnmod_v3_parity", {
+            "max_abs_vs_v1": float(np.max(np.abs(mouts["v3"]
+                                                 - mouts["v1"])))})
 
 
 # ---------------------------------------------------------------------------

@@ -146,3 +146,58 @@ def test_global_kernel_v2_matches_reference(rng):
                                           rows_per_program=r)
             err = np.max(np.abs(np.asarray(got) - np.asarray(ref)))
             assert err < 2e-5, (gh, gw, r, err)
+
+
+def test_window_kernel_v3_matches_reference(rng):
+    """Head-interleaved transpose-free window kernel == dense reference,
+    including the head-last rel-table projection."""
+    from lameness_tpu.ops.sam_attention import (project_rel_tables,
+                                                project_rel_tables_hl,
+                                                sam_window_attention_v3)
+    win, hd, bw, nh = 4, 16, 3, 2
+    n = win * win
+    q4 = jnp.asarray(rng.standard_normal((bw, n, nh, hd)).astype(np.float32))
+    k4 = jnp.asarray(rng.standard_normal((bw, n, nh, hd)).astype(np.float32))
+    v4 = jnp.asarray(rng.standard_normal((bw, n, nh, hd)).astype(np.float32))
+    rel_h = jnp.asarray(
+        rng.standard_normal((2 * win - 1, hd)).astype(np.float32)) * 0.2
+    rel_w = jnp.asarray(
+        rng.standard_normal((2 * win - 1, hd)).astype(np.float32)) * 0.2
+
+    # head-last projection must match the head-major one
+    rh4, rw4 = project_rel_tables_hl(q4, rel_h, rel_w, win)
+    qf = q4.transpose(0, 2, 1, 3).reshape(bw * nh, n, hd)
+    rh_ref, rw_ref = project_rel_tables(qf, rel_h, rel_w, win)
+    assert np.allclose(
+        np.asarray(rh4.transpose(0, 2, 1, 3)),
+        np.asarray(rh_ref.reshape(bw, nh, win, win, win)
+                   ).reshape(bw, nh, n, win), atol=1e-5)
+    assert np.allclose(
+        np.asarray(rw4.transpose(0, 2, 1, 3)),
+        np.asarray(rw_ref.reshape(bw, nh, win, win, win)
+                   ).reshape(bw, nh, n, win), atol=1e-5)
+
+    bias = (rh4[..., :, None] + rw4[..., None, :]
+            ).transpose(0, 2, 1, 3, 4).reshape(bw, nh, n, n)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q4, k4) * (hd ** -0.5) + bias
+    ref = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), v4)
+    ref = np.asarray(ref).reshape(bw, n, nh * hd)
+    got = sam_window_attention_v3(q4, k4, v4, rh4, rw4, interpret=True)
+    assert np.max(np.abs(np.asarray(got) - ref)) < 2e-5
+
+
+def test_vision_attention_v3_env_parity(rng, monkeypatch):
+    """VisionAttention windowed path: v3 env routing == unfused module."""
+    from lameness_tpu.models.sam import VisionAttention
+    g, dim, heads = 4, 32, 4         # g == window grid (h == w == sh)
+    x = jnp.asarray(rng.standard_normal((2, g, g, dim)).astype(np.float32))
+    ref_mod = VisionAttention(dim, heads, (g, g), fused=False)
+    params = ref_mod.init(jax.random.PRNGKey(0), x)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * np.random.default_rng(1).standard_normal(
+            a.shape).astype(a.dtype) if a.ndim == 2 else a, params)
+    ref = ref_mod.apply(params, x)
+    monkeypatch.setenv("LAMENESS_WIN_KERNEL", "v3")
+    got_mod = VisionAttention(dim, heads, (g, g), fused=True)
+    got = got_mod.apply(params, x)
+    assert np.max(np.abs(np.asarray(got) - np.asarray(ref))) < 2e-5

@@ -151,6 +151,17 @@ class VisionAttention(nn.Module):
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), rh, rw, interpret=interp)
             out = of.transpose(0, 2, 1, 3)                  # (B, N, nH, hd)
+        elif use_fused and os.environ.get("LAMENESS_GLB_KERNEL") == "v3":
+            # transpose-free head-last global path (opt-in): the grid's
+            # lane-block axis selects the head, no HLO transposes
+            from ..ops.sam_attention import (project_rel_tables_hl,
+                                             sam_global_attention_v3)
+            interp = jax.default_backend() != "tpu"
+            rh4, rw4 = project_rel_tables_hl(q, rel_h, rel_w, h, w)
+            of = sam_global_attention_v3(q, k, v, rh4, rw4,
+                                         interpret=interp)
+            out = of.reshape(b, h, w, self.dim)
+            return nn.Dense(self.dim, name="proj")(out)
         elif use_fused:
             # fused Pallas path: never materialises the (N, N) bias
             from ..ops.sam_attention import (project_rel_tables,

@@ -387,6 +387,100 @@ def sam_window_attention_v2(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(bw, nh, n, d)
 
 
+def _global_kernel_v3(qa_ref, ka_ref, rw_ref, va_ref, o_ref, *,
+                      gh: int, gw: int):
+    """Head-last augmented global attention: one (image, head, row-block)
+    per program; the head is selected by the grid's lane-block index, so
+    the HLO side never transposes head-major."""
+    qa = qa_ref[0]                       # (R·GW, 128)
+    ka = ka_ref[0]                       # (N, 128)
+    va = va_ref[0]                       # (N, 128) — hd + zero pad
+    rw = rw_ref[0][:, :gw].astype(jnp.float32)           # (R·GW, GW)
+    s = jax.lax.dot_general(qa, ka, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + pltpu.repeat(rw, gh, axis=1)                 # rw[t, j % GW]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(va.dtype), va, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def sam_global_attention_v3(q4: jnp.ndarray, k4: jnp.ndarray,
+                            v4: jnp.ndarray, rh4: jnp.ndarray,
+                            rw4: jnp.ndarray,
+                            interpret: bool = False,
+                            rows_per_program: int = 4) -> jnp.ndarray:
+    """Transpose-free global attention over head-last layouts.
+
+    q4/k4/v4: (B, N, nH, hd) qkv Dense slices (never transposed);
+    rh4: (B, N, nH, GH), rw4: (B, N, nH, GW) head-last projected tables
+    (project_rel_tables_hl).  Returns (B, N, nH·hd).
+
+    Per head, [q·scale | rh | 0] / [k | spreadᵀ | 0] pack to one
+    128-lane group (hd + GH ≤ 128 for SAM's 64-token grid — exactly
+    full, zero pad only on rect canvases), so the augmented QK matmul
+    contracts one full MXU K tile and bias_h is free; bias_w stays a
+    lane-repeat.  The grid's third axis indexes the head's lane block —
+    every slice the kernel sees is 128-aligned.
+    """
+    b, n, nh, hd = q4.shape
+    gh, gw = rh4.shape[-1], rw4.shape[-1]
+    assert n == gh * gw, (n, gh, gw)
+    lane = 128
+    aug = hd + gh
+    assert aug <= lane and gw <= lane, (hd, gh, gw)
+    import os
+    try:
+        r = int(os.environ.get("LAMENESS_SAM_ROWS_V3", rows_per_program))
+    except ValueError:
+        r = rows_per_program
+    r = max(1, min(r, gh))
+    while gh % r:
+        r -= 1
+    scale = hd ** -0.5
+    jj = np.arange(n)
+    spread_t = jnp.asarray(
+        ((jj[:, None] // gw) == np.arange(gh)[None, :]).astype(np.float32),
+        q4.dtype)                                         # (N, GH)
+    zq = jnp.zeros((b, n, nh, lane - aug), q4.dtype)
+    qa = jnp.concatenate(
+        [q4 * scale, rh4.astype(q4.dtype), zq], axis=-1)
+    ka = jnp.concatenate(
+        [k4, jnp.broadcast_to(spread_t[:, None, :], (b, n, nh, gh)), zq],
+        axis=-1)
+    va = jnp.concatenate(
+        [v4, jnp.zeros((b, n, nh, lane - hd), q4.dtype)], axis=-1)
+    rwp = jnp.concatenate(
+        [rw4.astype(q4.dtype),
+         jnp.zeros((b, n, nh, lane - gw), q4.dtype)], axis=-1)
+    c = nh * lane
+    # grid order (b, h, i): the row-block axis i iterates FASTEST so the
+    # full-grid ka/va blocks (index constant in i) stay resident instead
+    # of refetching per program
+    out = pl.pallas_call(
+        functools.partial(_global_kernel_v3, gh=gh, gw=gw),
+        grid=(b, nh, gh // r),
+        in_specs=[
+            pl.BlockSpec((1, r * gw, lane), lambda b_, h, i: (b_, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, lane), lambda b_, h, i: (b_, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r * gw, lane), lambda b_, h, i: (b_, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, lane), lambda b_, h, i: (b_, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r * gw, lane), lambda b_, h, i: (b_, i, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), q4.dtype),
+        interpret=interpret,
+    )(qa.reshape(b, n, c), ka.reshape(b, n, c),
+      rwp.reshape(b, n, c), va.reshape(b, n, c))
+    return out.reshape(b, n, nh, lane)[..., :hd].reshape(b, n, nh * hd)
+
+
 def _window_kernel_v3(qa_ref, ka_ref, va_ref, o_ref, *, heads: int,
                       lane: int):
     """Head-interleaved augmented window attention.

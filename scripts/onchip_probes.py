@@ -412,6 +412,38 @@ def probe_glbvar(small: bool) -> None:
                 _emit(name + "_parity", {
                     "max_abs_vs_v1": float(np.max(np.abs(o - outs["glb_v1"])))})
 
+    # module level: transpose-based v2 default vs head-last v3 routing
+    import os as _os
+    from lameness_tpu.models.sam import VisionAttention
+    bi = max(1, bh // 12)
+    x = jax.random.normal(ks[0], (bi, gh, gw, 768), dtype)
+    mod = VisionAttention(768, 12, (gh, gw), fused=True)
+    pinit = jax.jit(mod.init)(jax.random.PRNGKey(1), x[:1])
+    pinit = jax.tree_util.tree_map(lambda a: a.astype(dtype), pinit)
+    mouts = {}
+    for ver in ("v2", "v3"):
+        _os.environ["LAMENESS_GLB_KERNEL"] = ver
+        try:
+            jfn = jax.jit(lambda p, t: mod.apply(p, t))
+            out = jfn(pinit, x)
+            _sync_scalar(out)
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                out = jfn(pinit, x)
+                _sync_scalar(out)
+                ts.append(time.perf_counter() - t0)
+            mouts[ver] = np.asarray(out[:1]).astype(np.float32)
+            _emit(f"glbmod_{ver}",
+                  {"p50_ms": round(1e3 * float(np.median(ts)), 2)})
+        except Exception as e:
+            _emit(f"glbmod_{ver}_error", {"error": repr(e)[:300]})
+    _os.environ.pop("LAMENESS_GLB_KERNEL", None)
+    if len(mouts) == 2:
+        _emit("glbmod_v3_parity", {
+            "max_abs_vs_v2": float(np.max(np.abs(mouts["v3"]
+                                                 - mouts["v2"])))})
+
 
 # ---------------------------------------------------------------------------
 def probe_attnover(small: bool) -> None:

@@ -201,3 +201,51 @@ def test_vision_attention_v3_env_parity(rng, monkeypatch):
     got_mod = VisionAttention(dim, heads, (g, g), fused=True)
     got = got_mod.apply(params, x)
     assert np.max(np.abs(np.asarray(got) - np.asarray(ref))) < 2e-5
+
+
+def test_global_kernel_v3_matches_reference(rng):
+    """Head-last transpose-free global kernel == dense reference,
+    square and rect grids."""
+    from lameness_tpu.ops.sam_attention import (project_rel_tables_hl,
+                                                sam_global_attention_v3)
+    hd, b, nh = 16, 2, 2
+    for gh, gw in ((8, 8), (4, 8)):
+        n = gh * gw
+        q4 = jnp.asarray(
+            rng.standard_normal((b, n, nh, hd)).astype(np.float32))
+        k4 = jnp.asarray(
+            rng.standard_normal((b, n, nh, hd)).astype(np.float32))
+        v4 = jnp.asarray(
+            rng.standard_normal((b, n, nh, hd)).astype(np.float32))
+        rel_h = jnp.asarray(
+            rng.standard_normal((2 * gh - 1, hd)).astype(np.float32)) * 0.2
+        rel_w = jnp.asarray(
+            rng.standard_normal((2 * gw - 1, hd)).astype(np.float32)) * 0.2
+        rh4, rw4 = project_rel_tables_hl(q4, rel_h, rel_w, gh, gw)
+        bias = (rh4[..., :, None] + rw4[..., None, :]
+                ).transpose(0, 2, 1, 3, 4).reshape(b, nh, n, n)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q4, k4) * (hd ** -0.5) + bias
+        ref = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), v4)
+        ref = np.asarray(ref).reshape(b, n, nh * hd)
+        for r in (1, 2):
+            got = sam_global_attention_v3(q4, k4, v4, rh4, rw4,
+                                          interpret=True,
+                                          rows_per_program=r)
+            err = np.max(np.abs(np.asarray(got) - ref))
+            assert err < 2e-5, (gh, gw, r, err)
+
+
+def test_vision_attention_global_v3_env_parity(rng, monkeypatch):
+    """VisionAttention global path: v3 env routing == unfused module."""
+    from lameness_tpu.models.sam import VisionAttention
+    g, dim, heads = 8, 32, 4
+    x = jnp.asarray(rng.standard_normal((2, g, g, dim)).astype(np.float32))
+    ref_mod = VisionAttention(dim, heads, (g, g), fused=False)
+    params = ref_mod.init(jax.random.PRNGKey(0), x)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * np.random.default_rng(1).standard_normal(
+            a.shape).astype(a.dtype) if a.ndim == 2 else a, params)
+    ref = ref_mod.apply(params, x)
+    monkeypatch.setenv("LAMENESS_GLB_KERNEL", "v3")
+    got = VisionAttention(dim, heads, (g, g), fused=True).apply(params, x)
+    assert np.max(np.abs(np.asarray(got) - np.asarray(ref))) < 2e-5

@@ -482,35 +482,40 @@ def sam_global_attention_v3(q4: jnp.ndarray, k4: jnp.ndarray,
 
 
 def _window_kernel_v3(qa_ref, ka_ref, va_ref, o_ref, *, heads: int,
-                      lane: int):
+                      lane: int, wpp: int):
     """Head-interleaved augmented window attention.
 
-    qa/ka/va/o refs: (1, N, heads·lane) with each head's slice 128-lane
+    qa/ka/va/o refs: (wpp, N, heads·lane) with each head's slice 128-lane
     aligned (lane = 128), so every in-kernel slice is tile-aligned —
     no relayouts, no HLO transposes feeding the kernel.  Per head: one
     augmented QK matmul (bias folded, see sam_window_attention_v2) +
     softmax + one PV matmul against the zero-padded (N, 128) V tile
     (the pad lanes cost nothing: N=64 PV wasted the same half-tile).
+    ``wpp`` windows per program (a plain unrolled loop — batched
+    dot_generals crash the remote Mosaic toolchain) amortizes the
+    per-program grid overhead across windows.
     """
-    for h in range(heads):
-        sl = slice(h * lane, (h + 1) * lane)
-        qa = qa_ref[0, :, sl]                    # (N, 128)
-        ka = ka_ref[0, :, sl]
-        va = va_ref[0, :, sl]
-        s = jax.lax.dot_general(qa, ka, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, :, sl] = jax.lax.dot_general(
-            p.astype(va.dtype), va, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    for w in range(wpp):
+        for h in range(heads):
+            sl = slice(h * lane, (h + 1) * lane)
+            qa = qa_ref[w, :, sl]                # (N, 128)
+            ka = ka_ref[w, :, sl]
+            va = va_ref[w, :, sl]
+            s = jax.lax.dot_general(qa, ka, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[w, :, sl] = jax.lax.dot_general(
+                p.astype(va.dtype), va, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def sam_window_attention_v3(q4: jnp.ndarray, k4: jnp.ndarray,
                             v4: jnp.ndarray, rh4: jnp.ndarray,
                             rw4: jnp.ndarray,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            windows_per_program: int = 1) -> jnp.ndarray:
     """Transpose-free windowed attention over head-last layouts.
 
     q4/k4/v4: (BW, N, nH, hd) — the qkv Dense output sliced, NOT
@@ -531,6 +536,14 @@ def sam_window_attention_v3(q4: jnp.ndarray, k4: jnp.ndarray,
     lane = 128
     aug = hd + 2 * win
     assert aug <= lane, (hd, win)
+    import os
+    try:
+        wpp = int(os.environ.get("LAMENESS_SAM_WPP3", windows_per_program))
+    except ValueError:
+        wpp = windows_per_program
+    wpp = max(1, min(wpp, bw))
+    while bw % wpp:
+        wpp -= 1
     scale = hd ** -0.5
     jj = np.arange(n)
     const = np.concatenate(
@@ -548,17 +561,17 @@ def sam_window_attention_v3(q4: jnp.ndarray, k4: jnp.ndarray,
         [v4, jnp.zeros((bw, n, nh, lane - hd), q4.dtype)], -1)
     c = nh * lane
     out = pl.pallas_call(
-        functools.partial(_window_kernel_v3, heads=nh, lane=lane),
-        grid=(bw,),
+        functools.partial(_window_kernel_v3, heads=nh, lane=lane, wpp=wpp),
+        grid=(bw // wpp,),
         in_specs=[
-            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
+            pl.BlockSpec((wpp, n, c), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
+            pl.BlockSpec((wpp, n, c), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
+            pl.BlockSpec((wpp, n, c), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, c), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((wpp, n, c), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bw, n, c), q4.dtype),
         interpret=interpret,

@@ -337,8 +337,12 @@ def probe_winvar(small: bool) -> None:
     pinit = jax.jit(mod.init)(jax.random.PRNGKey(1), x[:1])
     pinit = jax.tree_util.tree_map(lambda a: a.astype(dtype), pinit)
     mouts = {}
-    for ver in ("v1", "v3"):
+    for ver, wpp in (("v1", None), ("v3", None), ("v3", 2), ("v3", 4),
+                     ("v3", 10)):
         _os.environ["LAMENESS_WIN_KERNEL"] = ver
+        if wpp is not None:
+            _os.environ["LAMENESS_SAM_WPP3"] = str(wpp)
+        tag = f"attnmod_{ver}" + (f"_wpp{wpp}" if wpp else "")
         try:
             jfn = jax.jit(lambda p, t: mod.apply(p, t))
             out = jfn(pinit, x)
@@ -349,16 +353,18 @@ def probe_winvar(small: bool) -> None:
                 out = jfn(pinit, x)
                 _sync_scalar(out)
                 ts.append(time.perf_counter() - t0)
-            mouts[ver] = np.asarray(out[:2]).astype(np.float32)
-            _emit(f"attnmod_{ver}",
-                  {"p50_ms": round(1e3 * float(np.median(ts)), 2)})
+            mouts[tag] = np.asarray(out[:2]).astype(np.float32)
+            _emit(tag, {"p50_ms": round(1e3 * float(np.median(ts)), 2)})
         except Exception as e:
-            _emit(f"attnmod_{ver}_error", {"error": repr(e)[:300]})
+            _emit(f"{tag}_error", {"error": repr(e)[:300]})
+        _os.environ.pop("LAMENESS_SAM_WPP3", None)
     _os.environ.pop("LAMENESS_WIN_KERNEL", None)
-    if len(mouts) == 2:
-        _emit("attnmod_v3_parity", {
-            "max_abs_vs_v1": float(np.max(np.abs(mouts["v3"]
-                                                 - mouts["v1"])))})
+    base = mouts.get("attnmod_v1")
+    if base is not None:
+        for tag, o in mouts.items():
+            if tag != "attnmod_v1":
+                _emit(tag + "_parity", {
+                    "max_abs_vs_v1": float(np.max(np.abs(o - base)))})
 
 
 # ---------------------------------------------------------------------------

@@ -182,8 +182,10 @@ def test_window_kernel_v3_matches_reference(rng):
     s = jnp.einsum("bqhd,bkhd->bhqk", q4, k4) * (hd ** -0.5) + bias
     ref = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), v4)
     ref = np.asarray(ref).reshape(bw, n, nh * hd)
-    got = sam_window_attention_v3(q4, k4, v4, rh4, rw4, interpret=True)
-    assert np.max(np.abs(np.asarray(got) - ref)) < 2e-5
+    for wpp in (1, 3):
+        got = sam_window_attention_v3(q4, k4, v4, rh4, rw4, interpret=True,
+                                      windows_per_program=wpp)
+        assert np.max(np.abs(np.asarray(got) - ref)) < 2e-5, wpp
 
 
 def test_vision_attention_v3_env_parity(rng, monkeypatch):

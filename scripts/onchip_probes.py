@@ -543,10 +543,157 @@ def probe_attnover(small: bool) -> None:
     timed("g_augment_total", jax.jit(g_augment), qg)
 
 
+# ---------------------------------------------------------------------------
+def probe_streamgap(small: bool) -> None:
+    """Attribute the overlap-e2e gap on the headline split config.
+
+    The 17:08 r3 capture measured 1.93 s/batch yuv-overlap where the
+    pipeline bound says max(transfer 0.78, compute 1.01) + eps — so
+    ~0.9 s/batch is unattributed.  This probe times every component of
+    one _e2e_yuv_overlap iteration in isolation AND the contended pair,
+    so the gap is explained by recorded numbers:
+
+      put            _yuv_put of the I420 batch, device idle
+      yuv2rgb        on-device I420->RGB hop (dispatch + exec + sync)
+      syncout        _sync_out on an ALREADY-complete tree (readback RTTs)
+      compute        run_staged + _sync_out on resident RGB (baseline)
+      compute_yuvin  same but on _jit_yuv OUTPUT arrays (dtype/layout
+                     drift between the compute-only and e2e paths)
+      serial_iter    put + yuv2rgb-dispatch + run_staged + _sync_out
+      overlap_iter   the exact bench loop (reference measurement)
+      put_contended  put in a thread while run_staged+_sync_out runs in
+                     the main thread: wall + in-thread put duration —
+                     if put_contended_put_s >> put_s, host->HBM bulk
+                     transfer and scalar readbacks serialize on the
+                     tunnel connection and 'overlap' doesn't overlap.
+    """
+    import threading as _th
+
+    import jax
+
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    if small:
+        jax.config.update("jax_platforms", "cpu")
+        from lameness_tpu.pipeline.engine import make_test_engine
+        eng = make_test_engine()
+        s = eng.spec
+        rng0 = np.random.default_rng(0)
+        frames = rng0.integers(
+            0, 255, (1, s.clip_frames, s.frame_height, s.frame_width, 3),
+            dtype=np.uint8)
+        batch = 2
+        small_rgb = bench._pack_ingest(frames, batch, s, s.frame_width,
+                                       s.frame_height)
+        from lameness_tpu.video.yuv import rgb_to_i420
+        yuv_np = rgb_to_i420(small_rgb)
+    else:
+        from lameness_tpu.pipeline.engine import EngineSpec, LamenessEngine
+        from lameness_tpu.pipeline.precision import apply_engine_policy
+        batch = 4
+        t0 = time.time()
+        spec = EngineSpec(frame_height=576, frame_width=1024)
+        spec.lo_width, spec.lo_height = 640, 360
+        eng = LamenessEngine(spec=spec)
+        apply_engine_policy(eng)
+        _emit("sg_build", {"s": round(time.time() - t0, 1)})
+        frames_native = bench.load_clip_frames()
+        tag, src = "1024x576+640x360", "720x1280"
+        small_rgb = bench._prep_cache(
+            f"ingest_{tag}_b{batch}_{src}",
+            lambda: bench._pack_ingest(frames_native, batch, eng.spec,
+                                       1024, 576))
+        from lameness_tpu.video.yuv import rgb_to_i420
+        yuv_np = bench._prep_cache(
+            f"yuvingest_{tag}_b{batch}_{src}",
+            lambda: ({k: rgb_to_i420(v) for k, v in small_rgb.items()}
+                     if isinstance(small_rgb, dict)
+                     else rgb_to_i420(small_rgb)))
+    t0 = time.time()
+    eng.warmup(batch=batch)
+    _emit("sg_warmup", {"s": round(time.time() - t0, 1)})
+    rng = jax.random.PRNGKey(0)
+
+    _emit("sg_link", {"mb_s": bench._measure_link_mb_s()})
+    nbytes = (sum(v.nbytes for v in yuv_np.values())
+              if isinstance(yuv_np, dict) else yuv_np.nbytes)
+    _emit("sg_batch_bytes", {"mb": round(nbytes / 2**20, 1)})
+
+    def med(name, fn, reps=3, **extra):
+        try:
+            fn()                                     # warm
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - t0)
+            _emit(name, {"p50_s": round(float(np.median(ts)), 4), **extra})
+            return float(np.median(ts))
+        except Exception as e:
+            _emit(name + "_error", {"error": repr(e)[:300]})
+            return float("nan")
+
+    med("sg_put", lambda: bench._yuv_put(eng, yuv_np))
+
+    dev_yuv = bench._yuv_put(eng, yuv_np)
+
+    def yuv2rgb():
+        r = bench._yuv_to_rgb(eng, dev_yuv)
+        _sync_scalar(r)
+    med("sg_yuv2rgb", yuv2rgb)
+
+    fd, _ = bench._put_tiled(small_rgb, batch)
+    out = eng.run_staged(fd, rng)
+    bench._sync_out(out)
+    med("sg_syncout", lambda: bench._sync_out(out), reps=4)
+    med("sg_compute",
+        lambda: bench._sync_out(eng.run_staged(fd, rng)))
+    fd_yuvin = bench._yuv_to_rgb(eng, dev_yuv)
+    med("sg_compute_yuvin",
+        lambda: bench._sync_out(eng.run_staged(fd_yuvin, rng)))
+
+    def serial_iter():
+        d = bench._yuv_put(eng, yuv_np)
+        f = bench._yuv_to_rgb(eng, d)
+        bench._sync_out(eng.run_staged(f, rng))
+    med("sg_serial_iter", serial_iter)
+
+    try:
+        s_overlap = bench._e2e_yuv_overlap(eng, yuv_np, rng, 4)
+        _emit("sg_overlap_iter", {"p50_s": round(s_overlap, 4)})
+    except Exception as e:
+        _emit("sg_overlap_iter_error", {"error": repr(e)[:300]})
+
+    def contended():
+        res = {}
+
+        def _put():
+            t0 = time.perf_counter()
+            bench._yuv_put(eng, yuv_np)
+            res["put_s"] = time.perf_counter() - t0
+        th = _th.Thread(target=_put)
+        t0 = time.perf_counter()
+        th.start()
+        bench._sync_out(eng.run_staged(fd, rng))
+        res["compute_s"] = time.perf_counter() - t0
+        th.join()
+        res["wall_s"] = time.perf_counter() - t0
+        return res
+    try:
+        contended()                                  # warm
+        rs = [contended() for _ in range(3)]
+        _emit("sg_put_contended", {
+            k: round(float(np.median([r[k] for r in rs])), 4)
+            for k in ("put_s", "compute_s", "wall_s")})
+    except Exception as e:
+        _emit("sg_put_contended_error", {"error": repr(e)[:300]})
+
+
 PROBES = {"overlap": probe_overlap, "samprof": probe_samprof,
           "pairab": probe_pairab, "winvar": probe_winvar,
           "samstage": probe_samstage, "glbvar": probe_glbvar,
-          "attnover": probe_attnover}
+          "attnover": probe_attnover, "streamgap": probe_streamgap}
 
 
 def main():

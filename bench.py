@@ -311,11 +311,30 @@ def _measure_link_mb_s() -> float:
     return round(64.0 / float(np.median(ts)), 1)
 
 
+_SYNC_JIT = None
+
+
 def _sync_out(out):
-    return (float(out["tcn_probability"][0])
-            + float(out["mask_area_frac"][0, 0])
-            + float(out["embeddings"][0, 0, 0])
-            + float(out["det_scores"][0, 0, 0]))
+    """Force all four stage outputs with ONE readback.
+
+    Four separate ``float(out[...])`` calls cost four tunnel RTTs
+    (~120 ms/batch at the measured ~30 ms RTT) inside every timed loop —
+    a jitted combiner collapses them to one dispatch (~2 ms enqueue) +
+    one scalar device_get, still blocking on all four stage programs."""
+    global _SYNC_JIT
+    if _SYNC_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _combine(a, b, c, d):
+            return (a[0].astype(jnp.float32)
+                    + b[0, 0].astype(jnp.float32)
+                    + c[0, 0, 0].astype(jnp.float32)
+                    + d[0, 0, 0].astype(jnp.float32))
+        _SYNC_JIT = _combine
+    return float(_SYNC_JIT(out["tcn_probability"], out["mask_area_frac"],
+                           out["embeddings"], out["det_scores"]))
 
 
 def _yuv_put(engine, yuv_np):

@@ -129,6 +129,16 @@ def main(argv=None):
     qs.add_argument("--persist", default=None,
                     help="JSON persistence path for the backing store")
 
+    ps = sub.add_parser("pg-server",
+                        help="run the first-party Postgres-wire DB server "
+                             "(SQLite-backed; pair with DATABASE_URL)")
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=5432)
+    ps.add_argument("--path", default=":memory:",
+                    help="backing SQLite file (default in-memory)")
+    ps.add_argument("--user", default="lameness_user")
+    ps.add_argument("--password", default="lameness_pass")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "qdrant-server":
@@ -140,6 +150,21 @@ def main(argv=None):
         port = srv.start()
         print(f"Qdrant-REST vector server on http://{args.host}:{port}",
               flush=True)
+        try:
+            import time
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.stop()
+        return
+
+    if args.cmd == "pg-server":
+        from .io.pg_wire import PgWireServer
+        srv = PgWireServer(path=args.path, host=args.host, port=args.port,
+                           users={args.user: args.password})
+        port = srv.start()
+        print(f"Postgres-wire DB server on postgres://{args.user}:***@"
+              f"{args.host}:{port}/lameness_db", flush=True)
         try:
             import time
             while True:

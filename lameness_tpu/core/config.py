@@ -261,6 +261,19 @@ class ReidConfig:
 
 
 # ---------------------------------------------------------------------------
+# Database (admin-interface/backend/app/database.py:16)
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class DbConfig:
+    # DATABASE_URL analog: a postgres:// URL opens the Database facade
+    # over the first-party wire driver (io/pg_wire.py — point it at a
+    # stock Postgres or `python -m lameness_tpu pg-server`); None = the
+    # SQLite file under the data root.  Config.load honors the
+    # DATABASE_URL env var like the reference does.
+    url: Optional[str] = None
+
+
+# ---------------------------------------------------------------------------
 # Fusion (fusion-service/app/main.py:102-109, 226-314, 457-607)
 # ---------------------------------------------------------------------------
 @dataclass(frozen=True)
@@ -349,6 +362,7 @@ class Config:
     elo: EloConfig = field(default_factory=EloConfig)
     ml: MLConfig = field(default_factory=MLConfig)
     compute: ComputeConfig = field(default_factory=ComputeConfig)
+    db: DbConfig = field(default_factory=DbConfig)
 
     @staticmethod
     def load(path: Optional[str] = None, data_root: Optional[str] = None) -> "Config":
@@ -358,6 +372,9 @@ class Config:
         if data_root is None:
             data_root = os.environ.get("LAMENESS_DATA_ROOT", "data")
         cfg = dataclasses.replace(cfg, dirs=DataDirs(root=data_root))
+        if os.environ.get("DATABASE_URL"):
+            cfg = dataclasses.replace(
+                cfg, db=DbConfig(url=os.environ["DATABASE_URL"]))
         if path and Path(path).exists():
             with open(path) as f:
                 raw: Dict[str, Any] = yaml.safe_load(f) or {}

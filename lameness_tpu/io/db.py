@@ -14,11 +14,13 @@ deliberately portable subset (TEXT/INTEGER/REAL columns, standard
 CHECK/REFERENCES, no sqlite-only syntax), which
 ``tests/test_db_pg_swap.py`` enforces by running the whole facade —
 and every SQL literal in the serve layer — through a strict
-Postgres-semantics driver.  No real DB-API Postgres driver ships in
-this image, so the live-psycopg branch stays documented in
-``docs/DEPLOY.md`` rather than carried as dead code — the same
-reasoning that replaced the unexercisable qdrant-client branch with
-the first-party wire server in ``io/qdrant_wire.py``.
+Postgres-semantics driver.  No stock DB-API Postgres driver ships in
+this image, so ``io/pg_wire.py`` implements the v3 wire protocol first
+party (client driver + SQLite-backed wire server, the same stance as
+``io/nats_wire.py``/``io/qdrant_wire.py``) and
+``tests/test_pg_wire.py`` runs this facade against it over a real
+socket; ``open_database()`` picks the driver from the URL scheme
+(the reference's DATABASE_URL shape, database.py:16).
 
 Tables: users, sessions, processing_jobs, videos, gold_tasks, rater_stats,
 service_heartbeats, video_elo_ratings, pairwise_comparisons, elo_history,
@@ -423,3 +425,16 @@ def _coerce(v):
     if isinstance(v, (dict, list)):
         return json.dumps(v)
     return v
+
+
+def open_database(url_or_path: "Path | str" = ":memory:") -> Database:
+    """Driver-dispatching constructor: a ``postgres://`` /
+    ``postgresql://`` URL (the reference's DATABASE_URL shape,
+    admin-interface/backend/app/database.py:16) opens the facade over
+    the first-party wire driver (``io/pg_wire.py``); anything else is a
+    SQLite path."""
+    s = str(url_or_path)
+    if s.startswith(("postgres://", "postgresql://")):
+        from . import pg_wire
+        return Database(s, driver=pg_wire)
+    return Database(url_or_path)

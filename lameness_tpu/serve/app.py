@@ -30,7 +30,7 @@ from ..io.bus import MessageBus
 from ..utils.logging import get_logger
 
 _LOG = get_logger("app")
-from ..io.db import Database
+from ..io.db import open_database
 from ..io.vecstore import VectorStore
 from ..ml.training import TrainingService
 from ..xai.llm import LLMExplanationService
@@ -58,7 +58,8 @@ class LamenessApp:
         self.bus = MessageBus(
             journal_path=Path(self.dirs.root) / "bus_journal.jsonl",
             async_dispatch=async_dispatch, workers=bus_workers)
-        self.db = Database(Path(self.dirs.root) / "lameness.db")
+        self.db = open_database(
+            self.config.db.url or Path(self.dirs.root) / "lameness.db")
         from ..io.vecstore import make_store
         self.store = make_store(
             url=self.config.reid.vector_url,

@@ -338,15 +338,12 @@ def _sync_out(out):
 
 
 def _yuv_put(engine, yuv_np):
-    """device_put the host I420 array (or split dict) and block."""
+    """device_put the host I420 array (or split dict) and block.
+    Direct device_put on the numpy buffers (no jnp.asarray hop — that
+    commits via the default route before the explicit put)."""
     import jax
-    import jax.numpy as jnp
-    if isinstance(yuv_np, dict):
-        d = jax.device_put({k: jnp.asarray(v) for k, v in yuv_np.items()})
-        jax.block_until_ready(d)
-        return d
-    d = jax.device_put(jnp.asarray(yuv_np))
-    d.block_until_ready()
+    d = jax.device_put(yuv_np)
+    jax.block_until_ready(d)
     return d
 
 
@@ -357,24 +354,23 @@ def _yuv_to_rgb(engine, dev):
 
 
 def _e2e_yuv_overlap(engine, yuv_np, rng, n_runs):
-    """Steady-state s/batch with a producer thread putting batch N+1
-    while N computes (process_stream's structure)."""
-    import threading as _th
+    """Steady-state s/batch, single-threaded pipelining: dispatch batch
+    N async, device_put batch N+1 from the SAME thread while N executes
+    on device, then sync N.  Two Python threads doing device IO contend
+    on the 1-CPU host (put and compute BOTH degrade ~2.5x —
+    sg_put_contended, docs/PROBES_r03.json), while a put issued between
+    an async dispatch and its sync streams at the full link rate."""
     cur = _yuv_to_rgb(engine, _yuv_put(engine, yuv_np))
     _sync_out(engine.run_staged(cur, rng))        # settle queues
+    out = engine.run_staged(cur, rng)             # dispatch run 0 (async)
     t0 = time.time()
     for i in range(n_runs):
-        holder = {}
-        th = None
+        out_next = None
         if i < n_runs - 1:
-            def _put(h=holder):
-                h["d"] = _yuv_put(engine, yuv_np)
-            th = _th.Thread(target=_put)
-            th.start()
-        _sync_out(engine.run_staged(cur, rng))
-        if th is not None:
-            th.join()
-            cur = _yuv_to_rgb(engine, holder["d"])
+            d = _yuv_put(engine, yuv_np)          # streams while run i runs
+            out_next = engine.run_staged(_yuv_to_rgb(engine, d), rng)
+        _sync_out(out)                            # readback run i
+        out = out_next
     return (time.time() - t0) / n_runs
 
 

@@ -304,19 +304,19 @@ class LamenessEngine:
                 else self.spec.split_pack_host(frames)
             if transfer == "yuv420":
                 from ..video.yuv import rgb_to_i420
-                yuv = jax.device_put({k: jnp.asarray(rgb_to_i420(v))
+                yuv = jax.device_put({k: rgb_to_i420(v)
                                       for k, v in frames.items()})
                 return {k: self._jit_yuv(v) for k, v in yuv.items()}
-            return jax.device_put({k: jnp.asarray(v)
-                                   for k, v in frames.items()})
+            return jax.device_put(dict(frames))
         frames = self.spec.pack_frames(np.asarray(frames))
         if transfer == "yuv420":
             from ..video.yuv import rgb_to_i420
-            yuv = jax.device_put(jnp.asarray(rgb_to_i420(frames)))
+            yuv = jax.device_put(rgb_to_i420(frames))
             return self._jit_yuv(yuv)
         # explicit device_put: feeding numpy straight into jit takes a slow
-        # per-call transfer path on tunnelled TPU backends
-        return jax.device_put(jnp.asarray(frames))
+        # per-call transfer path on tunnelled TPU backends (and a
+        # jnp.asarray hop commits via the default route before the put)
+        return jax.device_put(frames)
 
     # -- paired programs (mode="pair"): halve per-clip dispatches ------------
     def _front_stage(self, params, frames):

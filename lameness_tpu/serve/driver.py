@@ -244,17 +244,19 @@ class PipelineDriver:
         cpu_count), overridable via ``LAMENESS_DECODE_WORKERS``; 1 keeps
         the serial behavior.
 
-        The producer thread also issues the host→device transfer
-        (engine.to_device) so the wire is streaming batch N+1 while the
-        chip computes batch N — on tunnelled backends transfer is the
-        dominant per-clip cost, so without this overlap it serializes
-        with compute.
+        ALL device IO (host→device transfer, dispatch, device→host
+        readback) happens on the consumer thread: batch N is dispatched
+        async, batch N+1's transfer streams from the same thread while N
+        executes on device, then N's outputs are read back (N+1 already
+        executing).  On the 1-CPU host two Python threads doing device
+        IO concurrently degrade BOTH sides ~2.5x (sg_put_contended,
+        docs/PROBES_r03.json), while a put issued between an async
+        dispatch and its sync streams at the full link rate — so the
+        overlap is pipelined in ONE thread rather than threaded.
 
-        A third (writer) thread takes each batch's ON-DEVICE output tree
-        and does the device→host readback plus all result-file writes
-        there, so the consumer loop only dispatches compute: batch N's
-        readback and host-side JSON/feature work overlap batch N+1's
-        device time instead of serializing between engine calls.
+        A third (writer) thread takes each batch's read-back numpy tree
+        and does all result-file writes there, so host-side
+        JSON/feature work overlaps the next batch's device time.
         """
         import os as _os
         import queue as _queue
@@ -298,10 +300,10 @@ class PipelineDriver:
                                    for k in frames_list[0]}
                     else:
                         stacked = np.stack(frames_list)
-                    with TIMERS.time("transfer"):
-                        fd = self.engine.to_device(stacked)
-                    q.put((fd, [(vid, scale, info)
-                                for vid, _, scale, info in batch]))
+                    # host work only — the device_put happens on the
+                    # consumer thread (single device-IO thread)
+                    q.put((stacked, [(vid, scale, info)
+                                     for vid, _, scale, info in batch]))
 
                 with _Pool(max_workers=decode_workers) as pool:
                     # bounded order-preserving readahead: at most
@@ -334,15 +336,15 @@ class PipelineDriver:
         werr = []
 
         def writer():
-            import jax as _jax
+            # host-only: takes read-back numpy trees; never touches the
+            # device (a threaded readback would contend with the
+            # consumer's transfers — sg_put_contended)
             while True:
                 item = wq.get()
                 if item is None:
                     break
-                out_dev, metas = item
+                out, metas = item
                 try:
-                    with TIMERS.time("readback"):
-                        out = _jax.tree_util.tree_map(np.asarray, out_dev)
                     for bi, (video_id, scale, info) in enumerate(metas):
                         results.append(self._write_stage_results(
                             video_id, out, bi, scale, info))
@@ -356,16 +358,32 @@ class PipelineDriver:
         wt = _threading.Thread(target=writer, daemon=True)
         t.start()
         wt.start()
+
+        def _readback(out_dev):
+            import jax as _jax
+            with TIMERS.time("readback"):
+                return _jax.tree_util.tree_map(np.asarray, out_dev)
+
+        pending = None                    # (on-device outputs, metas)
         try:
             while True:
                 item = q.get()
                 if item is None:
                     break
-                fd, metas = item
+                stacked, metas = item
+                # transfer N+1 streams while batch N executes on device
+                with TIMERS.time("transfer"):
+                    fd = self.engine.to_device(stacked)
                 with TIMERS.time("engine_stream"):
-                    out_dev = self.engine.process_clip_batch(fd,
-                                                             readback=False)
-                wq.put((out_dev, metas))
+                    out_dev = self.engine.process_clip_batch(
+                        fd, readback=False)
+                if pending is not None:
+                    # batch N finished during our put; its readback
+                    # overlaps batch N+1's execution (already enqueued)
+                    wq.put((_readback(pending[0]), pending[1]))
+                pending = (out_dev, metas)
+            if pending is not None:
+                wq.put((_readback(pending[0]), pending[1]))
         finally:
             wq.put(None)
             wt.join()

@@ -338,19 +338,21 @@ def _sync_out(out):
 
 
 def _yuv_put(engine, yuv_np):
-    """device_put the host I420 array (or split dict) and block.
-    Direct device_put on the numpy buffers (no jnp.asarray hop — that
-    commits via the default route before the explicit put)."""
+    """Pack the host I420 tree into ONE contiguous buffer, device_put it
+    and block.  A single large put runs at the link's ~90 MB/s where the
+    split dict's two medium puts reached only ~50 (ld_put_idle vs
+    ld_link, docs/PROBES_r03.json).  Returns (flat_dev, layout)."""
     import jax
-    d = jax.device_put(yuv_np)
+    from lameness_tpu.video.yuv import pack_i420_flat
+    flat, layout = pack_i420_flat(yuv_np)
+    d = jax.device_put(flat)
     jax.block_until_ready(d)
-    return d
+    return d, layout
 
 
 def _yuv_to_rgb(engine, dev):
-    if isinstance(dev, dict):
-        return {k: engine._jit_yuv(v) for k, v in dev.items()}
-    return engine._jit_yuv(dev)
+    flat, layout = dev
+    return engine.yuv_flat_jit(layout)(flat)
 
 
 def _e2e_yuv_overlap(engine, yuv_np, rng, n_runs):
@@ -362,15 +364,21 @@ def _e2e_yuv_overlap(engine, yuv_np, rng, n_runs):
     an async dispatch and its sync streams at the full link rate."""
     cur = _yuv_to_rgb(engine, _yuv_put(engine, yuv_np))
     _sync_out(engine.run_staged(cur, rng))        # settle queues
-    out = engine.run_staged(cur, rng)             # dispatch run 0 (async)
+    # dispatch run 0 + its flat-readback pack: the pack program must
+    # queue BEFORE run 1's stages or the sync waits a full compute
+    # behind them (ld_iter, docs/PROBES_r03.json)
+    pk = engine.pack_output(engine.run_staged(cur, rng))
     t0 = time.time()
     for i in range(n_runs):
-        out_next = None
+        nk = None
         if i < n_runs - 1:
             d = _yuv_put(engine, yuv_np)          # streams while run i runs
-            out_next = engine.run_staged(_yuv_to_rgb(engine, d), rng)
-        _sync_out(out)                            # readback run i
-        out = out_next
+            nk = engine.pack_output(
+                engine.run_staged(_yuv_to_rgb(engine, d), rng))
+        # full-tree readback of run i in ONE device_get (what serving
+        # actually fetches — process_stream's _readback)
+        engine.unpack_output(np.asarray(pk[0]), pk[1])
+        pk = nk
     return (time.time() - t0) / n_runs
 
 
@@ -379,7 +387,8 @@ def _e2e_yuv_serial(engine, yuv_np, rng, n_runs):
     for i in range(n_runs):
         t0 = time.time()
         fd2 = _yuv_to_rgb(engine, _yuv_put(engine, yuv_np))
-        _sync_out(engine.run_staged(fd2, rng))
+        flat, meta = engine.pack_output(engine.run_staged(fd2, rng))
+        engine.unpack_output(np.asarray(flat), meta)
         times.append(time.time() - t0)
         _log(f"e2e yuv run {i + 1}: {times[-1]:.2f}s")
     return float(np.median(times))

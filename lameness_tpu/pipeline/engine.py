@@ -51,6 +51,33 @@ from ..ops.boxes import clip_boxes
 from ..ops.preprocess import letterbox, pad_to_square, unletterbox_boxes
 
 
+def _pack_leaves_u8(leaves):
+    """Traced: flatten a list of device arrays into ONE uint8 buffer.
+
+    Device→host readback over the tunnel pays a ~30 ms round trip PER
+    transfer, and the output tree has ~25 leaves — per-leaf
+    ``np.asarray`` costs ~0.75 s/batch in RTTs alone.  Bitcasting every
+    leaf to raw bytes and concatenating lets the host fetch the whole
+    tree with ONE ``device_get``; ``unpack_output`` restores shapes and
+    dtypes exactly (bitcast is lossless; bool travels as uint8 0/1).
+
+    Dispatching this program right after a batch's stage programs also
+    queues it AHEAD of the next batch on the device FIFO, so a later
+    sync doesn't wait behind the next batch's compute (the ld_iter
+    finding, docs/PROBES_r03.json).
+    """
+    parts = []
+    for x in leaves:
+        if x.dtype == jnp.bool_:
+            parts.append(x.astype(jnp.uint8).reshape(-1))
+        elif x.dtype == jnp.uint8:
+            parts.append(x.reshape(-1))
+        else:
+            parts.append(
+                jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1))
+    return jnp.concatenate(parts)
+
+
 @dataclasses.dataclass
 class EngineSpec:
     """Static geometry of the fused step (one XLA signature per spec)."""
@@ -275,6 +302,8 @@ class LamenessEngine:
         self._fused = jax.jit(self._fused_step)
         from ..video.yuv import i420_to_rgb_device
         self._jit_yuv = jax.jit(i420_to_rgb_device)
+        self._flat_yuv_jits = {}
+        self._jit_pack_out = jax.jit(_pack_leaves_u8)
 
     # -- transfer format -----------------------------------------------------
     def default_transfer(self) -> str:
@@ -303,20 +332,71 @@ class LamenessEngine:
             frames = frames if isinstance(frames, dict) \
                 else self.spec.split_pack_host(frames)
             if transfer == "yuv420":
-                from ..video.yuv import rgb_to_i420
-                yuv = jax.device_put({k: rgb_to_i420(v)
-                                      for k, v in frames.items()})
-                return {k: self._jit_yuv(v) for k, v in yuv.items()}
+                from ..video.yuv import pack_i420_flat, rgb_to_i420
+                flat, layout = pack_i420_flat(
+                    {k: rgb_to_i420(v) for k, v in frames.items()})
+                return self.yuv_flat_jit(layout)(jax.device_put(flat))
             return jax.device_put(dict(frames))
         frames = self.spec.pack_frames(np.asarray(frames))
         if transfer == "yuv420":
-            from ..video.yuv import rgb_to_i420
-            yuv = jax.device_put(rgb_to_i420(frames))
-            return self._jit_yuv(yuv)
+            from ..video.yuv import pack_i420_flat, rgb_to_i420
+            flat, layout = pack_i420_flat(rgb_to_i420(frames))
+            return self.yuv_flat_jit(layout)(jax.device_put(flat))
         # explicit device_put: feeding numpy straight into jit takes a slow
         # per-call transfer path on tunnelled TPU backends (and a
         # jnp.asarray hop commits via the default route before the put)
         return jax.device_put(frames)
+
+    def yuv_flat_jit(self, layout):
+        """Jitted flat-I420-buffer → RGB frame tree for a static layout
+        (one program: static slices + the fused BT.601 conversion).  The
+        whole batch rides the wire as ONE contiguous put — the tunnel's
+        effective rate halves below ~64 MB per transfer (ld_put_idle,
+        docs/PROBES_r03.json)."""
+        jit = self._flat_yuv_jits.get(layout)
+        if jit is None:
+            from ..video.yuv import i420_flat_to_rgb_device
+            jit = jax.jit(
+                lambda flat: i420_flat_to_rgb_device(flat, layout))
+            self._flat_yuv_jits[layout] = jit
+        return jit
+
+    def pack_output(self, out):
+        """Dispatch the flat-readback program on an output tree.
+
+        Returns (flat_dev_u8, meta); fetch with
+        ``unpack_output(np.asarray(flat_dev_u8), meta)``.  Call this
+        right after dispatching the stages that produced ``out`` so the
+        pack program queues BEFORE any later batch's stages — a sync
+        that waits behind the next batch's compute serializes the
+        stream loop (ld_iter, docs/PROBES_r03.json)."""
+        leaves, treedef = jax.tree_util.tree_flatten(out)
+        flat = self._jit_pack_out(leaves)
+        layout = [(tuple(l.shape), np.dtype(l.dtype)) for l in leaves]
+        return flat, (treedef, layout)
+
+    @staticmethod
+    def unpack_output(buf: np.ndarray, meta) -> Dict[str, np.ndarray]:
+        """Host-side inverse of pack_output: ONE fetched uint8 buffer →
+        the numpy output tree, shapes/dtypes restored exactly."""
+        treedef, layout = meta
+        buf = np.asarray(buf)
+        leaves = []
+        off = 0
+        for shape, dtype in layout:
+            n = int(np.prod(shape, dtype=np.int64))
+            if dtype == np.bool_:
+                nbytes = n
+                arr = buf[off:off + nbytes].astype(bool).reshape(shape)
+            else:
+                nbytes = n * dtype.itemsize
+                # .copy() re-allocates aligned memory so the view is safe
+                # at any byte offset
+                arr = (buf[off:off + nbytes].copy().view(dtype)
+                       .reshape(shape))
+            leaves.append(arr)
+            off += nbytes
+        return jax.tree_util.tree_unflatten(treedef, leaves)
 
     # -- paired programs (mode="pair"): halve per-clip dispatches ------------
     def _front_stage(self, params, frames):
@@ -753,7 +833,10 @@ class LamenessEngine:
             out = self.run_staged(frames_dev, rng)
         if not readback:
             return out
-        return jax.tree_util.tree_map(np.asarray, out)
+        # one device_get for the whole tree — per-leaf np.asarray costs a
+        # tunnel round trip per leaf (~25 leaves x ~30 ms)
+        flat, meta = self.pack_output(out)
+        return self.unpack_output(np.asarray(flat), meta)
 
     def warmup(self, batch: int = 1, mode: str = "staged") -> Dict[str, float]:
         """Compile all four stage programs concurrently on dummy inputs —

@@ -359,12 +359,12 @@ class PipelineDriver:
         t.start()
         wt.start()
 
-        def _readback(out_dev):
-            import jax as _jax
+        def _readback(packed):
+            flat, meta = packed
             with TIMERS.time("readback"):
-                return _jax.tree_util.tree_map(np.asarray, out_dev)
+                return self.engine.unpack_output(np.asarray(flat), meta)
 
-        pending = None                    # (on-device outputs, metas)
+        pending = None                    # (packed outputs, metas)
         try:
             while True:
                 item = q.get()
@@ -377,11 +377,16 @@ class PipelineDriver:
                 with TIMERS.time("engine_stream"):
                     out_dev = self.engine.process_clip_batch(
                         fd, readback=False)
+                    # queue the flat-readback program BEFORE any later
+                    # batch's stages — syncing a pack dispatched after
+                    # batch N+1 waits a full compute (ld_iter,
+                    # docs/PROBES_r03.json)
+                    packed = self.engine.pack_output(out_dev)
                 if pending is not None:
-                    # batch N finished during our put; its readback
-                    # overlaps batch N+1's execution (already enqueued)
+                    # batch N finished during our put; its single-fetch
+                    # readback overlaps batch N+1's execution
                     wq.put((_readback(pending[0]), pending[1]))
-                pending = (out_dev, metas)
+                pending = (packed, metas)
             if pending is not None:
                 wq.put((_readback(pending[0]), pending[1]))
         finally:

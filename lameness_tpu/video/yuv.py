@@ -28,7 +28,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
-__all__ = ["rgb_to_i420", "i420_to_rgb_device", "i420_shape"]
+__all__ = ["rgb_to_i420", "i420_to_rgb_device", "i420_shape",
+           "pack_i420_flat", "i420_flat_to_rgb_device"]
 
 
 def i420_shape(h: int, w: int) -> tuple:
@@ -52,6 +53,49 @@ def rgb_to_i420(frames: np.ndarray) -> np.ndarray:
     for i in range(flat.shape[0]):
         out[i] = cv2.cvtColor(flat[i], cv2.COLOR_RGB2YUV_I420)
     return out.reshape(lead + i420_shape(h, w))
+
+
+def pack_i420_flat(tree):
+    """Host-side: I420 array (or dict of them, e.g. split-ingest hi/lo)
+    → one contiguous 1-D uint8 buffer + a static layout.
+
+    The tunnel's effective host→device rate depends on transfer SIZE:
+    a single 64 MB put reaches ~90 MB/s while the split dict's two
+    ~35 MB puts reach only ~50 MB/s (ld_put_idle vs ld_link,
+    docs/PROBES_r03.json) — per-transfer setup/flow-control dominates
+    below ~64 MB.  Packing the whole batch into ONE buffer restores
+    the link rate; the device unpacks with free static slices inside
+    the same fused I420→RGB program (``i420_flat_to_rgb_device``).
+
+    Returns (flat, layout); layout is hashable and keys the jitted
+    device-side unpacker.  A bare array gets the sentinel key "".
+    """
+    if not isinstance(tree, dict):
+        arr = np.ascontiguousarray(tree)
+        return arr.reshape(-1), (("", arr.shape),)
+    keys = sorted(tree)
+    layout = tuple((k, tuple(tree[k].shape)) for k in keys)
+    flat = np.concatenate(
+        [np.ascontiguousarray(tree[k]).reshape(-1) for k in keys])
+    return flat, layout
+
+
+def i420_flat_to_rgb_device(flat: jnp.ndarray, layout) -> jnp.ndarray:
+    """Traceable: flat uint8 buffer from ``pack_i420_flat`` → RGB tree.
+
+    layout must be static (close over it before jitting).  Slicing a
+    1-D buffer at static offsets is free for XLA; the conversion fuses
+    into one elementwise program per entry.
+    """
+    out = {}
+    off = 0
+    for k, shape in layout:
+        n = int(np.prod(shape))
+        out[k] = i420_to_rgb_device(flat[off:off + n].reshape(shape))
+        off += n
+    if len(layout) == 1 and layout[0][0] == "":
+        return out[""]
+    return out
 
 
 def i420_to_rgb_device(yuv: jnp.ndarray) -> jnp.ndarray:

@@ -690,10 +690,140 @@ def probe_streamgap(small: bool) -> None:
         _emit("sg_put_contended_error", {"error": repr(e)[:300]})
 
 
+def probe_loopdec(small: bool) -> None:
+    """Decompose the single-thread overlap loop phase-by-phase.
+
+    The single-thread pipelining landed (4fb76e5) on the streamgap
+    conclusion, but the first on-chip capture measured 3.32 s/batch
+    against a max(put 0.84, compute 0.91) + sync bound — so the
+    "put streams while the previous dispatch executes" assumption
+    fails somewhere on the REAL engine.  This probe times each phase
+    of the exact steady-state loop per iteration:
+
+      ld_iter      per-iteration {put, disp, sync, iter} on the real
+                   split engine: put batch N+1, dispatch N+1, sync N
+      ld_put_idle  _yuv_put with the device idle (baseline)
+      ld_put_busy  _yuv_put issued right after an async run_staged
+                   dispatch (same thread) — if busy >> idle, the
+                   tunnel serializes bulk writes against execution
+                   of the real program (the dummy-program overlap
+                   probe was too small to show it)
+      ld_sync_idle _sync_out on a complete tree (readback cost)
+    """
+    import jax
+
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    if small:
+        jax.config.update("jax_platforms", "cpu")
+        from lameness_tpu.pipeline.engine import make_test_engine
+        eng = make_test_engine()
+        s = eng.spec
+        rng0 = np.random.default_rng(0)
+        frames = rng0.integers(
+            0, 255, (1, s.clip_frames, s.frame_height, s.frame_width, 3),
+            dtype=np.uint8)
+        batch = 2
+        small_rgb = bench._pack_ingest(frames, batch, s, s.frame_width,
+                                       s.frame_height)
+        from lameness_tpu.video.yuv import rgb_to_i420
+        yuv_np = rgb_to_i420(small_rgb)
+    else:
+        from lameness_tpu.pipeline.engine import EngineSpec, LamenessEngine
+        from lameness_tpu.pipeline.precision import apply_engine_policy
+        batch = 4
+        t0 = time.time()
+        spec = EngineSpec(frame_height=576, frame_width=1024)
+        spec.lo_width, spec.lo_height = 640, 360
+        eng = LamenessEngine(spec=spec)
+        apply_engine_policy(eng)
+        _emit("ld_build", {"s": round(time.time() - t0, 1)})
+        frames_native = bench.load_clip_frames()
+        tag, src = "1024x576+640x360", "720x1280"
+        small_rgb = bench._prep_cache(
+            f"ingest_{tag}_b{batch}_{src}",
+            lambda: bench._pack_ingest(frames_native, batch, eng.spec,
+                                       1024, 576))
+        from lameness_tpu.video.yuv import rgb_to_i420
+        yuv_np = bench._prep_cache(
+            f"yuvingest_{tag}_b{batch}_{src}",
+            lambda: ({k: rgb_to_i420(v) for k, v in small_rgb.items()}
+                     if isinstance(small_rgb, dict)
+                     else rgb_to_i420(small_rgb)))
+    t0 = time.time()
+    eng.warmup(batch=batch)
+    _emit("ld_warmup", {"s": round(time.time() - t0, 1)})
+    rng = jax.random.PRNGKey(0)
+    _emit("ld_link", {"mb_s": bench._measure_link_mb_s()})
+
+    # baselines, device idle
+    def med(name, fn, reps=3, **extra):
+        try:
+            fn()
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - t0)
+            _emit(name, {"p50_s": round(float(np.median(ts)), 4), **extra})
+            return float(np.median(ts))
+        except Exception as e:
+            _emit(name + "_error", {"error": repr(e)[:300]})
+            return float("nan")
+
+    med("ld_put_idle", lambda: bench._yuv_put(eng, yuv_np))
+    fd0 = bench._yuv_to_rgb(eng, bench._yuv_put(eng, yuv_np))
+    out0 = eng.run_staged(fd0, rng)
+    bench._sync_out(out0)
+    med("ld_sync_idle", lambda: bench._sync_out(out0), reps=4)
+    med("ld_compute", lambda: bench._sync_out(eng.run_staged(fd0, rng)))
+
+    # busy put: dispatch async, put from the same thread, then sync
+    def busy():
+        o = eng.run_staged(fd0, rng)
+        t0 = time.perf_counter()
+        bench._yuv_put(eng, yuv_np)
+        put_s = time.perf_counter() - t0
+        bench._sync_out(o)
+        return put_s
+    try:
+        busy()
+        ps = [busy() for _ in range(3)]
+        _emit("ld_put_busy", {"p50_s": round(float(np.median(ps)), 4)})
+    except Exception as e:
+        _emit("ld_put_busy_error", {"error": repr(e)[:300]})
+
+    # the exact steady-state loop, per-phase per-iteration
+    try:
+        cur = bench._yuv_to_rgb(eng, bench._yuv_put(eng, yuv_np))
+        bench._sync_out(eng.run_staged(cur, rng))
+        out = eng.run_staged(cur, rng)
+        iters = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            d = bench._yuv_put(eng, yuv_np)
+            t1 = time.perf_counter()
+            out_next = eng.run_staged(bench._yuv_to_rgb(eng, d), rng)
+            t2 = time.perf_counter()
+            bench._sync_out(out)
+            t3 = time.perf_counter()
+            out = out_next
+            iters.append({"put": round(t1 - t0, 3),
+                          "disp": round(t2 - t1, 3),
+                          "sync": round(t3 - t2, 3),
+                          "iter": round(t3 - t0, 3)})
+        bench._sync_out(out)
+        _emit("ld_iter", {"iters": iters})
+    except Exception as e:
+        _emit("ld_iter_error", {"error": repr(e)[:300]})
+
+
 PROBES = {"overlap": probe_overlap, "samprof": probe_samprof,
           "pairab": probe_pairab, "winvar": probe_winvar,
           "samstage": probe_samstage, "glbvar": probe_glbvar,
-          "attnover": probe_attnover, "streamgap": probe_streamgap}
+          "attnover": probe_attnover, "streamgap": probe_streamgap,
+          "loopdec": probe_loopdec}
 
 
 def main():

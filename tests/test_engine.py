@@ -73,6 +73,30 @@ def test_readback_false_returns_device_tree(engine, frames):
                                    err_msg=k)
 
 
+def test_pack_output_roundtrip_exact(engine, frames):
+    """The flat single-readback path (pack_output + unpack_output) must
+    restore every leaf of the output tree bit-exactly — shapes, dtypes
+    (bool/int/float/bf16), and nesting (locomotion is a nested dict)."""
+    rng = jax.random.PRNGKey(3)
+    dev = engine.process_clip_batch(frames, rng=rng, readback=False)
+    # add a bf16 leaf: the real engine's bf16 policy produces bf16
+    # outputs the roundtrip must survive (no bf16 in the CPU test engine)
+    dev = dict(dev, _bf16_probe=jax.numpy.asarray(
+        [[1.5, -2.25], [0.0, 3.0e-3]], jax.numpy.bfloat16))
+    ref = jax.tree_util.tree_map(np.asarray, dev)
+    flat, meta = engine.pack_output(dev)
+    assert np.asarray(flat).dtype == np.uint8
+    got = engine.unpack_output(np.asarray(flat), meta)
+    ref_l = jax.tree_util.tree_leaves_with_path(ref)
+    got_l = dict(jax.tree_util.tree_leaves_with_path(got))
+    assert len(ref_l) == len(got_l)
+    for path, leaf in ref_l:
+        g = got_l[path]
+        assert g.shape == leaf.shape, path
+        assert g.dtype == leaf.dtype, path
+        assert np.array_equal(np.asarray(g), np.asarray(leaf)), path
+
+
 def test_primary_box_fallback(engine, frames):
     """Random-weight YOLO rarely finds 'cows'; every frame must still have a
     primary box (the tleap margin fallback)."""

@@ -49,6 +49,32 @@ def test_batched_shapes(rng):
     assert out.shape == b.shape and out.dtype == np.uint8
 
 
+def test_flat_pack_matches_per_key_path(rng):
+    # the single-contiguous-buffer transfer path must produce EXACTLY
+    # the per-array conversion's output for dicts and bare arrays
+    from lameness_tpu.video.yuv import i420_flat_to_rgb_device, \
+        pack_i420_flat
+    tree = {"hi": rgb_to_i420(
+                rng.integers(0, 256, (2, 3, 90, 160, 3), np.uint8)),
+            "lo": rgb_to_i420(
+                rng.integers(0, 256, (2, 5, 46, 64, 3), np.uint8))}
+    flat, layout = pack_i420_flat(tree)
+    assert flat.ndim == 1 and flat.dtype == np.uint8
+    assert flat.nbytes == sum(v.nbytes for v in tree.values())
+    got = jax.jit(lambda f: i420_flat_to_rgb_device(f, layout))(flat)
+    for k, v in tree.items():
+        ref = np.asarray(jax.jit(i420_to_rgb_device)(v))
+        assert np.array_equal(np.asarray(got[k]), ref), k
+
+    # bare array: sentinel layout returns the array, not a dict
+    arr = tree["hi"]
+    flat1, layout1 = pack_i420_flat(arr)
+    got1 = jax.jit(lambda f: i420_flat_to_rgb_device(f, layout1))(flat1)
+    assert not isinstance(got1, dict)
+    assert np.array_equal(np.asarray(got1),
+                          np.asarray(jax.jit(i420_to_rgb_device)(arr)))
+
+
 def test_roundtrip_close_to_original(rng):
     # 4:2:0 is lossy on chroma; luma-dominant content must survive
     grad = np.tile(np.linspace(0, 255, 160, dtype=np.uint8)[None, :, None],

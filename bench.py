@@ -295,16 +295,28 @@ def _put_tiled(frames_np, batch):
     return fd, round(time.time() - t0, 1)
 
 
+_LINK_BUF = None
+
+
 def _measure_link_mb_s() -> float:
     """Measured host->HBM bandwidth: 64 MB device_put, median of 3.
     Recorded so the e2e-vs-compute gap is explained by numbers, not
-    prose (the tunnel link jitters ~2x)."""
+    prose (the tunnel link jitters ~2x).
+
+    The buffer must be INCOMPRESSIBLE: an all-ones probe measured
+    73.6 MB/s in the same window where a real 70 MB I420 put ran at
+    24 MB/s (ld_link vs ld_put_idle, docs/PROBES_r03.json) — the
+    tunnel compresses the stream, so a constant-filled array reads
+    ~3x the rate video bytes actually get."""
     import jax
-    buf = np.ones((64, 1024, 1024), np.uint8)        # 64 MB
+    global _LINK_BUF
+    if _LINK_BUF is None:
+        _LINK_BUF = np.random.default_rng(0).integers(
+            0, 256, (64, 1024, 1024), dtype=np.uint8)   # 64 MB
     ts = []
     for _ in range(3):
         t0 = time.time()
-        d = jax.device_put(buf)
+        d = jax.device_put(_LINK_BUF)
         _ = int(d[0, 0, 0])                          # force completion
         ts.append(time.time() - t0)
         del d
@@ -559,20 +571,22 @@ def _prep_all() -> None:
                 lambda: rgb_to_i420(frames))
     _log("prep: native yuv done")
     src = f"{frames_native.shape[2]}x{frames_native.shape[3]}"
-    for size, lo in (((1024, 576), (640, 360)), ((1024, 576), None)):
+    for size, lo, bs in (((1024, 576), (640, 360), batch),
+                         ((1024, 576), (640, 360), 8),
+                         ((1024, 576), None, batch)):
         w, hh = size
         tag = f"{w}x{hh}" + (f"+{lo[0]}x{lo[1]}" if lo else "")
         spec = EngineSpec(frame_height=hh, frame_width=w)
         if lo:
             spec.lo_width, spec.lo_height = lo
         small = _prep_cache(
-            f"ingest_{tag}_b{batch}_{src}",
-            lambda: _pack_ingest(frames_native, batch, spec, w, hh))
+            f"ingest_{tag}_b{bs}_{src}",
+            lambda: _pack_ingest(frames_native, bs, spec, w, hh))
         _prep_cache(
-            f"yuvingest_{tag}_b{batch}_{src}",
+            f"yuvingest_{tag}_b{bs}_{src}",
             lambda: ({k: rgb_to_i420(v) for k, v in small.items()}
                      if isinstance(small, dict) else rgb_to_i420(small)))
-        _log(f"prep: ingest {tag} done")
+        _log(f"prep: ingest {tag} b{bs} done")
 
 
 def _measure_ingest_reduced(frames_native, batch, rng, n_runs=4,
@@ -830,6 +844,30 @@ def main():
                             {"ingest": "split", "error": repr(e)[:200]})
                 split_ok = any(m.get("ingest") and m.get("clips_per_min")
                                for m in RESULT.get("sweep", []))
+                # split ingest at batch 8: bigger batches amortize the
+                # per-batch dispatch/sync overhead and keep the put in
+                # the link's >64 MB sweet spot (ld_put_idle)
+                if split_ok and (small or _remaining() > 200):
+                    try:
+                        if small:
+                            from lameness_tpu.pipeline.engine import \
+                                make_test_engine
+
+                            def _mk_split8():
+                                e = make_test_engine(72, 128)
+                                e.spec.lo_height, e.spec.lo_width = 36, 64
+                                return e
+                            _measure_ingest_reduced(
+                                frames, 8, rng, n_runs=2,
+                                make_engine=_mk_split8, size=(128, 72),
+                                lo_size=(64, 36))
+                        else:
+                            _measure_ingest_reduced(
+                                frames, 8, rng, n_runs=3,
+                                lo_size=(640, 360), base_engine=engine)
+                    except Exception as e:
+                        RESULT.setdefault("sweep", []).append(
+                            {"ingest": "split_b8", "error": repr(e)[:200]})
                 if small or (not split_ok and _remaining() > 200):
                     try:
                         if small:

@@ -816,24 +816,41 @@ def main():
                 pass
             # reduced-ingest configs — the strongest known e2e levers on
             # the link-bound path, run before the remaining sweep
-            # configs.  (1) split: det/SAM at 1024×576 + dino/pose at
-            # 640×360 (≈18 MB I420/clip vs 46 native);  (2) plain
+            # configs.  (1) split b8: det/SAM at 1024×576 + dino/pose
+            # at 640×360 (≈18 MB I420/clip vs 46 native), batch 8 — the
+            # single ~140 MB put gets ~2x the wire rate of the 70 MB
+            # batch-4 put and compute amortizes better (captured
+            # on-chip: 116.0 vs 59.4 clips/min in the same window);
+            # (2) split b4 (the keep-best comparator);  (3) plain
             # 1024×576 as the safer fallback.  The self-test exercises
-            # both code paths on tiny engines.
+            # every code path on tiny engines.
             if os.environ.get("LAMENESS_BENCH_INGEST") != "0":
+                def _mk_tiny_split():
+                    from lameness_tpu.pipeline.engine import \
+                        make_test_engine
+                    e = make_test_engine(72, 128)
+                    e.spec.lo_height, e.spec.lo_width = 36, 64
+                    return e
+                if small or _remaining() > 200:
+                    try:
+                        if small:
+                            _measure_ingest_reduced(
+                                frames, 8, rng, n_runs=2,
+                                make_engine=_mk_tiny_split, size=(128, 72),
+                                lo_size=(64, 36))
+                        else:
+                            _measure_ingest_reduced(
+                                frames, 8, rng, n_runs=3,
+                                lo_size=(640, 360), base_engine=engine)
+                    except Exception as e:
+                        RESULT.setdefault("sweep", []).append(
+                            {"ingest": "split_b8", "error": repr(e)[:200]})
                 if small or _remaining() > 150:
                     try:
                         if small:
-                            from lameness_tpu.pipeline.engine import \
-                                make_test_engine
-
-                            def _mk_split():
-                                e = make_test_engine(72, 128)
-                                e.spec.lo_height, e.spec.lo_width = 36, 64
-                                return e
                             _measure_ingest_reduced(
                                 frames, batch, rng, n_runs=2,
-                                make_engine=_mk_split, size=(128, 72),
+                                make_engine=_mk_tiny_split, size=(128, 72),
                                 lo_size=(64, 36))
                         else:
                             _measure_ingest_reduced(
@@ -844,30 +861,6 @@ def main():
                             {"ingest": "split", "error": repr(e)[:200]})
                 split_ok = any(m.get("ingest") and m.get("clips_per_min")
                                for m in RESULT.get("sweep", []))
-                # split ingest at batch 8: bigger batches amortize the
-                # per-batch dispatch/sync overhead and keep the put in
-                # the link's >64 MB sweet spot (ld_put_idle)
-                if split_ok and (small or _remaining() > 200):
-                    try:
-                        if small:
-                            from lameness_tpu.pipeline.engine import \
-                                make_test_engine
-
-                            def _mk_split8():
-                                e = make_test_engine(72, 128)
-                                e.spec.lo_height, e.spec.lo_width = 36, 64
-                                return e
-                            _measure_ingest_reduced(
-                                frames, 8, rng, n_runs=2,
-                                make_engine=_mk_split8, size=(128, 72),
-                                lo_size=(64, 36))
-                        else:
-                            _measure_ingest_reduced(
-                                frames, 8, rng, n_runs=3,
-                                lo_size=(640, 360), base_engine=engine)
-                    except Exception as e:
-                        RESULT.setdefault("sweep", []).append(
-                            {"ingest": "split_b8", "error": repr(e)[:200]})
                 if small or (not split_ok and _remaining() > 200):
                     try:
                         if small:

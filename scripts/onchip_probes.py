@@ -819,11 +819,120 @@ def probe_loopdec(small: bool) -> None:
         _emit("ld_iter_error", {"error": repr(e)[:300]})
 
 
+def probe_samparts(small: bool) -> None:
+    """Close the encoder accounting gap: per-layer times (v3 kernels,
+    current defaults) sum to ~680 ms at b=44 but enc_full measured
+    842 ms — find the missing ~160 ms.  Times patch embed, pos add,
+    each distinct layer kind, neck, enc_full, and the full _sam_stage
+    vs its parts (prep-normalize + encoder + decoder + unpad glue).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lameness_tpu.models.sam import Sam, VisionLayer
+
+    b = 2 if small else 44
+    size = 256 if small else 1024
+    dtype = jnp.float32 if small else jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    model = Sam(img_size=size)
+    x = jax.random.normal(key, (b, size, size, 3), dtype)
+    params = jax.jit(model.init)(key, x[:1], jnp.ones((1, 4)))
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
+
+    def timed(name, fn, *args, reps=3):
+        try:
+            jfn = jax.jit(fn)
+            out = jfn(*args)
+            _sync_scalar(out)
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = jfn(*args)
+                _sync_scalar(out)
+                ts.append(time.perf_counter() - t0)
+            _emit(name, {"p50_ms": round(1e3 * float(np.median(ts)), 1)})
+            return out
+        except Exception as e:
+            _emit(name + "_error", {"error": repr(e)[:300]})
+            return None
+
+    g = size // 16
+    dim, heads = model.encoder_dim, model.encoder_heads
+    p_enc = params["params"]["vision_encoder"]
+
+    # patch embed conv alone (the 16x16/16 conv: 212 GFLOP at b=44)
+    import flax.linen as nn
+    conv = nn.Conv(dim, (16, 16), strides=(16, 16), padding="VALID")
+    timed("sp_patch_embed", lambda p, i: conv.apply(p, i),
+          {"params": p_enc["patch_embed"]}, x)
+
+    tok = jax.random.normal(key, (b, g, g, dim), dtype)
+    pos = p_enc["pos_embed"]
+    timed("sp_pos_add", lambda t: t + pos, tok)
+
+    # one layer of each kind with the CURRENT defaults (v3 kernels)
+    win_mod = VisionLayer(dim, heads, 4.0, model.window_size, (g, g),
+                          model.fused_global)
+    glb_mod = VisionLayer(dim, heads, 4.0, 0, (g, g), model.fused_global)
+    gi = model.global_attn_indexes[0]
+    timed("sp_layer_windowed", lambda p, t: win_mod.apply(p, t),
+          {"params": p_enc["layer0"]}, tok)
+    timed("sp_layer_global", lambda p, t: glb_mod.apply(p, t),
+          {"params": p_enc[f"layer{gi}"]}, tok)
+
+    # neck alone (conv1x1 -> LN2d -> conv3x3 -> LN2d)
+    from lameness_tpu.models.sam import LayerNorm2d
+    c1 = nn.Conv(256, (1, 1), use_bias=False)
+    ln1 = LayerNorm2d()
+    c2 = nn.Conv(256, (3, 3), padding=1, use_bias=False)
+    ln2 = LayerNorm2d()
+
+    def neck(p, t):
+        h = c1.apply({"params": p["neck_conv1"]}, t)
+        h = ln1.apply({"params": p["neck_ln1"]}, h)
+        h = c2.apply({"params": p["neck_conv2"]}, h)
+        return ln2.apply({"params": p["neck_ln2"]}, h)
+    timed("sp_neck", neck, p_enc, tok)
+
+    emb = timed("sp_enc_full", lambda p, i: model.apply(
+        p, i, method=model.encode), params, x)
+    if emb is not None:
+        boxes = jnp.tile(jnp.asarray([[0.1, 0.1, 0.9, 0.6]], dtype) * size,
+                         (b, 1))
+        timed("sp_decoder", lambda p, e, bx: model.apply(
+            p, e, bx, method=model.decode_boxes), params, emb, boxes)
+
+    # the engine's full _sam_stage around the model (prep-normalize +
+    # encode + decode + unpad + mask features): glue = stage - enc - dec
+    try:
+        if small:
+            from lameness_tpu.pipeline.engine import make_test_engine
+            eng = make_test_engine()
+        else:
+            from lameness_tpu.pipeline.engine import (EngineSpec,
+                                                      LamenessEngine)
+            from lameness_tpu.pipeline.precision import apply_engine_policy
+            eng = LamenessEngine(spec=EngineSpec())
+            apply_engine_policy(eng)
+        s = eng.spec
+        bb = 1 if small else 4
+        frames = jnp.zeros(
+            (bb, s.n_packed, s.frame_height, s.frame_width, 3), jnp.uint8)
+        fd = jax.device_put(frames)
+        boxes = eng._jit_detect(eng.params, fd)["primary_boxes"]
+        timed("sp_sam_stage", lambda p, f, bx: eng._sam_stage(p, f, bx),
+              eng.params, fd, boxes)
+    except Exception as e:
+        _emit("sp_stage_error", {"error": repr(e)[:300]})
+
+
 PROBES = {"overlap": probe_overlap, "samprof": probe_samprof,
           "pairab": probe_pairab, "winvar": probe_winvar,
           "samstage": probe_samstage, "glbvar": probe_glbvar,
           "attnover": probe_attnover, "streamgap": probe_streamgap,
-          "loopdec": probe_loopdec}
+          "loopdec": probe_loopdec, "samparts": probe_samparts}
 
 
 def main():

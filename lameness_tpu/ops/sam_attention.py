@@ -204,6 +204,99 @@ def sam_global_attention_v2(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(qa, ka, rw, v)
 
 
+def _global_kernel_v4(qa_ref, ka_ref, rw_ref, v_ref, o_ref, *,
+                      gh: int, half: int):
+    """v2's augmented QK with two software-pipelined row halves.
+
+    Each program owns TWO r-row blocks and interleaves their stages:
+    QK(h0); QK(h1); softmax(h0); PV(h0); softmax(h1); PV(h1).  The
+    halves are data-independent, so Mosaic's VLIW scheduler can pack
+    h1's MXU matmuls against h0's VPU softmax (one serial chain per
+    program is what caps v2 at ~46% MXU).  The softmax denominator is
+    folded into the PV output (rows scale by 1/sum on the (M, D) tile
+    instead of dividing the (M, N) score tile): same result, ~1/3 the
+    VPU elementwise work; division after the f32-accumulated PV dot
+    instead of before it changes numerics by ≤1 bf16 ulp on p.
+    """
+    qa = qa_ref[0]                  # (2·half, A)
+    ka = ka_ref[0]                  # (N, A)
+    v = v_ref[0]                    # (N, D)
+    rw = rw_ref[0].astype(jnp.float32)                   # (2·half, GW)
+
+    s0 = jax.lax.dot_general(qa[:half], ka, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    s0 = s0 + pltpu.repeat(rw[:half], gh, axis=1)
+    s1 = jax.lax.dot_general(qa[half:], ka, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    s1 = s1 + pltpu.repeat(rw[half:], gh, axis=1)
+
+    p0 = jnp.exp(s0 - jnp.max(s0, axis=-1, keepdims=True))
+    i0 = 1.0 / jnp.sum(p0, axis=-1, keepdims=True)
+    o0 = jax.lax.dot_general(p0.astype(v.dtype), v,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * i0
+    p1 = jnp.exp(s1 - jnp.max(s1, axis=-1, keepdims=True))
+    i1 = 1.0 / jnp.sum(p1, axis=-1, keepdims=True)
+    o1 = jax.lax.dot_general(p1.astype(v.dtype), v,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * i1
+    o_ref[0, :half] = o0.astype(o_ref.dtype)
+    o_ref[0, half:] = o1.astype(o_ref.dtype)
+
+
+def sam_global_attention_v4(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            rel_h: jnp.ndarray, rel_w: jnp.ndarray,
+                            interpret: bool = False,
+                            rows_per_block: int = 2) -> jnp.ndarray:
+    """Software-pipelined variant of sam_global_attention_v2 (same
+    signature/layout).  Each grid program processes 2·rows_per_block qh
+    rows as two interleaved halves — see _global_kernel_v4.  Numerics:
+    identical augmented-QK construction to v2; the folded denominator
+    moves the divide after the f32 PV accumulation (≤1 bf16 ulp delta
+    vs v2 on the normalized weights)."""
+    bh, n, d = q.shape
+    gh, gw = rel_h.shape[1], rel_w.shape[3]
+    assert n == gh * gw, (n, gh, gw)
+    import os
+    try:
+        r = int(os.environ.get("LAMENESS_SAM_ROWS_V4", rows_per_block))
+    except ValueError:
+        r = rows_per_block
+    r = max(1, min(r, gh // 2))
+    while gh % (2 * r):
+        r -= 1
+    scale = d ** -0.5
+    jj = np.arange(n)
+    spread_t = jnp.asarray(
+        ((jj[:, None] // gw) == np.arange(gh)[None, :]).astype(np.float32),
+        q.dtype)                                          # (N, GH)
+    qa = jnp.concatenate(
+        [q * scale, rel_h.reshape(bh, n, gh).astype(q.dtype)], axis=-1)
+    ka = jnp.concatenate(
+        [k, jnp.broadcast_to(spread_t, (bh, n, gh))], axis=-1)
+    rw = rel_w.reshape(bh, n, gw)
+    a = d + gh
+    m = 2 * r * gw                                        # rows per program
+    return pl.pallas_call(
+        functools.partial(_global_kernel_v4, gh=gh, half=r * gw),
+        grid=(bh, gh // (2 * r)),
+        in_specs=[
+            pl.BlockSpec((1, m, a), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, a), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, gw), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        interpret=interpret,
+    )(qa, ka, rw, v)
+
+
 def _window_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
                    scale: float, win: int, heads: int):
     """All heads of one 14x14 window per program.

@@ -407,11 +407,16 @@ def probe_glbvar(small: bool) -> None:
         except Exception as e:
             _emit(name + "_error", {"error": repr(e)[:300]})
 
+    from lameness_tpu.ops.sam_attention import sam_global_attention_v4
     run("glb_v1", lambda *a: sam_global_attention(*a, interpret=interp))
-    for r in (1, 2, 4):
+    for r in (1, 2, 4, 8):
         run(f"glb_v2_r{r}",
             lambda *a, rr=r: sam_global_attention_v2(
                 *a, interpret=interp, rows_per_program=rr))
+    for r in (2, 4):
+        run(f"glb_v4_r{r}",
+            lambda *a, rr=r: sam_global_attention_v4(
+                *a, interpret=interp, rows_per_block=rr))
     if "glb_v1" in outs:
         for name, o in outs.items():
             if name != "glb_v1":

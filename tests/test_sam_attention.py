@@ -148,6 +148,29 @@ def test_global_kernel_v2_matches_reference(rng):
             assert err < 2e-5, (gh, gw, r, err)
 
 
+def test_global_kernel_v4_matches_reference(rng):
+    """Software-pipelined two-half global kernel == dense reference
+    (square and rect grids, both block sizes).  v4 folds 1/sum into the
+    PV output, so tolerance covers the divide-after-accumulate delta."""
+    from lameness_tpu.ops.sam_attention import sam_global_attention_v4
+    d, bh = 16, 3
+    for gh, gw in ((8, 8), (4, 8)):
+        n = gh * gw
+        q = jnp.asarray(rng.standard_normal((bh, n, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((bh, n, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((bh, n, d)).astype(np.float32))
+        rh = jnp.asarray(
+            rng.standard_normal((bh, gh, gw, gh)).astype(np.float32)) * 0.2
+        rw = jnp.asarray(
+            rng.standard_normal((bh, gh, gw, gw)).astype(np.float32)) * 0.2
+        ref = sam_attention_reference(q, k, v, rh, rw)
+        for r in (1, 2):
+            got = sam_global_attention_v4(q, k, v, rh, rw, interpret=True,
+                                          rows_per_block=r)
+            err = np.max(np.abs(np.asarray(got) - np.asarray(ref)))
+            assert err < 2e-5, (gh, gw, r, err)
+
+
 def test_window_kernel_v3_matches_reference(rng):
     """Head-interleaved transpose-free window kernel == dense reference,
     including the head-last rel-table projection."""

@@ -87,7 +87,13 @@ def sam_global_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert n == gh * gw, (n, gh, gw)
     assert rel_h.shape[1:] == (gh, gw, gh) and rel_w.shape[1:] == (gh, gw, gw)
     import os
-    if os.environ.get("LAMENESS_GLB_KERNEL", "v2") != "v1":
+    glb = os.environ.get("LAMENESS_GLB_KERNEL", "v2")
+    if glb == "v4":
+        # software-pipelined two-half variant (probe-gated; see
+        # _global_kernel_v4)
+        return sam_global_attention_v4(q, k, v, rel_h, rel_w,
+                                       interpret=interpret)
+    if glb != "v1":
         # augmented-matmul variant: bias_h folded into the score
         # contraction.  On-chip at serving shape (528 heads, 4096 tokens,
         # bf16): v1 63 ms -> v2 47 ms real, bitwise-identical outputs
@@ -608,7 +614,7 @@ def sam_window_attention_v3(q4: jnp.ndarray, k4: jnp.ndarray,
                             v4: jnp.ndarray, rh4: jnp.ndarray,
                             rw4: jnp.ndarray,
                             interpret: bool = False,
-                            windows_per_program: int = 1) -> jnp.ndarray:
+                            windows_per_program: int = 2) -> jnp.ndarray:
     """Transpose-free windowed attention over head-last layouts.
 
     q4/k4/v4: (BW, N, nH, hd) — the qkv Dense output sliced, NOT
@@ -622,6 +628,10 @@ def sam_window_attention_v3(q4: jnp.ndarray, k4: jnp.ndarray,
     the kernel's per-head slices are tile-aligned and the augmented QK
     matmul contracts a single full MXU K tile.  V pads hd → 128 with
     zeros (same MXU passes as the half-wasted N=64 PV).
+
+    windows_per_program default 2: measured 58.8 vs 60.8 ms module time
+    at serving shape on a v5e, outputs exact vs wpp=1
+    (docs/PROBES_r03.json attnmod_v3_wpp2); LAMENESS_SAM_WPP3 overrides.
     """
     bw, n, nh, hd = q4.shape
     win = rh4.shape[-1]

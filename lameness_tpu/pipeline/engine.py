@@ -572,10 +572,20 @@ class LamenessEngine:
             # grid 4x, so the mask canvas is (ch/4, cw/4))
             mh = int(round((ch // 4) * (h * sam_ratio) / ch))
             mw = int(round((cw // 4) * (w * sam_ratio) / cw))
+            # bottom-padded canvas: pad token rows are image-independent,
+            # so pre-global windowed layers compute them once per batch
+            # (SamVisionEncoder content_rows; LAMENESS_SAM_PADSPLIT=0
+            # kill switch).  Content rows only exist when the canvas is
+            # the padded square and the frame is landscape.
+            import os as _os
+            crows = 0
+            if (not s.sam_rect and w > h
+                    and _os.environ.get("LAMENESS_SAM_PADSPLIT") != "0"):
+                crows = -(-int(round(h * sam_ratio)) // 16)
             if self._sam_fused_active():
                 # fused Pallas rel-pos attention never materialises the
                 # (N, N) bias — all clip frames encode in one batch
-                emb = self.sam.apply(params["sam"], sam_in,
+                emb = self.sam.apply(params["sam"], sam_in, crows,
                                      method=self.sam.encode)
             else:
                 # unfused path: the global-attention bias is (12, 4096,

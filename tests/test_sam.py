@@ -73,6 +73,33 @@ def test_sam_encoder_parity(small_sam, rng):
     assert np.max(np.abs(got - ref)) < 2e-4
 
 
+def test_encoder_pad_row_split_parity(rng):
+    """content_rows static-pad split == full computation.
+
+    On a bottom-padded canvas the pad token rows are identical across
+    the batch, so the pre-global windowed layers may compute whole pad
+    window-rows once and broadcast (SamVisionEncoder content_rows).
+    Same per-window math at a different window-batch index — outputs
+    must match the unsplit encoder to fp noise."""
+    enc = SamVisionEncoder(img_size=256, dim=32, depth=3, heads=2,
+                           global_attn_indexes=(2,))
+    # content: pixel rows 0-143 (9 token rows of 16); rows 144+ are the
+    # pad — constant (zero) across the batch, like pad_to_rect output
+    x = rng.standard_normal((3, 256, 256, 3)).astype(np.float32)
+    x[:, 144:] = 0.0
+    import jax
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    full = enc.apply(params, jnp.asarray(x))
+    split = enc.apply(params, jnp.asarray(x), 9)
+    err = np.max(np.abs(np.asarray(full) - np.asarray(split)))
+    assert err < 1e-5, err
+    # content_rows covering the whole grid (or batch 1) => same program
+    same = enc.apply(params, jnp.asarray(x), 16)
+    assert np.max(np.abs(np.asarray(full) - np.asarray(same))) == 0.0
+    one = enc.apply(params, jnp.asarray(x[:1]), 9)
+    assert np.max(np.abs(np.asarray(full[:1]) - np.asarray(one))) < 1e-5
+
+
 def test_postprocess_mask_geometry():
     low = jnp.full((256, 256), -5.0)
     low = low.at[:64, :].set(5.0)

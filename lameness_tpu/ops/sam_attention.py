@@ -87,10 +87,13 @@ def sam_global_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert n == gh * gw, (n, gh, gw)
     assert rel_h.shape[1:] == (gh, gw, gh) and rel_w.shape[1:] == (gh, gw, gw)
     import os
-    glb = os.environ.get("LAMENESS_GLB_KERNEL", "v2")
+    glb = os.environ.get("LAMENESS_GLB_KERNEL", "v4")
     if glb == "v4":
-        # software-pipelined two-half variant (probe-gated; see
-        # _global_kernel_v4)
+        # software-pipelined two-half default: v4_r2 beat v2_r4 in two
+        # independent on-chip windows (75.1 vs 79.9 and 77.2 vs 80.0 ms
+        # at 528 heads bf16, docs/PROBES_r03.json glb_v4_r2), outputs
+        # within 1 bf16 ulp of v1/v2 (folded softmax denominator).
+        # LAMENESS_GLB_KERNEL=v2/v1 reverts.
         return sam_global_attention_v4(q, k, v, rel_h, rel_w,
                                        interpret=interpret)
     if glb != "v1":

@@ -903,6 +903,12 @@ def probe_samparts(small: bool) -> None:
 
     emb = timed("sp_enc_full", lambda p, i: model.apply(
         p, i, method=model.encode), params, x)
+    # pad-split path: bottom 44% of the canvas zeroed (16:9 content),
+    # content_rows = 36 token rows — the serving configuration
+    crows = max(1, (g * 9) // 16)
+    xz = x.at[:, crows * 16:].set(0.0)
+    timed("sp_enc_padsplit", lambda p, i: model.apply(
+        p, i, crows, method=model.encode), params, xz)
     if emb is not None:
         boxes = jnp.tile(jnp.asarray([[0.1, 0.1, 0.9, 0.6]], dtype) * size,
                          (b, 1))

@@ -120,20 +120,23 @@ class VisionAttention(nn.Module):
                          and os.environ.get("LAMENESS_FUSED_WIN") != "0"
                          and (jax.default_backend() == "tpu"
                               or self.fused is True))
-        if use_fused_win and os.environ.get(
-                "LAMENESS_WIN_KERNEL", "v3") == "v3":
+        win_kernel = os.environ.get("LAMENESS_WIN_KERNEL", "v3")
+        if use_fused_win and win_kernel in ("v3", "v5"):
             # transpose-free default: head-last layouts end-to-end, the
             # kernel reads 128-lane-aligned per-head slices directly.
             # On-chip (b=1100 windows, bf16): 46 -> 33 ms real module
             # time vs the transpose-based v1 path, bitwise-identical
             # (docs/PROBES_r03.json attnmod_*).  LAMENESS_WIN_KERNEL=v1
-            # (or v2) reverts to the transpose-based kernels.
+            # (or v2) reverts to the transpose-based kernels; v5 is the
+            # software-pipelined head-loop variant (probe-gated).
             from ..ops.sam_attention import (project_rel_tables_hl,
-                                             sam_window_attention_v3)
+                                             sam_window_attention_v3,
+                                             sam_window_attention_v5)
             interp = jax.default_backend() != "tpu"
             rh4, rw4 = project_rel_tables_hl(q, rel_h, rel_w, h)
-            of = sam_window_attention_v3(q, k, v, rh4, rw4,
-                                         interpret=interp)
+            fn = sam_window_attention_v5 if win_kernel == "v5" \
+                else sam_window_attention_v3
+            of = fn(q, k, v, rh4, rw4, interpret=interp)
             out = of.reshape(b, h, w, self.dim)
             return nn.Dense(self.dim, name="proj")(out)
         elif use_fused_win:

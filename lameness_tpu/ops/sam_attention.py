@@ -685,6 +685,96 @@ def sam_window_attention_v3(q4: jnp.ndarray, k4: jnp.ndarray,
     return out.reshape(bw, n, nh, lane)[..., :hd].reshape(bw, n, nh * hd)
 
 
+def _window_kernel_v5(qa_ref, ka_ref, va_ref, o_ref, *, heads: int,
+                      lane: int, wpp: int):
+    """v3's head loop, software-pipelined: head h's augmented QK (MXU)
+    is emitted before head h-1's softmax+PV, so the VLIW scheduler can
+    pack the VPU softmax against the next head's matmul; the softmax
+    denominator folds into the PV output scale (divide the (N, 128)
+    tile, not the (N, 256) scores)."""
+    def qk(w, h):
+        sl = slice(h * lane, (h + 1) * lane)
+        return jax.lax.dot_general(
+            qa_ref[w, :, sl], ka_ref[w, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def finish(w, h, s):
+        sl = slice(h * lane, (h + 1) * lane)
+        va = va_ref[w, :, sl]
+        p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+        inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(va.dtype), va,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * inv
+        o_ref[w, :, sl] = o.astype(o_ref.dtype)
+
+    prev = None
+    for w in range(wpp):
+        for h in range(heads):
+            s = qk(w, h)
+            if prev is not None:
+                finish(*prev)
+            prev = (w, h, s)
+    finish(*prev)
+
+
+def sam_window_attention_v5(q4: jnp.ndarray, k4: jnp.ndarray,
+                            v4: jnp.ndarray, rh4: jnp.ndarray,
+                            rw4: jnp.ndarray,
+                            interpret: bool = False,
+                            windows_per_program: int = 2) -> jnp.ndarray:
+    """sam_window_attention_v3 with the software-pipelined head loop
+    (same layout/packing; see _window_kernel_v5).  Numerics: folded
+    softmax denominator ⇒ ≤1 bf16 ulp vs v3 on the weights."""
+    bw, n, nh, hd = q4.shape
+    win = rh4.shape[-1]
+    assert n == win * win, (n, win)
+    lane = 128
+    aug = hd + 2 * win
+    assert aug <= lane, (hd, win)
+    import os
+    try:
+        wpp = int(os.environ.get("LAMENESS_SAM_WPP5", windows_per_program))
+    except ValueError:
+        wpp = windows_per_program
+    wpp = max(1, min(wpp, bw))
+    while bw % wpp:
+        wpp -= 1
+    scale = hd ** -0.5
+    jj = np.arange(n)
+    const = np.concatenate(
+        [(jj[:, None] // win) == np.arange(win)[None, :],
+         (jj[:, None] % win) == np.arange(win)[None, :]],
+        axis=1).astype(np.float32)                       # (N, 2·win)
+    const = jnp.broadcast_to(jnp.asarray(const, q4.dtype)[:, None, :],
+                             (n, nh, 2 * win))
+    zpad = jnp.zeros((bw, n, nh, lane - aug), q4.dtype)
+    qa = jnp.concatenate(
+        [q4 * scale, rh4.astype(q4.dtype), rw4.astype(q4.dtype), zpad], -1)
+    ka = jnp.concatenate(
+        [k4, jnp.broadcast_to(const, (bw, n, nh, 2 * win)), zpad], -1)
+    va = jnp.concatenate(
+        [v4, jnp.zeros((bw, n, nh, lane - hd), q4.dtype)], -1)
+    c = nh * lane
+    out = pl.pallas_call(
+        functools.partial(_window_kernel_v5, heads=nh, lane=lane, wpp=wpp),
+        grid=(bw // wpp,),
+        in_specs=[
+            pl.BlockSpec((wpp, n, c), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpp, n, c), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpp, n, c), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wpp, n, c), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bw, n, c), q4.dtype),
+        interpret=interpret,
+    )(qa.reshape(bw, n, c), ka.reshape(bw, n, c), va.reshape(bw, n, c))
+    return out.reshape(bw, n, nh, lane)[..., :hd].reshape(bw, n, nh * hd)
+
+
 def project_rel_tables_hl(q4: jnp.ndarray, rel_pos_h: jnp.ndarray,
                           rel_pos_w: jnp.ndarray, gh: int,
                           gw: int = None):

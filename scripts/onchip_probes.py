@@ -338,10 +338,11 @@ def probe_winvar(small: bool) -> None:
     pinit = jax.tree_util.tree_map(lambda a: a.astype(dtype), pinit)
     mouts = {}
     for ver, wpp in (("v1", None), ("v3", None), ("v3", 2), ("v3", 4),
-                     ("v3", 10)):
+                     ("v3", 10), ("v5", None), ("v5", 1), ("v5", 4)):
         _os.environ["LAMENESS_WIN_KERNEL"] = ver
         if wpp is not None:
-            _os.environ["LAMENESS_SAM_WPP3"] = str(wpp)
+            _os.environ["LAMENESS_SAM_WPP3" if ver == "v3"
+                        else "LAMENESS_SAM_WPP5"] = str(wpp)
         tag = f"attnmod_{ver}" + (f"_wpp{wpp}" if wpp else "")
         try:
             jfn = jax.jit(lambda p, t: mod.apply(p, t))
@@ -358,6 +359,7 @@ def probe_winvar(small: bool) -> None:
         except Exception as e:
             _emit(f"{tag}_error", {"error": repr(e)[:300]})
         _os.environ.pop("LAMENESS_SAM_WPP3", None)
+        _os.environ.pop("LAMENESS_SAM_WPP5", None)
     _os.environ.pop("LAMENESS_WIN_KERNEL", None)
     base = mouts.get("attnmod_v1")
     if base is not None:

@@ -210,6 +210,13 @@ def test_window_kernel_v3_matches_reference(rng):
                                       windows_per_program=wpp)
         assert np.max(np.abs(np.asarray(got) - ref)) < 2e-5, wpp
 
+    # v5 (software-pipelined head loop, folded denominator) == same ref
+    from lameness_tpu.ops.sam_attention import sam_window_attention_v5
+    for wpp in (1, 3):
+        got = sam_window_attention_v5(q4, k4, v4, rh4, rw4, interpret=True,
+                                      windows_per_program=wpp)
+        assert np.max(np.abs(np.asarray(got) - ref)) < 2e-5, ("v5", wpp)
+
 
 def test_vision_attention_v3_env_parity(rng, monkeypatch):
     """VisionAttention windowed path: v3 env routing == unfused module."""

@@ -213,20 +213,32 @@ class PgConnection:
     def execute(self, sql: str, params: Sequence[Any] = ()) -> PgCursor:
         query = _interpolate(sql, tuple(params))
         with self._lock:
-            self._sock.sendall(_msg(b"Q", query.encode("utf-8") + b"\x00"))
-            description, oids, rows, err = None, [], [], None
-            while True:
-                typ, payload = _read_message(self._sock)
-                if typ == b"T":
-                    description, oids = self._parse_row_description(payload)
-                elif typ == b"D":
-                    rows.append(self._parse_data_row(payload, oids))
-                elif typ == b"E":
-                    err = self._error_text(payload)
-                elif typ == b"C" or typ == b"I":   # CommandComplete/EmptyQuery
-                    pass
-                elif typ == b"Z":
-                    break
+            if self._sock is None:
+                raise OperationalError("connection is closed")
+            try:
+                self._sock.sendall(
+                    _msg(b"Q", query.encode("utf-8") + b"\x00"))
+                description, oids, rows, err = None, [], [], None
+                while True:
+                    typ, payload = _read_message(self._sock)
+                    if typ == b"T":
+                        description, oids = \
+                            self._parse_row_description(payload)
+                    elif typ == b"D":
+                        rows.append(self._parse_data_row(payload, oids))
+                    elif typ == b"E":
+                        err = self._error_text(payload)
+                    elif typ in (b"C", b"I"):  # CommandComplete/EmptyQuery
+                        pass
+                    elif typ == b"Z":
+                        break
+            except OSError as e:
+                # a timeout or reset mid-result leaves the stream desynced
+                # (the next execute would read THIS query's leftovers) —
+                # fail closed, like libpq's CONNECTION_BAD
+                self._sock.close()
+                self._sock = None
+                raise OperationalError(f"connection broken: {e!r}") from e
             if err is not None:
                 raise OperationalError(err)
         return PgCursor(description, rows)
@@ -262,11 +274,14 @@ class PgConnection:
         pass
 
     def close(self) -> None:
+        if self._sock is None:
+            return
         try:
             self._sock.sendall(_msg(b"X"))
         except OSError:
             pass
         self._sock.close()
+        self._sock = None
 
 
 def connect(dsn: str, timeout: float = 10.0) -> PgConnection:

@@ -159,14 +159,14 @@ class _LgbTree:
             dt = self.dtype[n]
             default_left = (dt & 2) != 0
             missing_type = (dt >> 2) & 3
+            # LightGBM's NumericalDecision: NaN is converted to 0.0
+            # unless missing_type is NaN; THEN zero/NaN missing routing
+            # applies; remaining values compare x <= threshold.
+            xv = np.where(np.isnan(xv) & (missing_type != 2), 0.0, xv)
             is_missing = np.where(
                 missing_type == 2, np.isnan(xv),
                 np.where(missing_type == 1, np.abs(xv) <= 1e-35, False))
-            go_left = np.where(is_missing, default_left,
-                               # NaN compares false; route it by default
-                               # direction even when missing_type is None
-                               np.where(np.isnan(xv), default_left,
-                                        xv <= self.thr[n]))
+            go_left = np.where(is_missing, default_left, xv <= self.thr[n])
             child = np.where(go_left, self.left[n], self.right[n])
             leaf = child < 0
             idx = np.flatnonzero(live)

@@ -179,14 +179,34 @@ def test_lgb_text_margin_exact(tmp_path):
                                atol=1e-12)
 
 
-def test_lgb_missing_nan_goes_default(tmp_path):
+def test_lgb_missing_none_nan_becomes_zero(tmp_path):
     p = tmp_path / "m.txt"
-    # decision_type 2 -> numerical, default LEFT (bit1), missing None
+    # decision_type 2 -> numerical, default LEFT (bit1), missing None:
+    # LightGBM's NumericalDecision converts NaN to 0.0 when missing_type
+    # is not NaN, THEN compares x <= threshold (it does NOT take the
+    # default direction).
     p.write_text(_LGB_TEXT)
     m = LgbTextModel(p)
     margins = m.predict_margin(np.array([[np.nan, np.nan]]))
-    # t0 root: default-left -> leaf0 +0.2; t1 root default-left -> -0.05
+    # t0 root: 0.0 <= 0.5 -> left leaf0 +0.2
+    # t1 root: 0.0 <= -1.0 false -> right +0.15
+    np.testing.assert_allclose(margins, [0.2 + 0.15 + 0.01], atol=1e-12)
+
+
+def test_lgb_missing_nan_goes_default(tmp_path):
+    p = tmp_path / "m.txt"
+    # missing_type NaN: decision_type = bit1 (default-left) | 2<<2 = 10
+    p.write_text(_LGB_TEXT.replace("decision_type=2 2",
+                                   "decision_type=10 10")
+                 .replace("decision_type=2\n", "decision_type=10\n"))
+    m = LgbTextModel(p)
+    margins = m.predict_margin(np.array([[np.nan, np.nan]]))
+    # t0 root: NaN missing -> default-left -> leaf0 +0.2
+    # t1 root: NaN missing -> default-left -> -0.05
     np.testing.assert_allclose(margins, [0.2 - 0.05 + 0.01], atol=1e-12)
+    # non-NaN values still compare numerically under missing_type NaN
+    margins = m.predict_margin(np.array([[2.0, 1.0]]))
+    np.testing.assert_allclose(margins, [0.35 + 0.15 + 0.01], atol=1e-12)
 
 
 def test_lgb_sigmoid_scale(tmp_path):

@@ -142,3 +142,18 @@ def test_open_database_dispatch(server, tmp_path):
     assert db._driver is pg_wire
     db2 = open_database(tmp_path / "x.db")
     assert db2._driver.__name__ == "sqlite3"
+
+
+def test_broken_connection_fails_closed(server):
+    """A socket error mid-query must not leave a desynced-but-usable
+    connection: the next execute raises cleanly instead of reading the
+    previous query's leftover messages."""
+    _, dsn = server
+    conn = connect(dsn)
+    assert conn.execute("SELECT 1").fetchone() == (1,)
+    conn._sock.close()                     # simulate reset mid-stream
+    with pytest.raises(OperationalError, match="broken|closed"):
+        conn.execute("SELECT 1")
+    with pytest.raises(OperationalError, match="closed"):
+        conn.execute("SELECT 1")           # and stays closed
+    conn.close()                           # idempotent, no raise

@@ -171,11 +171,24 @@ def ws_send(sock: socket.socket, text: str) -> None:
     sock.sendall(bytes(header) + data)
 
 
+def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+    """Read exactly n bytes; None on EOF.  TCP delivers a stream, not
+    frames — a 2-byte WS header can arrive split across packets (common
+    through proxies), so every fixed-size field needs a loop."""
+    data = b""
+    while len(data) < n:
+        chunk = sock.recv(n - len(data))
+        if not chunk:
+            return None
+        data += chunk
+    return data
+
+
 def ws_recv(sock: socket.socket) -> Optional[str]:
     """Read one text frame (client frames are masked); None on close."""
     try:
-        head = sock.recv(2)
-        if len(head) < 2:
+        head = _recv_exact(sock, 2)
+        if head is None:
             return None
         opcode = head[0] & 0x0F
         if opcode == 0x8:
@@ -183,16 +196,13 @@ def ws_recv(sock: socket.socket) -> Optional[str]:
         masked = head[1] & 0x80
         n = head[1] & 0x7F
         if n == 126:
-            n = struct.unpack(">H", sock.recv(2))[0]
+            n = struct.unpack(">H", _recv_exact(sock, 2))[0]
         elif n == 127:
-            n = struct.unpack(">Q", sock.recv(8))[0]
-        mask = sock.recv(4) if masked else b"\x00" * 4
-        data = b""
-        while len(data) < n:
-            chunk = sock.recv(n - len(data))
-            if not chunk:
-                return None
-            data += chunk
+            n = struct.unpack(">Q", _recv_exact(sock, 8))[0]
+        mask = _recv_exact(sock, 4) if masked else b"\x00" * 4
+        data = _recv_exact(sock, n)
+        if data is None or mask is None:
+            return None
         if masked:
             data = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
         return data.decode(errors="replace")

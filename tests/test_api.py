@@ -269,3 +269,35 @@ def test_unknown_route_404(server):
     base, _ = server
     assert httpx.get(f"{base}/api/nope").status_code == 404
     assert httpx.get(f"{base}/health").json()["status"] == "healthy"
+
+
+def test_ws_recv_survives_short_reads():
+    """TCP can deliver a WS frame one byte at a time (proxies, slow
+    links); every fixed-size field must be read with an exact loop."""
+    import threading
+    import time as _t
+    from lameness_tpu.serve.http import ws_recv
+
+    a, b = socket.socketpair()
+    payload = json.dumps({"channel": "pipeline", "n": 7}).encode()
+    mask = bytes([1, 2, 3, 4])
+    masked = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+    frame = bytes([0x81, 0x80 | len(payload)]) + mask + masked
+
+    def drip():
+        for byte in frame:
+            a.sendall(bytes([byte]))
+            _t.sleep(0.002)
+    t = threading.Thread(target=drip)
+    t.start()
+    out = ws_recv(b)
+    t.join()
+    assert out is not None and json.loads(out) == {"channel": "pipeline",
+                                                   "n": 7}
+    # EOF mid-frame -> clean None, not an exception
+    a2, b2 = socket.socketpair()
+    a2.sendall(frame[:3])
+    a2.close()
+    assert ws_recv(b2) is None
+    for s in (a, b, b2):
+        s.close()

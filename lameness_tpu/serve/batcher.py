@@ -87,8 +87,12 @@ class ClipBatcher:
                 # padded to the ONE warmed max_batch signature — a lone
                 # clip through an unwarmed batch-1 signature would stall
                 # minutes on the remote compiler (ADVICE r1, medium)
-                app.driver.process_stream(jobs, batch_size=self.max_batch,
-                                          pad_to=self.max_batch)
+                app.driver.process_stream(
+                    jobs, batch_size=self.max_batch, pad_to=self.max_batch,
+                    # a clip that fails decode produces no result file and
+                    # would otherwise sit at 'processing' forever
+                    on_decode_failure=lambda vid, e: app.db_mark_job(
+                        vid, "failed", error=f"decode failed: {e!r}"[:500]))
                 self.batches_run += (len(jobs) + self.max_batch - 1) \
                     // self.max_batch
                 self.clips_run += len(jobs)

@@ -223,7 +223,8 @@ class PipelineDriver:
 
     def process_stream(self, jobs, batch_size: int = 1,
                        pad_to: Optional[int] = None,
-                       decode_workers: Optional[int] = None):
+                       decode_workers: Optional[int] = None,
+                       on_decode_failure=None):
         """Throughput path with decode/compute overlap: a background thread
         decodes the next batch's frames while the engine runs the current
         one (host decode is ~1-2 s/clip vs ~0.9 s engine — without overlap
@@ -280,6 +281,19 @@ class PipelineDriver:
                         Path(path))
             except Exception as e:
                 LOG.error("stream.decode_failed", exc=e, video_id=video_id)
+                frames, err = None, e   # `e` is unbound past this clause
+            else:
+                err = ValueError("no decodable frames")
+            if frames is None:
+                # surface the drop — a silently skipped clip produces no
+                # result file and no error, wedging its processing_jobs
+                # row at 'processing' until a restart (batcher passes
+                # app.db_mark_job here)
+                if on_decode_failure is not None:
+                    try:
+                        on_decode_failure(video_id, err)
+                    except Exception:
+                        pass
                 return video_id, None, None, None
             return video_id, frames, scale, info
 

@@ -168,10 +168,16 @@ def test_process_stream_survives_decode_failure(tmp_data_root, tmp_path):
 
     import threading
     results = []
+    failures = []
     t = threading.Thread(
-        target=lambda: results.extend(driver.process_stream(jobs)))
+        target=lambda: results.extend(driver.process_stream(
+            jobs, on_decode_failure=lambda v, e: failures.append(v))))
     t.start()
     t.join(timeout=120)
     assert not t.is_alive(), "process_stream wedged on a decode failure"
     assert len(results) == 1
     assert (cfg.dirs.results_for("tcn") / f"{vid}_tcn.json").exists()
+    # every dropped clip is SURFACED (the serving batcher marks its
+    # processing_jobs row failed through this callback) — regardless of
+    # whether decode raised (corrupt bytes) or yielded zero frames
+    assert sorted(failures) == ["badvid", "missing"]

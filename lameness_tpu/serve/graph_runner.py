@@ -174,7 +174,12 @@ class GraphHeadRunner:
             candidates = [v for v in candidates
                           if v == target_video or
                           self._cow_for(v) == target_cow]
-        for vid in candidates[-self.max_nodes:]:
+        # the node cap must never evict the TARGET: with > max_nodes
+        # known videos a lexicographically-early target would slice out
+        # of its own graph and get no gnn/graph_transformer results
+        others = [v for v in candidates if v != target_video]
+        selected = others[-(self.max_nodes - 1):] + [target_video]
+        for vid in selected:
             nf = node_features_for_video(self.dirs, vid)
             emb = embedding_for_video(self.dirs, vid)
             if nf is None or emb is None:
@@ -202,7 +207,11 @@ class GraphHeadRunner:
         g["x"] = gb.standardize_features(g["x"], g["node_mask"])
         target_idx = video_ids.index(video_id)
         target_cow = cow_ids[target_idx]
-        rng = jax.random.PRNGKey(hash(video_id) % (2 ** 31))
+        # stable seed: builtin hash() is salted per process
+        # (PYTHONHASHSEED), which would make the MC-dropout uncertainty
+        # numbers differ across runs — result JSONs must be idempotent
+        import zlib
+        rng = jax.random.PRNGKey(zlib.crc32(video_id.encode()) % (2 ** 31))
 
         # --- GraphGPS -----------------------------------------------------
         args = self._gnn_args(g)

@@ -88,3 +88,22 @@ def test_graph_runner_single_video(tmp_data_root, rng):
     out = runner.process_video("solo")
     assert out is not None
     assert out["gnn"]["graph_info"]["num_nodes"] == 1
+
+
+def test_node_cap_never_evicts_target(tmp_data_root, rng):
+    """With more known videos than max_nodes, a lexicographically-early
+    target must still appear in its own graph (the cap evicts OTHER
+    nodes), and results must be written for it."""
+    cfg = tmp_data_root
+    # "aaa" sorts before every zz-prefixed filler video; distinct cows so
+    # the per-cow filter doesn't shrink the candidate set
+    _write_stage_results(cfg.dirs, "aaa-target", rng, cow=None)
+    for i in range(8):
+        _write_stage_results(cfg.dirs, f"zz-filler-{i}", rng, cow=None)
+    runner = GraphHeadRunner(cfg, max_nodes=4)
+    vids, feats, embs, cows, ts = runner.collect_graph("aaa-target")
+    assert "aaa-target" in vids
+    assert len(vids) <= 4
+    out = runner.process_video("aaa-target")
+    assert out is not None
+    assert (cfg.dirs.results_for("gnn") / "aaa-target_gnn.json").exists()

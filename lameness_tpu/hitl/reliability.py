@@ -144,12 +144,14 @@ class RaterReliabilityService:
                 confusion_matrix=cm, agreement_rate=agreement)
         self._save()
 
-    def compute_weighted_consensus(self, video_id: str
+    def compute_weighted_consensus(self, video_id: str,
+                                   refresh_stats: bool = True
                                    ) -> Optional[ConsensusResult]:
         anns = self.annotations.get(video_id)
         if not anns:
             return None
-        self.update_rater_stats()
+        if refresh_stats:
+            self.update_rater_stats()
         votes = {"lame": 0.0, "sound": 0.0}
         contributions = []
         for rater_id, label in anns.items():
@@ -193,9 +195,12 @@ class RaterReliabilityService:
         return [asdict(s) for s in self.rater_stats.values()]
 
     def get_consensus_for_all_videos(self) -> List[Dict]:
+        # one stats refresh (Dawid-Skene EM) for the whole sweep — the
+        # per-video default would re-run the EM V times
+        self.update_rater_stats()
         out = []
         for vid in self.annotations:
-            c = self.compute_weighted_consensus(vid)
+            c = self.compute_weighted_consensus(vid, refresh_stats=False)
             if c:
                 out.append(asdict(c))
         return out

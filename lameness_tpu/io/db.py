@@ -297,6 +297,8 @@ class Database:
 
     def update(self, table: str, pk_value: str, fields: Dict[str, Any],
                pk: str = "id") -> None:
+        if not fields:       # "SET  WHERE" is a syntax error -> 500s
+            return
         sets = ", ".join(f"{k}=?" for k in fields)
         self.execute(f"UPDATE {table} SET {sets} WHERE {pk}=?",
                      tuple(_coerce(v) for v in fields.values()) + (pk_value,))

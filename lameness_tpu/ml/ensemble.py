@@ -8,11 +8,14 @@ three named boosted models + a weighted ensemble whose weights come from
 Reference model FILES (``xgboost_latest.json`` / ``lightgbm_latest.txt``)
 load and predict exactly via the pure-numpy tree evaluators in
 :mod:`lameness_tpu.ml.gbdt_io` — no C++ library needed; ``.cbm`` needs the
-catboost lib.  For TRAINING (and for slots without a reference file),
-native libraries are used when installed, otherwise sklearn gradient
-boosting stands in (documented degradation — identical ensemble math,
-different tree library), persisted with joblib under the same
-model-directory layout.
+catboost lib.  For TRAINING, native libraries are used when installed;
+otherwise :mod:`lameness_tpu.ml.gbdt_train` implements each library's
+own algorithm in numpy (XGBoost exact-greedy depthwise, LightGBM
+leafwise, CatBoost oblivious trees) and ``save()`` writes the xgboost /
+lightgbm slots in the REFERENCE's model-file formats
+(``xgboost_latest.json`` / ``lightgbm_latest.txt``) — artifacts the
+reference's own ml-pipeline loaders accept.  The oblivious catboost
+model persists via joblib (``.cbm`` is not writable without the lib).
 """
 from __future__ import annotations
 
@@ -28,7 +31,9 @@ DEFAULT_WEIGHTS = {"catboost": 0.35, "xgboost": 0.35, "lightgbm": 0.30}
 
 
 def _make_model(slot: str, params: Optional[Dict[str, Any]] = None):
-    """Construct the best available backend for a slot."""
+    """Construct the best available backend for a slot: the native library
+    when installed, else the numpy trainer in that library's own style
+    (gbdt_train.make_numpy_model)."""
     params = params or {}
     n_estimators = params.get("n_estimators", 200)
     lr = params.get("learning_rate", 0.1)
@@ -41,37 +46,25 @@ def _make_model(slot: str, params: Optional[Dict[str, Any]] = None):
                                       verbose=False)
         except ImportError:
             pass
-        from sklearn.ensemble import GradientBoostingClassifier
-        return GradientBoostingClassifier(n_estimators=n_estimators,
-                                          learning_rate=lr, max_depth=depth)
-    if slot == "xgboost":
+    elif slot == "xgboost":
         try:
             from xgboost import XGBClassifier  # type: ignore
             return XGBClassifier(n_estimators=n_estimators, learning_rate=lr,
                                  max_depth=depth, eval_metric="logloss")
         except ImportError:
             pass
-        from sklearn.ensemble import HistGradientBoostingClassifier
-        # min_samples_leaf=1 mirrors XGBoost's min_child_weight=1 default;
-        # sklearn's Hist default of 20 can't split small early-stage
-        # datasets at all (majority-class predictions, CV accuracy 0.5)
-        return HistGradientBoostingClassifier(max_iter=n_estimators,
-                                              learning_rate=lr,
-                                              max_depth=depth,
-                                              min_samples_leaf=1)
-    if slot == "lightgbm":
+    elif slot == "lightgbm":
         try:
             from lightgbm import LGBMClassifier  # type: ignore
             return LGBMClassifier(n_estimators=n_estimators, learning_rate=lr,
                                   max_depth=depth, verbose=-1)
         except ImportError:
             pass
-        from sklearn.ensemble import HistGradientBoostingClassifier
-        return HistGradientBoostingClassifier(max_iter=n_estimators,
-                                              learning_rate=lr,
-                                              max_depth=depth,
-                                              max_leaf_nodes=63)
-    raise ValueError(slot)
+    else:
+        raise ValueError(slot)
+    from .gbdt_train import make_numpy_model
+    return make_numpy_model(slot, dict(params, n_estimators=n_estimators,
+                                       learning_rate=lr, max_depth=depth))
 
 
 class GBDTEnsemble:
@@ -117,15 +110,31 @@ class GBDTEnsemble:
             except Exception:
                 pass
 
-    def save(self) -> None:
+    def save(self, feature_names: Optional[List[str]] = None) -> None:
+        """Persist every slot.  Numpy-trained xgboost/lightgbm models are
+        written in the REFERENCE's model-file formats (xgboost_latest.json
+        / lightgbm_latest.txt — what the reference's ml-pipeline loads and
+        what load() prefers, via the exact gbdt_io readers); everything
+        also gets a joblib dump as the fallback."""
+        from .gbdt_io import REFERENCE_FILES
+        from .gbdt_train import BoostedTreesClassifier
         for slot, model in self.models.items():
+            if isinstance(model, BoostedTreesClassifier):
+                if slot == "xgboost":
+                    model.save_xgboost_json(
+                        self.models_dir / REFERENCE_FILES[slot],
+                        feature_names=feature_names)
+                elif slot == "lightgbm":
+                    model.save_lightgbm_txt(
+                        self.models_dir / REFERENCE_FILES[slot],
+                        feature_names=feature_names)
             joblib.dump(model, self._slot_path(slot))
         json.dump(self.ensemble_weights,
                   open(self.models_dir / "ensemble_weights.json", "w"))
 
     # -- training ------------------------------------------------------------
-    def fit(self, x: np.ndarray, y: np.ndarray,
-            cv_folds: int = 5) -> Dict[str, Any]:
+    def fit(self, x: np.ndarray, y: np.ndarray, cv_folds: int = 5,
+            feature_names: Optional[List[str]] = None) -> Dict[str, Any]:
         """Train all slots with stratified CV accuracy reporting
         (training-service/app/main.py:193-293)."""
         from sklearn.model_selection import StratifiedKFold, cross_val_score
@@ -145,9 +154,10 @@ class GBDTEnsemble:
             else:
                 report["models"][slot] = {"cv_accuracy_mean": None,
                                           "cv_accuracy_std": None}
+            report["models"][slot]["backend"] = type(model).__name__
             model.fit(x, y)
             self.models[slot] = model
-        self.save()
+        self.save(feature_names=feature_names)
         report["num_samples"] = int(len(y))
         report["class_balance"] = {str(c): int(n) for c, n in
                                    zip(*np.unique(y, return_counts=True))}

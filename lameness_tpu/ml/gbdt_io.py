@@ -12,8 +12,12 @@ and LightGBM text formats are documented, self-contained tree dumps —
 these readers parse them and evaluate the trees bit-exactly with
 numpy, so the reference's model FILES load and predict without the
 C++ libraries.  CatBoost's ``.cbm`` is an undocumented binary format
-and stays library-gated (``_make_model`` falls back to sklearn for
-that slot; documented stance in docs/COVERAGE.md).
+and stays library-gated (``_make_model`` falls back to the numpy
+oblivious-tree trainer in :mod:`lameness_tpu.ml.gbdt_train` for that
+slot; documented stance in docs/COVERAGE.md).  The same gbdt_train
+module WRITES these two formats for its trained models, so training
+here produces files the reference's loaders accept and these readers
+round-trip exactly.
 
 Both readers expose the sklearn-ish surface ``predict_proba`` /
 ``predict_margin`` that :class:`lameness_tpu.ml.ensemble.GBDTEnsemble`

@@ -169,7 +169,8 @@ class TrainingService:
                                "covering both classes")
             self._write_status(status)
             return status
-        report = self.ensemble.fit(x, y, cv_folds=cv_folds)
+        report = self.ensemble.fit(x, y, cv_folds=cv_folds,
+                                   feature_names=FEATURE_ORDER)
         status.update({"status": "completed", "report": report,
                        "completed_at": datetime.now(timezone.utc).isoformat(),
                        "feature_names": FEATURE_ORDER})

@@ -29,6 +29,7 @@ Schema sources (file:line in /root/reference):
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -43,9 +44,24 @@ def _f(x) -> float:
 
 
 def write_result(path: Path, obj: Dict[str, Any]) -> Path:
+    """Atomic result-file write (tmp + rename in the same directory).
+
+    Result JSONs are read concurrently with their production: the admin
+    API serves them, fusion best-effort-reads sibling pipelines'
+    files (§2.9.4), ``wait_for_analysis`` polls for the fusion file, and
+    the stream path's writer thread races all of them.  A bare
+    ``json.dump`` exposes partially-written files to those readers
+    (caught by tests/test_soak.py); ``os.replace`` is atomic on POSIX so
+    readers see either the old file or the complete new one, never a
+    torn write.  (The reference writes non-atomically and carries this
+    race.)
+    """
+    path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "w") as f:
+    tmp = path.with_name(f".{path.name}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
         json.dump(obj, f, indent=2)
+    os.replace(tmp, path)
     return path
 
 

@@ -187,8 +187,10 @@ class TrainingService:
         return self.run_training()
 
     def _write_status(self, status: Dict[str, Any]) -> None:
-        self.status_path.parent.mkdir(parents=True, exist_ok=True)
-        json.dump(status, open(self.status_path, "w"), indent=2)
+        # atomic: the admin API's /api/training/status reads this file
+        # while training updates it
+        from ..io import schemas
+        schemas.write_result(self.status_path, status)
 
     def get_status(self) -> Dict[str, Any]:
         if self.status_path.exists():

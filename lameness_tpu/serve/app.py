@@ -241,7 +241,18 @@ class LamenessApp:
                 self.driver.curator.curate_video(raw, vid)
             except Exception:
                 pass
-        self.driver.preprocess(vid)
+        try:
+            self.driver.preprocess(vid)
+        except Exception as e:
+            # failure detection at the DECODE stage: a corrupt upload
+            # (VideoReader refuses to open) must mark the job failed, not
+            # leave it wedged at 'processing' until restart — the same
+            # contract the engine stage (_on_preprocessed) and the stream
+            # path (on_decode_failure) already keep
+            self._heartbeat("video-preprocessing", active_jobs=0,
+                            error_count=1, last_error=repr(e)[:300])
+            self.db_mark_job(vid, "failed", error=repr(e)[:500])
+            raise
         self._heartbeat("video-preprocessing", active_jobs=0,
                         success_count=1)
 
@@ -291,10 +302,12 @@ class LamenessApp:
             # refresh human consensus file for fusion's reader
             c = self.reliability.compute_weighted_consensus(vid)
             if c is not None:
-                json.dump({"probability": c.probability,
-                           "confidence": c.confidence,
-                           "num_raters": c.num_raters},
-                          open(self._consensus_dir / f"{vid}.json", "w"))
+                from ..io import schemas
+                schemas.write_result(        # atomic: fusion reads it live
+                    self._consensus_dir / f"{vid}.json",
+                    {"probability": c.probability,
+                     "confidence": c.confidence,
+                     "num_raters": c.num_raters})
             self.driver.fusion.process_video(
                 vid, timestamp=datetime.now(timezone.utc).isoformat())
             self._heartbeat("fusion-service", success_count=1)

@@ -573,7 +573,6 @@ def _prep_all() -> None:
     src = f"{frames_native.shape[2]}x{frames_native.shape[3]}"
     for size, lo, bs in (((1024, 576), (640, 360), batch),
                          ((1024, 576), (640, 360), 8),
-                         ((1024, 576), (640, 360), 12),
                          ((1024, 576), None, batch)):
         w, hh = size
         tag = f"{w}x{hh}" + (f"+{lo[0]}x{lo[1]}" if lo else "")
@@ -846,24 +845,13 @@ def main():
                     except Exception as e:
                         RESULT.setdefault("sweep", []).append(
                             {"ingest": "split_b8", "error": repr(e)[:200]})
-                # (1b) split b12: one ~220 MB put — the per-transfer
-                # setup amortization that took b4→b8 from 59 to 116
-                # clips/min may have another step left; compute also
-                # amortizes slightly.  b16 OOMs HBM (SAM stage needs
-                # 17.5 G of 15.75 G at 176 frames — measured 22:15 UTC
-                # day 4); b12 fits with ~1.3 G margin.  Only when the
-                # budget is comfortable (a fresh ~40 s compile).
-                b8_ok = any(m.get("batch") == 8 and m.get("ingest")
-                            and m.get("clips_per_min")
-                            for m in RESULT.get("sweep", []))
-                if not small and b8_ok and _remaining() > 240:
-                    try:
-                        _measure_ingest_reduced(
-                            frames, 12, rng, n_runs=3,
-                            lo_size=(640, 360), base_engine=engine)
-                    except Exception as e:
-                        RESULT.setdefault("sweep", []).append(
-                            {"ingest": "split_b12", "error": repr(e)[:200]})
+                # batch ladder settled: b8 is the HBM sweet spot.  b16
+                # fails COMPILE (SAM stage wants 17.5 G of 15.75 G HBM);
+                # b12 compiles and computes (0.2073 s/clip -- below b8's
+                # 0.2021) but its e2e path RESOURCE_EXHAUSTs at runtime
+                # (frames + outputs + params) and poisons every later
+                # config in the window (runs #53/#57, day 4).  Don't
+                # probe past b8.
                 if small or _remaining() > 150:
                     try:
                         if small:

@@ -87,11 +87,14 @@ class RaterReliabilityService:
                                 for k, v in json.load(open(p)).items()}
 
     def _save(self):
-        json.dump(self.gold_tasks, open(self.data_dir / "gold_tasks.json", "w"))
-        json.dump(self.annotations,
-                  open(self.data_dir / "annotations.json", "w"))
-        json.dump({k: asdict(v) for k, v in self.rater_stats.items()},
-                  open(self.data_dir / "rater_stats.json", "w"))
+        from ..io import schemas
+        schemas.write_result(self.data_dir / "gold_tasks.json",
+                             self.gold_tasks)
+        schemas.write_result(self.data_dir / "annotations.json",
+                             self.annotations)
+        schemas.write_result(
+            self.data_dir / "rater_stats.json",
+            {k: asdict(v) for k, v in self.rater_stats.items()})
 
     # -- data entry ----------------------------------------------------------
     def add_gold_task(self, video_id: str, true_label: int):

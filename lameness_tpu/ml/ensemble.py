@@ -129,8 +129,9 @@ class GBDTEnsemble:
                         self.models_dir / REFERENCE_FILES[slot],
                         feature_names=feature_names)
             joblib.dump(model, self._slot_path(slot))
-        json.dump(self.ensemble_weights,
-                  open(self.models_dir / "ensemble_weights.json", "w"))
+        from ..io import schemas
+        schemas.write_result(self.models_dir / "ensemble_weights.json",
+                             self.ensemble_weights)
 
     # -- training ------------------------------------------------------------
     def fit(self, x: np.ndarray, y: np.ndarray, cv_folds: int = 5,

@@ -129,9 +129,11 @@ class TrainingService:
 
     def add_label(self, video_id: str, label: int,
                   confidence: str = "certain") -> None:
-        json.dump({"label": int(label), "confidence": confidence,
-                   "labeled_at": datetime.now(timezone.utc).isoformat()},
-                  open(self.labels_dir / f"{video_id}_label.json", "w"))
+        from ..io import schemas
+        schemas.write_result(      # atomic: get_labeled_data scans live
+            self.labels_dir / f"{video_id}_label.json",
+            {"label": int(label), "confidence": confidence,
+             "labeled_at": datetime.now(timezone.utc).isoformat()})
 
     # -- training ------------------------------------------------------------
     def _apply_ml_config(self) -> int:

@@ -225,7 +225,9 @@ class AdminContext:
         return json.loads(json.dumps(DEFAULT_ML_CONFIG))
 
     def save_ml_config(self, cfg: Dict[str, Any]) -> None:
-        json.dump(cfg, open(self.ml_config_path, "w"), indent=2)
+        # atomic: the training service reads this file mid-save
+        from ..io import schemas
+        schemas.write_result(Path(self.ml_config_path), cfg)
 
     def seed_users(self, password: str | None = None) -> None:
         """Default admin/researcher/rater accounts (backend main.py:117-190).
@@ -492,12 +494,11 @@ def build_admin_api(ctx: AdminContext) -> Router:
             db.update("videos", vid, {
                 "label": label,
                 "label_confidence": b.get("confidence", "certain")})
-        labels_dir = dirs.training / "labels"
-        labels_dir.mkdir(parents=True, exist_ok=True)
-        json.dump({"label": label,
-                   "confidence": b.get("confidence", "certain"),
-                   "labeled_at": _now()},
-                  open(labels_dir / f"{vid}_label.json", "w"))
+        from ..io import schemas
+        schemas.write_result(      # atomic: training scans these live
+            dirs.training / "labels" / f"{vid}_label.json",
+            {"label": label, "confidence": b.get("confidence", "certain"),
+             "labeled_at": _now()})
         ctx.bus.publish_sync(ctx.config.subjects.training_data_added, {
             "video_id": vid, "label": label})
         return {"video_id": vid, "label": label}
@@ -1790,7 +1791,8 @@ def build_admin_api(ctx: AdminContext) -> Router:
                 saved[k] = b[k]
         saved.setdefault("modules_completed", [])
         saved["updated_at"] = _now()
-        json.dump(saved, open(prog_f, "w"))
+        from ..io import schemas
+        schemas.write_result(prog_f, saved)   # atomic vs the GET reader
         return {"status": "saved"}
 
     # -- tutorial long tail (routers/tutorial.py) ----------------------------

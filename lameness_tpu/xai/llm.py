@@ -236,8 +236,9 @@ class LLMExplanationService:
             provider = "local_template"
         result = {"video_id": video_id, "provider": provider,
                   "prompt": prompt, "explanation": text}
-        with open(self.results_dir / f"{video_id}_explanation.json", "w") as f:
-            json.dump(result, f, indent=2)
+        from ..io import schemas
+        schemas.write_result(     # atomic: the GET endpoint reads it live
+            self.results_dir / f"{video_id}_explanation.json", result)
         return result
 
     def handle_analysis_complete(self, message: Dict[str, Any]):

@@ -39,9 +39,13 @@ def test_exact_shapley_symmetry():
     assert phi[0] == pytest.approx(phi[1])
 
 
-def test_shap_report_and_what_if(rng):
+def test_shap_report_and_what_if():
+    # dedicated rng + a 64-row background: with the shared session rng an
+    # unlucky 8-row draw can invert the |w_b|>|w_a| importance ordering
+    # depending on which tests ran first (ordering flake, not a math bug)
+    rng = np.random.default_rng(12)
     predict = lambda rows: 1 / (1 + np.exp(-(rows @ np.array([1.0, -2.0]))))
-    bg = rng.standard_normal((8, 2))
+    bg = rng.standard_normal((64, 2))
     x = np.array([1.0, 0.5])
     rep = shap_report(predict, x, bg, ["a", "b"], "vid1")
     assert rep["status"] == "computed"

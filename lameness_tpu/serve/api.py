@@ -1163,10 +1163,14 @@ def build_admin_api(ctx: AdminContext) -> Router:
     def elo_stats(req: Request):
         rows = db.query("SELECT * FROM video_elo_ratings")
         comps = db.query("SELECT COUNT(*) n FROM pairwise_comparisons")
+        # CASE instead of 2-arg min()/max(): those are SQLite-only scalar
+        # forms (Postgres spells them LEAST/GREATEST) and this module's
+        # SQL stays portable (io/db.py driver-swap contract)
         uniq = db.query(
-            "SELECT COUNT(DISTINCT min(video_id_1, video_id_2) || '|' || "
-            "max(video_id_1, video_id_2)) n FROM pairwise_comparisons"
-        )[0]["n"]
+            "SELECT COUNT(DISTINCT CASE WHEN video_id_1 < video_id_2 "
+            "THEN video_id_1 || '|' || video_id_2 "
+            "ELSE video_id_2 || '|' || video_id_1 END) n "
+            "FROM pairwise_comparisons")[0]["n"]
         ratings = [r["elo_rating"] for r in rows]
         n_vids = db.query("SELECT COUNT(*) n FROM videos")[0]["n"]
         possible = n_vids * (n_vids - 1) // 2

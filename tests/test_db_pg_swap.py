@@ -36,7 +36,10 @@ REPO = Path(__file__).resolve().parent.parent
 _SQLITEISMS = re.compile(
     r"\b(PRAGMA|AUTOINCREMENT|INSERT\s+OR\s+REPLACE|INSERT\s+OR\s+IGNORE|"
     r"strftime|julianday|randomblob|GROUP_CONCAT|ifnull|iif|"
-    r"datetime\s*\(|AUTOINCR)\b", re.IGNORECASE)
+    r"datetime\s*\(|AUTOINCR)\b"
+    # 2-arg scalar min()/max() is sqlite-only (Postgres: LEAST/GREATEST);
+    # the comma distinguishes it from the aggregate forms
+    r"|\b(?:min|max)\s*\([^()]*,", re.IGNORECASE)
 
 
 class _StrictCursor:

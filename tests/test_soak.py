@@ -32,6 +32,66 @@ N_CORRUPT = 2
 
 
 @pytest.mark.slow
+def test_restart_resume_soak_mixed_strand_points(tmp_data_root, tmp_path):
+    """Crash-recovery at scale: 6 videos stranded at DIFFERENT stages —
+    2 completed, 2 'processing' with the cropped file on disk (crashed
+    mid-engine), 2 'processing' with only the raw upload (crashed
+    mid-preprocess) — then a FRESH app with the clip batcher resumes
+    them all to completion (SURVEY §5.3: the reference's at-most-once
+    consumers drop all of these silently)."""
+    cfg = tmp_data_root
+    engine = make_test_engine()
+    app1 = LamenessApp(config=cfg, engine=engine, reactive=True)
+    app1.driver.curator.detector = _square_detector
+    paths = [_synthetic_walk_video(tmp_path / f"rs{i}.mp4", n_frames=40,
+                                   w=160, h=90, fps=5, bob=4.0 if i % 2
+                                   else 0.0) for i in range(6)]
+    # 0-1: run to completion on app1
+    for i in (0, 1):
+        app1.submit_video(paths[i], f"rsv{i}")
+        assert app1.wait_for_analysis(f"rsv{i}", timeout_s=300) is not None
+    # 2-3: crash mid-engine (cropped exists, job re-set to 'processing')
+    orig_stages = app1.driver.run_feature_stages
+    app1.driver.run_feature_stages = \
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("power cut"))
+    for i in (2, 3):
+        app1.submit_video(paths[i], f"rsv{i}")
+    # 4-5: crash mid-preprocess (only the raw upload exists)
+    app1.driver.run_feature_stages = orig_stages
+    orig_pre = app1.driver.preprocess
+    app1.driver.preprocess = \
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("power cut"))
+    for i in (4, 5):
+        app1.submit_video(paths[i], f"rsv{i}")
+    app1.driver.preprocess = orig_pre
+    for i in (2, 3, 4, 5):      # hard crash: failure marks never landed
+        job = app1.db.one("SELECT job_id FROM processing_jobs "
+                          "WHERE video_id=?", (f"rsv{i}",))
+        app1.db.update("processing_jobs", job["job_id"],
+                       {"status": "processing"}, pk="job_id")
+    app1.close()
+
+    app2 = LamenessApp(config=cfg, engine=engine, reactive=True,
+                       async_dispatch=True, bus_workers=2, clip_batch=2,
+                       batch_window_s=0.5)
+    app2.driver.curator.detector = _square_detector
+    try:
+        assert app2.resume_inflight_jobs() == 4
+        for i in range(6):
+            assert app2.wait_for_analysis(
+                f"rsv{i}", timeout_s=600) is not None, i
+        app2.bus.flush(timeout_s=120)
+        for i in range(6):
+            job = app2.db.one("SELECT status FROM processing_jobs "
+                              "WHERE video_id=?", (f"rsv{i}",))
+            assert job["status"] == "completed", (i, dict(job))
+        # a second resume pass finds nothing stranded
+        assert app2.resume_inflight_jobs() == 0
+    finally:
+        app2.close()
+
+
+@pytest.mark.slow
 def test_serving_soak_burst_with_failures(tmp_data_root, tmp_path):
     cfg = tmp_data_root
     app = LamenessApp(config=cfg, engine=make_test_engine(), reactive=True,

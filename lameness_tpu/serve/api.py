@@ -1871,6 +1871,106 @@ def build_admin_api(ctx: AdminContext) -> Router:
             db.update("videos", vid, {"has_annotated": 0})
         return {"deleted": existed}
 
+    # ============ reference-exact path aliases ============================
+    # Every alias below serves the REFERENCE's literal route shape
+    # (services/admin-interface/backend/app/routers/*.py mounts) so a
+    # drop-in client of the reference backend hits the same paths; each
+    # delegates to the canonical handler above.
+
+    @r.get("/api/analysis/{video_id}/explanation")         # analysis.py
+    def ref_get_explanation(req: Request):
+        return get_explanation(req)
+
+    def _ref_user_field(req: Request, field: str, body_keys):
+        b = req.body or {}
+        val = next((b[k] for k in body_keys if k in b), None)
+        if val is None:
+            raise HTTPError(422, f"missing {body_keys[0]}")
+        db.update("users", req.params["user_id"], {field: val})
+        return db.one("SELECT id, username, role, rater_tier, is_active "
+                      "FROM users WHERE id=?", (req.params["user_id"],))
+
+    @r.put("/api/auth/users/{user_id}/role", roles=["admin"])
+    def ref_set_role(req: Request):
+        return _ref_user_field(req, "role", ("role", "value"))
+
+    @r.put("/api/auth/users/{user_id}/status", roles=["admin"])
+    def ref_set_status(req: Request):
+        return _ref_user_field(req, "is_active", ("is_active", "status",
+                                                  "value"))
+
+    @r.put("/api/auth/users/{user_id}/tier", roles=["admin"])
+    def ref_set_tier(req: Request):
+        return _ref_user_field(req, "rater_tier", ("rater_tier", "tier",
+                                                   "value"))
+
+    @r.get("/api/cows/stats/summary")                      # cows.py
+    def ref_cow_summary(req: Request):
+        return cow_summary(req)
+
+    @r.get("/api/elo/video/{video_id}/history")            # elo_ranking.py
+    def ref_elo_history(req: Request):
+        return elo_history(req)
+
+    @r.get("/api/pipeline/{service}/logs")                 # pipeline.py
+    def ref_pipeline_logs(req: Request):
+        return pipeline_logs(req)
+
+    @r.get("/api/pipeline/{service}/status")
+    def ref_pipeline_service_status(req: Request):
+        row = db.one("SELECT * FROM service_heartbeats WHERE service_name=?",
+                     (req.params["service"],))
+        if not row:
+            raise HTTPError(404, "no heartbeat for service")
+        return row
+
+    @r.post("/api/pipeline/{service}/trigger/{video_id}",
+            roles=["admin", "researcher"])
+    def ref_pipeline_trigger(req: Request):
+        return retrigger(req)
+
+    @r.post("/api/shap/what-if")                           # shap.py
+    def ref_shap_what_if(req: Request):
+        vid = (req.body or {}).get("video_id")
+        if not vid:
+            raise HTTPError(422, "video_id required")
+        req.params["video_id"] = vid
+        return shap_what_if(req)
+
+    @r.post("/api/training/ml/start", roles=["admin", "researcher"])
+    def ref_start_ml(req: Request):                        # training.py
+        return start_ml_training(req)
+
+    @r.post("/api/training/yolo/start", roles=["admin", "researcher"])
+    def ref_start_yolo(req: Request):
+        return start_yolo_training(req)
+
+    @r.post("/api/training/triplet", auth=True)
+    def ref_triplet_submit(req: Request):
+        return triplet_submit(req)
+
+    @r.post("/api/training/videos/{video_id}/label", auth=True)
+    def ref_training_label(req: Request):
+        return label_video(req)
+
+    @r.post("/api/tutorial/examples/auto-generate",        # tutorial.py
+            roles=["admin", "researcher"])
+    def ref_tutorial_autogen(req: Request):
+        return auto_generate(req)
+
+    @r.get("/api/videos/{video_id}/frame/{frame_num}")     # videos.py
+    def ref_video_frame(req: Request):
+        req.query["frame"] = req.params["frame_num"]
+        return extract_frame(req)
+
+    @r.post("/api/videos/confirm-upload")
+    def ref_confirm_upload(req: Request):
+        vid = (req.body or {}).get("video_id")
+        if not vid:
+            raise HTTPError(422, "video_id required")
+        req.params["video_id"] = vid
+        return confirm_upload(req)
+
     # ============================ misc ====================================
     @r.get("/health")
     def root_health(req: Request):

@@ -322,3 +322,40 @@ def test_training_label_queue_and_stats(server):
     assert by["tcn"]["size_kb"] == 2.0
     assert by["ensemble_weights.json"]["size_kb"] > 0
     assert ms["total"] == len(ms["models"])
+
+
+def test_every_reference_endpoint_path_resolves(tmp_data_root):
+    """Drop-in path compatibility: every (method, path) the reference's
+    12 routers mount (backend/app/main.py prefixes + routers/*.py
+    decorators) resolves on our router — either the canonical route or
+    a reference-exact alias (api.py 'reference-exact path aliases')."""
+    import re
+    from pathlib import Path as _P
+
+    from lameness_tpu.serve.api import AdminContext, build_admin_api
+
+    ref_root = _P("/root/reference/services/admin-interface/backend/app")
+    if not ref_root.exists():
+        pytest.skip("reference tree not mounted")
+    main_src = (ref_root / "main.py").read_text()
+    prefixes = dict(re.findall(
+        r'include_router\((\w+)\.router,\s*prefix="([^"]*)"', main_src))
+    ref = []
+    for f in sorted((ref_root / "routers").glob("*.py")):
+        for m in re.finditer(r'@router\.(get|post|put|patch|delete)'
+                             r'\("([^"]*)"', f.read_text()):
+            full = (prefixes.get(f.stem, "") + m.group(2)).rstrip("/") or "/"
+            ref.append((m.group(1).upper(),
+                        re.sub(r"\{[^}]*\}", "{}", full)))
+    assert len(ref) > 100
+
+    cfg = tmp_data_root
+    ctx = AdminContext(cfg, Database(":memory:"), MessageBus())
+    router = build_admin_api(ctx)
+    missing = []
+    for method, shape in ref:
+        url = shape.replace("{}", "pv")        # concrete probe path
+        if not any(rt.method == method and rt.regex.match(url)
+                   for rt in router.routes):
+            missing.append((method, shape))
+    assert missing == [], f"reference paths without a match: {missing}"

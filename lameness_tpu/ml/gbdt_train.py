@@ -55,16 +55,18 @@ _EPS_GAIN = 1e-12
 # split search (shared second-order exact-greedy gain)
 # ---------------------------------------------------------------------------
 def _best_split(x: np.ndarray, g: np.ndarray, h: np.ndarray, idx: np.ndarray,
-                reg_lambda: float, min_child_weight: float, gamma: float
+                reg_lambda: float, min_child_weight: float, gamma: float,
+                feats: Optional[np.ndarray] = None
                 ) -> Optional[Tuple[float, int, float]]:
-    """Best (gain, feature, threshold) over all features for the samples in
-    ``idx``, or None when no split clears ``gamma``.  Exact enumeration of
-    every between-distinct-values position (XGBoost ``tree_method=exact``)."""
+    """Best (gain, feature, threshold) over ``feats`` (default: all
+    features) for the samples in ``idx``, or None when no split clears
+    ``gamma``.  Exact enumeration of every between-distinct-values
+    position (XGBoost ``tree_method=exact``)."""
     gs, hs = g[idx], h[idx]
     gt, ht = gs.sum(), hs.sum()
     parent = gt * gt / (ht + reg_lambda)
     best: Optional[Tuple[float, int, float]] = None
-    for j in range(x.shape[1]):
+    for j in (range(x.shape[1]) if feats is None else feats):
         xv = x[idx, j]
         order = np.argsort(xv, kind="stable")
         xo = xv[order]
@@ -83,7 +85,7 @@ def _best_split(x: np.ndarray, g: np.ndarray, h: np.ndarray, idx: np.ndarray,
         k = int(np.argmax(gains))
         if gains[k] > _EPS_GAIN and (best is None or gains[k] > best[0]):
             thr = float(xo[k]) + (float(xo[k + 1]) - float(xo[k])) / 2.0
-            best = (float(gains[k]), j, thr)
+            best = (float(gains[k]), int(j), thr)
     return best
 
 
@@ -133,28 +135,28 @@ class _Node:
 
 
 def _grow_depthwise(x, g, h, idx, depth_left, lr, reg_lambda,
-                    min_child_weight, gamma) -> _Node:
+                    min_child_weight, gamma, feats=None) -> _Node:
     node = _Node()
     node.sum_hess = float(h[idx].sum())
     node.count = int(idx.size)
     split = None
     if depth_left > 0 and idx.size >= 2:
         split = _best_split(x, g, h, idx, reg_lambda, min_child_weight,
-                            gamma)
+                            gamma, feats)
     if split is None:
         node.value = _leaf_weight(g, h, idx, reg_lambda) * lr
         return node
     node.gain, node.feat, node.thr = split
     mask = x[idx, node.feat] < node.thr
     node.left = _grow_depthwise(x, g, h, idx[mask], depth_left - 1, lr,
-                                reg_lambda, min_child_weight, gamma)
+                                reg_lambda, min_child_weight, gamma, feats)
     node.right = _grow_depthwise(x, g, h, idx[~mask], depth_left - 1, lr,
-                                 reg_lambda, min_child_weight, gamma)
+                                 reg_lambda, min_child_weight, gamma, feats)
     return node
 
 
 def _grow_leafwise(x, g, h, idx, num_leaves, max_depth, lr, reg_lambda,
-                   min_child_weight, gamma) -> _Node:
+                   min_child_weight, gamma, feats=None) -> _Node:
     """LightGBM-style best-first growth: always expand the current leaf
     with the highest split gain until ``num_leaves`` is reached."""
     root = _Node()
@@ -171,7 +173,7 @@ def _grow_leafwise(x, g, h, idx, num_leaves, max_depth, lr, reg_lambda,
         if node_idx.size < 2 or (max_depth > 0 and depth >= max_depth):
             return
         split = _best_split(x, g, h, node_idx, reg_lambda,
-                            min_child_weight, gamma)
+                            min_child_weight, gamma, feats)
         if split is not None:
             heapq.heappush(heap, (-split[0], serial, node, node_idx,
                                   depth, split))
@@ -199,8 +201,8 @@ def _grow_leafwise(x, g, h, idx, num_leaves, max_depth, lr, reg_lambda,
 
 
 def _grow_oblivious(x, g, h, idx, depth, lr, reg_lambda,
-                    min_child_weight, gamma, max_borders: int = 254
-                    ) -> _Node:
+                    min_child_weight, gamma, max_borders: int = 254,
+                    feats=None) -> _Node:
     """CatBoost-style symmetric tree: each level applies ONE shared
     (feature, threshold) condition to every node, chosen to maximize the
     summed split gain across the level's leaves.  Candidate thresholds are
@@ -208,14 +210,15 @@ def _grow_oblivious(x, g, h, idx, depth, lr, reg_lambda,
     CatBoost's ``border_count``); the per-level search is one vectorized
     (leaf, border) histogram pass per feature."""
     xs, gs, hs = x[idx], g[idx], h[idx]
-    borders: List[np.ndarray] = []
-    for j in range(x.shape[1]):
+    feat_list = list(range(x.shape[1])) if feats is None else list(feats)
+    borders: Dict[int, np.ndarray] = {}
+    for j in feat_list:
         vals = np.unique(xs[:, j])
         mids = vals[:-1] + np.diff(vals) / 2.0
         if mids.size > max_borders:
             mids = mids[np.unique(np.linspace(
                 0, mids.size - 1, max_borders).astype(np.int64))]
-        borders.append(mids)
+        borders[j] = mids
 
     leaf = np.zeros(idx.size, np.int64)      # leaf index per sample
     n_leaves = 1
@@ -223,7 +226,7 @@ def _grow_oblivious(x, g, h, idx, depth, lr, reg_lambda,
     for _ in range(depth):
         best_total = _EPS_GAIN
         best_cond: Optional[Tuple[int, float]] = None
-        for j in range(x.shape[1]):
+        for j in feat_list:
             bj = borders[j]
             if bj.size == 0:
                 continue
@@ -250,7 +253,7 @@ def _grow_oblivious(x, g, h, idx, depth, lr, reg_lambda,
             k = int(np.argmax(totals))
             if totals[k] > best_total:
                 best_total = float(totals[k])
-                best_cond = (j, float(bj[k]))
+                best_cond = (int(j), float(bj[k]))
         if best_cond is None:
             break
         conditions.append(best_cond)
@@ -290,7 +293,8 @@ class BoostedTreesClassifier(BaseEstimator, ClassifierMixin):
                  max_depth: int = 6, growth: str = "depthwise",
                  num_leaves: int = 31, reg_lambda: float = 1.0,
                  min_child_weight: float = 1.0, gamma: float = 0.0,
-                 base_score: float = 0.5):
+                 base_score: float = 0.5, subsample: float = 1.0,
+                 colsample_bytree: float = 1.0, random_state: int = 42):
         self.n_estimators = n_estimators
         self.learning_rate = learning_rate
         self.max_depth = max_depth
@@ -300,6 +304,9 @@ class BoostedTreesClassifier(BaseEstimator, ClassifierMixin):
         self.min_child_weight = min_child_weight
         self.gamma = gamma
         self.base_score = base_score
+        self.subsample = subsample
+        self.colsample_bytree = colsample_bytree
+        self.random_state = random_state
 
     # -- training -------------------------------------------------------------
     def fit(self, x: np.ndarray, y: np.ndarray) -> "BoostedTreesClassifier":
@@ -321,33 +328,50 @@ class BoostedTreesClassifier(BaseEstimator, ClassifierMixin):
         base = min(max(float(self.base_score), 1e-15), 1 - 1e-15)
         self._base_margin = float(np.log(base / (1.0 - base)))
         margin = np.full(n, self._base_margin)
-        idx = np.arange(n)
+        all_idx = np.arange(n)
+        d = x.shape[1]
+        rng = np.random.default_rng(int(self.random_state))
         self.trees_: List[_Node] = []
         for _ in range(int(self.n_estimators)):
             p = 1.0 / (1.0 + np.exp(-margin))
             g = p - yb
             h = np.maximum(p * (1.0 - p), 1e-16)
+            # per-round row/feature sampling (xgb subsample /
+            # colsample_bytree; lgbm bagging_fraction / feature_fraction)
+            idx = all_idx
+            if self.subsample < 1.0:
+                k = max(2, int(round(n * self.subsample)))
+                idx = np.sort(rng.choice(n, size=k, replace=False))
+            feats = None
+            if self.colsample_bytree < 1.0:
+                kf = max(1, int(round(d * self.colsample_bytree)))
+                feats = np.sort(rng.choice(d, size=kf, replace=False))
             if self.growth == "leafwise":
                 tree = _grow_leafwise(x, g, h, idx, int(self.num_leaves),
                                       int(self.max_depth),
                                       self.learning_rate, self.reg_lambda,
-                                      self.min_child_weight, self.gamma)
+                                      self.min_child_weight, self.gamma,
+                                      feats)
             elif self.growth == "oblivious":
                 tree = _grow_oblivious(x, g, h, idx, int(self.max_depth),
                                        self.learning_rate, self.reg_lambda,
-                                       self.min_child_weight, self.gamma)
+                                       self.min_child_weight, self.gamma,
+                                       feats=feats)
             elif self.growth == "depthwise":
                 tree = _grow_depthwise(x, g, h, idx, int(self.max_depth),
                                        self.learning_rate, self.reg_lambda,
-                                       self.min_child_weight, self.gamma)
+                                       self.min_child_weight, self.gamma,
+                                       feats)
             else:
                 raise ValueError(f"unknown growth {self.growth!r}")
             self.trees_.append(tree)
             margin = margin + tree.eval(x)
-            # no split found: the feature geometry won't change, and the
-            # hessians only shrink (min_child_weight gets harder) — later
-            # rounds can only repeat this constant; stop boosting
-            if tree.is_leaf:
+            # no split found WITHOUT sampling: the feature geometry won't
+            # change and the hessians only shrink (min_child_weight gets
+            # harder) — later rounds can only repeat this constant; stop.
+            # Under row/feature sampling a later draw may still split.
+            if tree.is_leaf and self.subsample >= 1.0 \
+                    and self.colsample_bytree >= 1.0:
                 break
         return self
 
@@ -583,6 +607,14 @@ def make_numpy_model(slot: str,
                                                    lam_default))),
             min_child_weight=float(params.get("min_child_weight",
                                               mcw_default)),
+            gamma=float(params.get("gamma",
+                                   params.get("min_split_gain", 0.0))),
+            subsample=float(params.get("subsample",
+                                       params.get("bagging_fraction", 1.0))),
+            colsample_bytree=float(params.get(
+                "colsample_bytree", params.get("feature_fraction", 1.0))),
+            random_state=int(params.get("random_state",
+                                        params.get("random_seed", 42))),
         )
 
     if slot == "xgboost":

@@ -161,3 +161,39 @@ def test_ensemble_trains_numpy_and_writes_reference_formats(data, tmp_path):
     # the full predict() contract still works over the reloaded trio
     pred = fresh.predict(q[0])
     assert set(pred) >= {"xgboost", "lightgbm", "catboost", "ensemble"}
+
+
+def test_subsample_and_colsample(data, tmp_path):
+    """Row/feature sampling knobs apply (ml-config subsample /
+    colsample_bytree) and the sampled model still round-trips exactly."""
+    x, y, q = data
+    m = BoostedTreesClassifier(n_estimators=40, max_depth=4,
+                               subsample=0.7, colsample_bytree=0.5,
+                               random_state=7)
+    m.fit(x, y)
+    assert (m.predict(x) == y).mean() > 0.85
+    # feature restriction is real: with colsample 0.5 of 6 features, at
+    # least one tree must skip the dominant feature 0
+    used0 = [any(_uses_feature(t, 0) for t in [tree])
+             for tree in m.trees_ if not tree.is_leaf]
+    assert not all(used0)
+    p = tmp_path / "sampled.json"
+    m.save_xgboost_json(p)
+    r = XgbJsonModel(p)
+    np.testing.assert_array_equal(r.predict_proba(q), m.predict_proba(q))
+    # same seed => identical model; different seed => different trees
+    m2 = BoostedTreesClassifier(n_estimators=40, max_depth=4,
+                                subsample=0.7, colsample_bytree=0.5,
+                                random_state=7).fit(x, y)
+    np.testing.assert_array_equal(m2.predict_margin(q), m.predict_margin(q))
+    m3 = BoostedTreesClassifier(n_estimators=40, max_depth=4,
+                                subsample=0.7, colsample_bytree=0.5,
+                                random_state=8).fit(x, y)
+    assert not np.array_equal(m3.predict_margin(q), m.predict_margin(q))
+
+
+def _uses_feature(node, j):
+    if node.is_leaf:
+        return False
+    return node.feat == j or _uses_feature(node.left, j) \
+        or _uses_feature(node.right, j)

@@ -35,7 +35,9 @@ def _make_model(slot: str, params: Optional[Dict[str, Any]] = None):
     when installed, else the numpy trainer in that library's own style
     (gbdt_train.make_numpy_model)."""
     params = params or {}
-    n_estimators = params.get("n_estimators", 200)
+    # reference defaults: 100 boosting rounds across all three
+    # models (routers/ml_config.py:26-96, training-service:204-224)
+    n_estimators = params.get("n_estimators", 100)
     lr = params.get("learning_rate", 0.1)
     depth = params.get("max_depth", 6)
     if slot == "catboost":

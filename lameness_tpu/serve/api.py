@@ -38,18 +38,18 @@ PIPELINES = ("yolo", "sam3", "dinov3", "tleap", "tcn", "transformer",
 # config models (routers/ml_config.py:28-135); our GBDT slots keep
 # n_estimators/max_depth naming across all three models.
 DEFAULT_ML_CONFIG = {
-    "catboost": {"n_estimators": 200, "learning_rate": 0.1, "max_depth": 6,
+    "catboost": {"n_estimators": 100, "learning_rate": 0.1, "max_depth": 6,
                  "l2_leaf_reg": 3.0, "random_strength": 1.0,
                  "bagging_temperature": 1.0, "border_count": 254,
                  "grow_policy": "SymmetricTree", "bootstrap_type": "MVS",
                  "random_seed": 42},
-    "xgboost": {"n_estimators": 200, "learning_rate": 0.1, "max_depth": 6,
+    "xgboost": {"n_estimators": 100, "learning_rate": 0.1, "max_depth": 6,
                 "min_child_weight": 1.0, "gamma": 0.0, "subsample": 1.0,
                 "colsample_bytree": 1.0, "colsample_bylevel": 1.0,
                 "reg_alpha": 0.0, "reg_lambda": 1.0,
                 "scale_pos_weight": 1.0, "booster": "gbtree",
                 "tree_method": "hist", "random_state": 42},
-    "lightgbm": {"n_estimators": 200, "learning_rate": 0.1, "max_depth": 6,
+    "lightgbm": {"n_estimators": 100, "learning_rate": 0.1, "max_depth": 6,
                  "num_leaves": 31, "min_child_samples": 20,
                  "min_child_weight": 0.001, "subsample": 1.0,
                  "colsample_bytree": 1.0, "reg_alpha": 0.0,

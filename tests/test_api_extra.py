@@ -179,7 +179,7 @@ def test_parity_completion_endpoints(server):
     st = httpx.get(f"{base}/api/ml-config/models/status").json()
     assert set(st) == {"catboost", "xgboost", "lightgbm"}
     cb = httpx.get(f"{base}/api/ml-config/catboost").json()
-    assert cb["n_estimators"] == 200
+    assert cb["n_estimators"] == 100   # reference default (ml_config.py:40)
     up = httpx.put(f"{base}/api/ml-config/catboost", headers=h,
                    json={"n_estimators": 500}).json()
     assert up["n_estimators"] == 500

@@ -184,7 +184,7 @@ def test_parity_completion_endpoints(server):
                    json={"n_estimators": 500}).json()
     assert up["n_estimators"] == 500
     rs = httpx.post(f"{base}/api/ml-config/reset", headers=h).json()
-    assert rs["catboost"]["n_estimators"] == 200
+    assert rs["catboost"]["n_estimators"] == 100
 
     # models long tail
     assert httpx.get(f"{base}/api/models/parameters/defaults"

@@ -108,10 +108,10 @@ def test_clip_batcher_groups_queued_videos(tmp_data_root, tmp_path):
     orig_stream = app.driver.process_stream
     orig_single = app.driver.run_feature_stages
 
-    def count_stream(jobs, batch_size=1, pad_to=None):
+    def count_stream(jobs, **kw):
         calls["batch"] += 1
         calls["jobs"].append(len(jobs))
-        return orig_stream(jobs, batch_size=batch_size, pad_to=pad_to)
+        return orig_stream(jobs, **kw)
 
     def count_single(vid, path):
         calls["single"] += 1
@@ -146,9 +146,13 @@ def test_batcher_pads_partial_batches_to_one_signature(tmp_data_root,
     seen_sizes = set()
     orig = engine.process_clip_batch
 
-    def spy(frames):
-        seen_sizes.add(int(np.asarray(frames).shape[0]))
-        return orig(frames)
+    def spy(frames, **kw):
+        # frames may be a device array, a packed numpy array, or the
+        # split-ingest dict — the batch axis is leaf dim 0 either way
+        leaf = next(iter(frames.values())) if isinstance(frames, dict) \
+            else frames
+        seen_sizes.add(int(leaf.shape[0]))
+        return orig(frames, **kw)
 
     engine.process_clip_batch = spy
     app = LamenessApp(config=cfg, engine=engine, reactive=True,

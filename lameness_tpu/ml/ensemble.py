@@ -118,7 +118,7 @@ class GBDTEnsemble:
         / lightgbm_latest.txt — what the reference's ml-pipeline loads and
         what load() prefers, via the exact gbdt_io readers); everything
         also gets a joblib dump as the fallback."""
-        from .gbdt_io import REFERENCE_FILES
+        from .gbdt_io import CATBOOST_JSON, REFERENCE_FILES
         from .gbdt_train import BoostedTreesClassifier
         for slot, model in self.models.items():
             if isinstance(model, BoostedTreesClassifier):
@@ -129,6 +129,12 @@ class GBDTEnsemble:
                 elif slot == "lightgbm":
                     model.save_lightgbm_txt(
                         self.models_dir / REFERENCE_FILES[slot],
+                        feature_names=feature_names)
+                elif slot == "catboost" and model.growth == "oblivious":
+                    # .cbm is not writable without the lib; the JSON
+                    # export format is (and load() reads it back)
+                    model.save_catboost_json(
+                        self.models_dir / CATBOOST_JSON,
                         feature_names=feature_names)
             joblib.dump(model, self._slot_path(slot))
         from ..io import schemas

@@ -242,30 +242,86 @@ class LgbTextModel:
 
 
 # ---------------------------------------------------------------------------
+# CatBoost JSON export
+# ---------------------------------------------------------------------------
+class CatboostJsonModel:
+    """CatBoost's documented JSON export format (``save_model(...,
+    format="json")``): oblivious trees where every tree level applies one
+    shared (feature, border) condition, a leaf index built bitwise from
+    the per-level ``x > border`` outcomes, and ``scale_and_bias`` applied
+    to the summed leaf values before the sigmoid.
+
+    The reference loads the binary ``.cbm`` (ml-pipeline:74-79), which
+    stays catboost-lib-gated; this reader covers the library's portable
+    JSON export so a converted model file drops in without the C++ lib.
+    Bit-order convention: ``splits[d]`` is tree level ``d`` from the
+    root and sets bit ``d`` of the leaf index — the same convention
+    ``gbdt_train.save_catboost_json`` writes, so round trips are exact.
+    """
+
+    def __init__(self, path: Path):
+        doc = json.loads(Path(path).read_text())
+        self.trees = []
+        for t in doc["oblivious_trees"]:
+            splits = [(int(s["float_feature_index"]), float(s["border"]))
+                      for s in t["splits"]]
+            self.trees.append((splits,
+                               np.asarray(t["leaf_values"], np.float64)))
+        sb = doc.get("scale_and_bias", [1.0, [0.0]])
+        self.scale = float(sb[0])
+        bias = sb[1]
+        self.bias = float(bias[0] if isinstance(bias, (list, tuple))
+                          else bias)
+
+    def predict_margin(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, np.float64)
+        if x.ndim == 1:
+            x = x[None]
+        out = np.zeros(x.shape[0])
+        for splits, leaves in self.trees:
+            idx = np.zeros(x.shape[0], np.int64)
+            for d, (feat, border) in enumerate(splits):
+                idx |= (x[:, feat] > border).astype(np.int64) << d
+            out += leaves[idx]
+        return self.scale * out + self.bias
+
+    def predict_proba(self, x: np.ndarray) -> np.ndarray:
+        p = _sigmoid(self.predict_margin(x))
+        return np.stack([1.0 - p, p], axis=1)
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        return np.argmax(self.predict_proba(x), axis=1)
+
+
+# ---------------------------------------------------------------------------
 # loader
 # ---------------------------------------------------------------------------
 REFERENCE_FILES = {"xgboost": "xgboost_latest.json",
                    "lightgbm": "lightgbm_latest.txt",
                    "catboost": "catboost_latest.cbm"}
+CATBOOST_JSON = "catboost_latest.json"
 
 
 def load_reference_model(models_dir: Path, slot: str) -> Optional[Any]:
     """Load the reference-format model file for a slot, if present.
 
-    xgboost/lightgbm use the numpy readers above; catboost requires the
-    catboost library (binary ``.cbm``) and returns None without it.
+    xgboost/lightgbm use the numpy readers above; catboost prefers the
+    binary ``.cbm`` when the catboost library is installed and falls
+    back to the JSON export format (``catboost_latest.json``,
+    CatboostJsonModel) which needs no library.
     """
     path = Path(models_dir) / REFERENCE_FILES[slot]
-    if not path.exists():
-        return None
-    try:
-        if slot == "xgboost":
-            return XgbJsonModel(path)
-        if slot == "lightgbm":
-            return LgbTextModel(path)
-        from catboost import CatBoostClassifier  # type: ignore
-        m = CatBoostClassifier()
-        m.load_model(str(path))
-        return m
-    except ImportError:
-        return None
+    if slot == "xgboost":
+        return XgbJsonModel(path) if path.exists() else None
+    if slot == "lightgbm":
+        return LgbTextModel(path) if path.exists() else None
+    if path.exists():
+        try:
+            from catboost import CatBoostClassifier  # type: ignore
+            m = CatBoostClassifier()
+            m.load_model(str(path))
+            return m
+        except ImportError:
+            pass
+    jpath = Path(models_dir) / CATBOOST_JSON
+    return CatboostJsonModel(jpath) if jpath.exists() else None

@@ -583,6 +583,75 @@ class BoostedTreesClassifier(BaseEstimator, ClassifierMixin):
             + "pandas_categorical:null\n")
 
 
+    # -- CatBoost JSON export ----------------------------------------------------
+    def save_catboost_json(self, path: Path,
+                           feature_names: Optional[List[str]] = None
+                           ) -> None:
+        """Write the CatBoost JSON export format (``save_model(...,
+        format="json")``) for an oblivious-tree model: per tree the
+        shared per-level (feature, border) splits and the 2^depth leaf
+        values indexed bitwise by the ``x > border`` outcomes
+        (bit d = level d from the root — gbdt_io.CatboostJsonModel's
+        convention).  ``x > border`` vs our ``x < thr`` routing agree
+        everywhere except exactly at a border, which midpoint thresholds
+        make measure-zero.  The base margin rides in scale_and_bias."""
+        if self.growth != "oblivious":
+            raise ValueError("catboost JSON needs oblivious trees "
+                             f"(growth={self.growth!r})")
+        trees_json = []
+        for tree in self.trees_:
+            conds: List[Tuple[int, float]] = []
+            node = tree
+            while not node.is_leaf:
+                conds.append((node.feat, node.thr))
+                node = node.left
+            leaves: List[float] = []
+            weights: List[float] = []
+            stack = [tree]
+            while stack:
+                nd = stack.pop()
+                if nd.is_leaf:
+                    leaves.append(nd.value)
+                    weights.append(nd.sum_hess)
+                else:
+                    stack.extend([nd.right, nd.left])   # left pops first
+            depth = len(conds)
+            assert len(leaves) == 1 << depth
+            vals = [0.0] * (1 << depth)
+            wts = [0.0] * (1 << depth)
+            for c in range(1 << depth):
+                # catboost leaf index: bit d = right at level d; our DFS
+                # order carries level 0 as the most-significant bit
+                li = 0
+                for d in range(depth):
+                    if (c >> d) & 1:
+                        li |= 1 << (depth - 1 - d)
+                vals[c] = leaves[li]
+                wts[c] = weights[li]
+            trees_json.append({
+                "splits": [{"float_feature_index": f,
+                            "flat_feature_index": f, "border": t,
+                            "split_index": i, "split_type": "FloatFeature"}
+                           for i, (f, t) in enumerate(conds)],
+                "leaf_values": vals,
+                "leaf_weights": wts,
+            })
+        names = feature_names or [f"f{i}"
+                                  for i in range(self.n_features_in_)]
+        doc = {
+            "features_info": {"float_features": [
+                {"feature_index": i, "flat_feature_index": i,
+                 "feature_id": names[i], "has_nans": False,
+                 "nan_value_treatment": "AsIs"}
+                for i in range(self.n_features_in_)]},
+            "model_info": {"params": {
+                "loss_function": {"type": "Logloss"}}},
+            "oblivious_trees": trees_json,
+            "scale_and_bias": [1.0, [self._base_margin]],
+        }
+        Path(path).write_text(json.dumps(doc))
+
+
 def make_numpy_model(slot: str,
                      params: Optional[Dict[str, Any]] = None
                      ) -> BoostedTreesClassifier:

@@ -197,3 +197,41 @@ def _uses_feature(node, j):
         return False
     return node.feat == j or _uses_feature(node.left, j) \
         or _uses_feature(node.right, j)
+
+
+def test_catboost_json_roundtrip_exact(data, tmp_path):
+    """The oblivious model's CatBoost-JSON export round-trips exactly
+    through gbdt_io.CatboostJsonModel, including the base margin in
+    scale_and_bias."""
+    from lameness_tpu.ml.gbdt_io import CatboostJsonModel
+    x, y, q = data
+    m = make_numpy_model("catboost", {"n_estimators": 30, "max_depth": 4})
+    m.fit(x, y)
+    p = tmp_path / "catboost_latest.json"
+    m.save_catboost_json(p, feature_names=[f"feat{i}" for i in range(6)])
+    r = CatboostJsonModel(p)
+    np.testing.assert_allclose(r.predict_margin(q), m.predict_margin(q),
+                               atol=1e-12)
+    np.testing.assert_allclose(r.predict_proba(q), m.predict_proba(q),
+                               atol=1e-12)
+    # depthwise models can't export this format
+    md = make_numpy_model("xgboost", {"n_estimators": 3})
+    md.fit(x, y)
+    with pytest.raises(ValueError):
+        md.save_catboost_json(tmp_path / "nope.json")
+
+
+def test_ensemble_catboost_json_persistence(data, tmp_path):
+    """fit() writes catboost_latest.json and a fresh load prefers it
+    (no catboost lib in this image), predicting identically."""
+    from lameness_tpu.ml.gbdt_io import CatboostJsonModel
+    x, y, q = data
+    ens = GBDTEnsemble(tmp_path)
+    ens.fit(x, y, cv_folds=3)
+    assert (tmp_path / "catboost_latest.json").exists()
+    before = ens.models["catboost"].predict_proba(q[:5])[:, 1]
+    fresh = GBDTEnsemble(tmp_path)
+    assert isinstance(fresh.models["catboost"], CatboostJsonModel)
+    np.testing.assert_allclose(
+        fresh.models["catboost"].predict_proba(q[:5])[:, 1], before,
+        atol=1e-12)

@@ -1059,6 +1059,20 @@ def build_admin_api(ctx: AdminContext) -> Router:
                 "stage_timings": TIMERS.summary()}
 
     # ============================ ml-config ===============================
+    def _sync_ensemble_weights(cfg: Dict[str, Any]) -> None:
+        """The reference persists ensemble weights for RUNTIME use on
+        every ensemble-config save (routers/ml_config.py:168-196,291,333)
+        — without this, admin weight edits would never reach the
+        predictor, which reads models/ml/ensemble_weights.json."""
+        w = (cfg.get("ensemble") or {}).get("weights")
+        if not isinstance(w, dict) or not w:
+            return
+        from ..io import schemas
+        schemas.write_result(Path(dirs.models) / "ml"
+                             / "ensemble_weights.json", w)
+        if ctx.ensemble is not None:
+            ctx.ensemble.ensemble_weights = dict(w)
+
     @r.get("/api/ml-config")
     def get_ml_config(req: Request):
         return {"config": ctx.ml_config(), "schema": ML_CONFIG_SCHEMA}
@@ -1072,6 +1086,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
                 raise HTTPError(422, f"unknown section {section}")
             cfg[section].update(values)
         ctx.save_ml_config(cfg)
+        _sync_ensemble_weights(cfg)
         return {"config": cfg}
 
     # ============================ elo =====================================
@@ -1684,6 +1699,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
     def ml_config_reset(req: Request):
         cfg = json.loads(json.dumps(DEFAULT_ML_CONFIG))
         ctx.save_ml_config(cfg)
+        _sync_ensemble_weights(cfg)
         return cfg
 
     @r.get("/api/ml-config/{model}")
@@ -1702,6 +1718,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
             raise HTTPError(404, f"no config section {m}")
         cfg[m].update(req.body or {})
         ctx.save_ml_config(cfg)
+        _sync_ensemble_weights(cfg)
         return cfg[m]
 
     # -- models long tail (routers/models.py) --------------------------------
@@ -1716,6 +1733,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
             if section in cfg and isinstance(vals, dict):
                 cfg[section].update(vals)
         ctx.save_ml_config(cfg)
+        _sync_ensemble_weights(cfg)
         return cfg
 
     @r.get("/api/models/comparison")

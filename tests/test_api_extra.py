@@ -359,3 +359,26 @@ def test_every_reference_endpoint_path_resolves(tmp_data_root):
                    for rt in router.routes):
             missing.append((method, shape))
     assert missing == [], f"reference paths without a match: {missing}"
+
+
+def test_ensemble_weights_reach_runtime(server, tmp_path):
+    """Admin ensemble-weight edits persist to the predictor's runtime
+    file AND the live ensemble object (reference ml_config.py:168-196
+    save_ensemble_weights) — not just to ml_config.json."""
+    import json as _json
+
+    from lameness_tpu.ml.ensemble import GBDTEnsemble
+    base, ctx = server
+    ctx.ensemble = GBDTEnsemble(ctx.dirs.models / "ml")
+    t = _login(base)
+    w = {"catboost": 0.2, "xgboost": 0.5, "lightgbm": 0.3}
+    r = httpx.put(f"{base}/api/ml-config/ensemble", headers=_auth(t),
+                  json={"weights": w})
+    assert r.status_code == 200, r.text
+    f = ctx.dirs.models / "ml" / "ensemble_weights.json"
+    assert _json.load(open(f)) == w
+    assert ctx.ensemble.ensemble_weights == w
+    # reset restores the defaults in the runtime file too
+    httpx.post(f"{base}/api/ml-config/reset", headers=_auth(t))
+    assert _json.load(open(f))["catboost"] == 0.35
+    assert ctx.ensemble.ensemble_weights["catboost"] == 0.35

@@ -20,7 +20,7 @@ import sys
 from pathlib import Path
 
 
-def ingest_spec():
+def ingest_spec(cfg=None):
     """EngineSpec honoring LAMENESS_INGEST:
 
     - ``WxH`` (e.g. ``1024x576``): process at a reduced ingest
@@ -32,19 +32,34 @@ def ingest_spec():
     - ``WxH+WlxHl`` (e.g. ``1024x576+640x360``): split-resolution
       ingest — det/SAM frames at the first geometry (the canonical
       coordinate space), dino/pose frames at the second (neither reads
-      more than ~640 px of width)."""
+      more than ~640 px of width).
+
+    pose_pixels auto-selects: with no trained pose checkpoint
+    (``<models>/pose``), the heuristic keypoint path never reads pose
+    pixels, so pose-only frames are dropped from the wire (bit-identical
+    outputs, ~40% fewer transferred bytes).  ``LAMENESS_POSE_PIXELS=1/0``
+    overrides."""
     from .pipeline.engine import EngineSpec
     rect = os.environ.get("LAMENESS_SAM_RECT") == "1"
+    env_pp = os.environ.get("LAMENESS_POSE_PIXELS")
+    if env_pp is not None:
+        pose_pixels = env_pp != "0"
+    elif cfg is not None:
+        pose_pixels = (Path(cfg.dirs.models) / "pose").exists()
+    else:
+        pose_pixels = True
     ingest = os.environ.get("LAMENESS_INGEST")
     if not ingest:
-        return EngineSpec(sam_rect=rect)
+        return EngineSpec(sam_rect=rect, pose_pixels=pose_pixels)
     parts = ingest.lower().split("+")
     w, h = (int(v) for v in parts[0].split("x"))
     if len(parts) > 1:
         lw, lh = (int(v) for v in parts[1].split("x"))
         return EngineSpec(frame_height=h, frame_width=w,
-                          lo_height=lh, lo_width=lw, sam_rect=rect)
-    return EngineSpec(frame_height=h, frame_width=w, sam_rect=rect)
+                          lo_height=lh, lo_width=lw, sam_rect=rect,
+                          pose_pixels=pose_pixels)
+    return EngineSpec(frame_height=h, frame_width=w, sam_rect=rect,
+                      pose_pixels=pose_pixels)
 
 
 def _build(args, engine_needed=True):
@@ -62,7 +77,7 @@ def _build(args, engine_needed=True):
             engine = make_test_engine()
         else:
             from .pipeline.engine import LamenessEngine
-            engine = LamenessEngine(spec=ingest_spec())
+            engine = LamenessEngine(spec=ingest_spec(cfg))
         # ComputeConfig.dtype declares the serving precision; bf16 doubles
         # MXU throughput on v5e (encoders cast, heads/norms stay f32 —
         # pipeline/precision.py).  Only on real TPU: CPU test runs keep

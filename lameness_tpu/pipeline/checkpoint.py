@@ -99,7 +99,13 @@ def restore_engine(engine, models_dir: Path) -> Dict[str, bool]:
     # trained pose model (tleap:122-137): the engine has no pose params
     # until installed, so the template is built on demand
     pose_dir = Path(models_dir) / "pose"
-    if pose_dir.exists():
+    if pose_dir.exists() and not engine.spec.pose_pixels:
+        print("restore_engine: pose checkpoint present but the engine "
+              "spec has pose_pixels=False (heuristic-pose wire trim) — "
+              "NOT installing; rebuild with pose_pixels=True to use it",
+              flush=True)
+        loaded["pose"] = False
+    elif pose_dir.exists():
         from ..models import pose as pose_mod
         from ..models.yolo import YoloV8, init_params
         tmpl_model = YoloV8(variant="n", num_classes=1,

@@ -109,6 +109,18 @@ class EngineSpec:
     # reference's always-square canvas: pad tokens there participate in
     # attention, so content activations differ slightly; default OFF.
     sam_rect: bool = False
+    # heuristic-pose wire trim: the heuristic keypoint path
+    # (models/pose.py::heuristic_keypoints_device, the reference's
+    # tleap:199-265 fallback) derives keypoints from the nearest-det
+    # bbox alone — it never reads pose-frame PIXELS.  With no trained
+    # pose model installed, pose-only frames (pose_idx minus det∪dino)
+    # are transferred and then never read by any stage, so
+    # ``pose_pixels=False`` drops them from the packed/lo arrays:
+    # split-ingest wire ~18 → ~11 MB/clip, native packed 33 → 15 rows.
+    # Outputs are bit-identical (the dropped rows were unread).  A spec
+    # without pose pixels cannot run a trained pose model —
+    # install_pose_params refuses with guidance.
+    pose_pixels: bool = True
 
     # stage frame subsets (reference sampling rules, SURVEY §6)
     @property
@@ -132,8 +144,10 @@ class EngineSpec:
     # pose→nearest-det-frame mapping) still uses the original indices.
     @property
     def packed_idx(self):
-        return np.unique(np.concatenate(
-            [self.det_idx, self.dino_idx, self.pose_idx]))
+        subsets = [self.det_idx, self.dino_idx]
+        if self.pose_pixels:
+            subsets.append(self.pose_idx)
+        return np.unique(np.concatenate(subsets))
 
     @property
     def n_packed(self) -> int:
@@ -149,6 +163,8 @@ class EngineSpec:
 
     @property
     def pose_pos(self):
+        assert self.pose_pixels, \
+            "pose frames are not packed (pose_pixels=False)"
         return np.searchsorted(self.packed_idx, self.pose_idx)
 
     def pack_frames(self, frames):
@@ -173,6 +189,8 @@ class EngineSpec:
 
     @property
     def lo_idx(self):                # dino ∪ pose frames
+        if not self.pose_pixels:
+            return self.dino_idx
         return np.unique(np.concatenate([self.dino_idx, self.pose_idx]))
 
     @property
@@ -181,6 +199,8 @@ class EngineSpec:
 
     @property
     def pose_pos_lo(self):
+        assert self.pose_pixels, \
+            "pose frames are not in the lo array (pose_pixels=False)"
         return np.searchsorted(self.lo_idx, self.pose_idx)
 
     def split_pack_host(self, frames) -> Dict[str, np.ndarray]:
@@ -278,6 +298,10 @@ class LamenessEngine:
                 spec.sam_size) == (s.yolo_size, s.pose_size, s.dino_size,
                                    s.sam_size), \
             "with_spec shares params: model input sizes must match"
+        if self.loaded_weights.get("pose") and not spec.pose_pixels:
+            raise ValueError(
+                "with_spec: a trained pose model is installed but the new "
+                "spec has pose_pixels=False (no pose frames on the wire)")
         # compute dtype follows the shared params' precision policy — a
         # fresh spec's default f32 would silently promote bf16-cast params
         # back to f32 compute (≈30% slower on v5e, no accuracy gain)
@@ -451,6 +475,11 @@ class LamenessEngine:
         pipeline/pose_training.py checkpoint) and switch _heads_stage from
         the anatomical heuristic to trained inference with per-frame
         heuristic fallback (tleap:142-197's hybrid)."""
+        if not self.spec.pose_pixels:
+            raise ValueError(
+                "this engine's spec has pose_pixels=False (heuristic-pose "
+                "wire trim: no pose frames are transferred) — rebuild with "
+                "EngineSpec(pose_pixels=True) to run a trained pose model")
         if self.pose_model is None:
             self.pose_model = YoloV8(variant="n", num_classes=1,
                                      num_keypoints=pose_mod.NUM_KEYPOINTS)

@@ -1,7 +1,9 @@
 # Serving image: the whole platform in one container (replaces the
 # reference's 22-service docker-compose + 8 GPU Dockerfiles).
-# For TPU hosts, use a base image with libtpu and drop the JAX_PLATFORMS
-# override at the bottom.
+#   docker build .                              # CPU image (default)
+#   docker build --build-arg JAX_PLATFORM=tpu . # TPU-VM image (libtpu)
+# TPU containers additionally need --privileged and the /dev/accel*
+# devices at run time — see deploy/docker-compose.tpu.yml.
 FROM python:3.12-slim
 
 RUN apt-get update && apt-get install -y --no-install-recommends \
@@ -12,10 +14,16 @@ COPY native/ native/
 RUN mkdir -p native/build && \
     g++ -O3 -shared -fPIC native/lapjv.cpp -o native/build/liblapjv.so
 
-RUN pip install --no-cache-dir "jax[cpu]" flax optax orbax-checkpoint chex \
+ARG JAX_PLATFORM=cpu
+RUN if [ "$JAX_PLATFORM" = "tpu" ]; then \
+      pip install --no-cache-dir "jax[tpu]" \
+        -f https://storage.googleapis.com/jax-releases/libtpu_releases.html; \
+    else \
+      pip install --no-cache-dir "jax[cpu]"; \
+    fi && \
+    pip install --no-cache-dir flax optax orbax-checkpoint chex \
     einops numpy scipy opencv-python-headless pillow scikit-learn \
     transformers pyyaml joblib httpx pandas
-# TPU hosts: pip install "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html
 
 COPY lameness_tpu/ lameness_tpu/
 COPY scripts/ scripts/

@@ -86,6 +86,21 @@ def _build(args, engine_needed=True):
                 and jax.default_backend() == "tpu"):
             from .pipeline.precision import apply_engine_policy
             print("precision:", apply_engine_policy(engine), flush=True)
+        # data-parallel serving over a chip mesh (v5e-4 pod: --dp auto).
+        # After the precision cast so replicate_params spreads the final
+        # (bf16) params.
+        dp = getattr(args, "dp", None) or os.environ.get("LAMENESS_DP")
+        if dp:
+            n = jax.device_count() if str(dp) == "auto" else int(dp)
+            if n > 1:
+                if n > jax.device_count():
+                    raise SystemExit(
+                        f"--dp {n}: only {jax.device_count()} device(s) "
+                        f"visible")
+                from .parallel.mesh import make_mesh
+                engine.shard_inference(make_mesh(n))
+                print(f"dp: inference sharded over {n} devices",
+                      flush=True)
     return cfg, engine, LamenessApp
 
 
@@ -96,6 +111,11 @@ def main(argv=None):
     ap.add_argument("--f32", action="store_true",
                     help="disable the bf16 engine policy (TPU default: "
                          "encoders bf16 per config.compute.dtype)")
+    ap.add_argument("--dp", default=None,
+                    help="data-parallel inference over N chips ('auto' = "
+                         "all visible devices); clip batches shard over "
+                         "the mesh, params replicate (LAMENESS_DP env "
+                         "equivalent)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("serve", help="reactive app + admin API")

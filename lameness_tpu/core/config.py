@@ -323,7 +323,9 @@ class EloConfig:
 # ---------------------------------------------------------------------------
 @dataclass(frozen=True)
 class MLConfig:
-    n_estimators: int = 200
+    # reference defaults: training-service/app/main.py:205-219 (100 rounds
+    # for all three GBDTs) + routers/ml_config.py Field defaults
+    n_estimators: int = 100
     learning_rate: float = 0.1
     max_depth: int = 6
     cv_folds: int = 5

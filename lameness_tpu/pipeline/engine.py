@@ -350,26 +350,68 @@ class LamenessEngine:
 
         frames: (B, T|P, H, W, 3) uint8 RGB.  transfer='yuv420' converts
         to I420 on host (cv2 SIMD, ~1-2 ms/frame) so the wire carries
-        1.5 bytes/pixel instead of 3."""
+        1.5 bytes/pixel instead of 3.
+
+        With an inference mesh installed (``shard_inference``) the batch
+        is padded to the data-axis size and placed SHARDED: each chip
+        receives exactly its clips' bytes over its own host link (the
+        yuv path uses the batch-major row packing, ``pack_i420_rows``).
+        Callers that pass host frames through ``process_clip_batch`` get
+        the padding trimmed back automatically."""
         transfer = transfer or self.default_transfer()
+        mesh = getattr(self, "_mesh", None)
         if self.spec.split:
-            frames = frames if isinstance(frames, dict) \
+            tree = frames if isinstance(frames, dict) \
                 else self.spec.split_pack_host(frames)
-            if transfer == "yuv420":
-                from ..video.yuv import pack_i420_flat, rgb_to_i420
-                flat, layout = pack_i420_flat(
-                    {k: rgb_to_i420(v) for k, v in frames.items()})
-                return self.yuv_flat_jit(layout)(jax.device_put(flat))
-            return jax.device_put(dict(frames))
-        frames = self.spec.pack_frames(np.asarray(frames))
+        else:
+            tree = self.spec.pack_frames(np.asarray(frames))
+        if mesh is not None:
+            return self._to_device_sharded(tree, transfer, mesh)
         if transfer == "yuv420":
             from ..video.yuv import pack_i420_flat, rgb_to_i420
-            flat, layout = pack_i420_flat(rgb_to_i420(frames))
+            i420 = {k: rgb_to_i420(v) for k, v in tree.items()} \
+                if isinstance(tree, dict) else rgb_to_i420(tree)
+            flat, layout = pack_i420_flat(i420)
             return self.yuv_flat_jit(layout)(jax.device_put(flat))
         # explicit device_put: feeding numpy straight into jit takes a slow
         # per-call transfer path on tunnelled TPU backends (and a
         # jnp.asarray hop commits via the default route before the put)
-        return jax.device_put(frames)
+        return jax.device_put(dict(tree) if isinstance(tree, dict)
+                              else tree)
+
+    def _to_device_sharded(self, tree, transfer: str, mesh):
+        """Data-parallel placement of a packed host frame tree: pad the
+        batch to a data-axis multiple, then put each chip its own rows.
+        RGB goes straight through a batch-sharded device_put; I420 rides
+        the (B, row_bytes) packing so one contiguous per-chip transfer
+        carries each clip's full byte stream."""
+        from ..parallel.mesh import (DATA_AXIS, batch_sharding,
+                                     pad_batch_to_multiple)
+        dp = mesh.shape[DATA_AXIS]
+        tree, _ = pad_batch_to_multiple(tree, dp)
+        if transfer == "yuv420":
+            from ..video.yuv import pack_i420_rows, rgb_to_i420
+            i420 = {k: rgb_to_i420(v) for k, v in tree.items()} \
+                if isinstance(tree, dict) else rgb_to_i420(tree)
+            rows, layout = pack_i420_rows(i420)
+            rows_dev = jax.device_put(rows, batch_sharding(mesh))
+            return self.yuv_rows_jit(layout)(rows_dev)
+        return jax.device_put(dict(tree) if isinstance(tree, dict)
+                              else tree, batch_sharding(mesh))
+
+    def yuv_rows_jit(self, layout):
+        """Jitted (B, row_bytes) I420 buffer → RGB frame tree for a static
+        layout — the sharded-ingest sibling of yuv_flat_jit.  The input
+        arrives batch-sharded over the mesh and every op preserves the
+        leading axis, so the program partitions with zero collectives."""
+        key = ("rows",) + layout
+        jit = self._flat_yuv_jits.get(key)
+        if jit is None:
+            from ..video.yuv import i420_rows_to_rgb_device
+            jit = jax.jit(
+                lambda rows: i420_rows_to_rgb_device(rows, layout))
+            self._flat_yuv_jits[key] = jit
+        return jit
 
     def yuv_flat_jit(self, layout):
         """Jitted flat-I420-buffer → RGB frame tree for a static layout
@@ -816,14 +858,23 @@ class LamenessEngine:
         self._check_packed(frames_dev)
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        out = dict(self._jit_detect(self.params, frames_dev))
-        out.update(self._jit_sam(self.params, frames_dev,
-                                 out["primary_boxes"]))
-        out.update(self._jit_dino(self.params, frames_dev))
-        out.update(self._jit_heads(self.params, frames_dev,
-                                   out["primary_boxes"],
-                                   out["primary_scores"], rng))
+        with self._mesh_ctx():
+            out = dict(self._jit_detect(self.params, frames_dev))
+            out.update(self._jit_sam(self.params, frames_dev,
+                                     out["primary_boxes"]))
+            out.update(self._jit_dino(self.params, frames_dev))
+            out.update(self._jit_heads(self.params, frames_dev,
+                                       out["primary_boxes"],
+                                       out["primary_scores"], rng))
         return out
+
+    def _mesh_ctx(self):
+        """The inference mesh as a context (nullcontext when unsharded):
+        inside it jit partitions from the committed input shardings and
+        places small uncommitted operands (rngs) replicated."""
+        import contextlib
+        mesh = getattr(self, "_mesh", None)
+        return mesh if mesh is not None else contextlib.nullcontext()
 
     def run_paired(self, frames_dev: jnp.ndarray,
                    rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
@@ -835,10 +886,11 @@ class LamenessEngine:
         self._check_packed(frames_dev)
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        out = dict(self._jit_front(self.params, frames_dev))
-        out.update(self._jit_back(self.params, frames_dev,
-                                  out["primary_boxes"],
-                                  out["primary_scores"], rng))
+        with self._mesh_ctx():
+            out = dict(self._jit_front(self.params, frames_dev))
+            out.update(self._jit_back(self.params, frames_dev,
+                                      out["primary_boxes"],
+                                      out["primary_scores"], rng))
         return out
 
     def process_clip_batch(self, frames: np.ndarray,
@@ -857,15 +909,23 @@ class LamenessEngine:
         readback/writes overlap batch N+1's compute."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        orig_b = None
         if isinstance(frames, jax.Array) or (
                 isinstance(frames, dict)
                 and all(isinstance(v, jax.Array) for v in frames.values())):
             frames_dev = frames
             self._check_packed(frames_dev)
         else:
+            if getattr(self, "_mesh", None) is not None:
+                # to_device pads the batch to the data-axis multiple;
+                # remember the real size so the readback trims it
+                leaf = next(iter(frames.values())) \
+                    if isinstance(frames, dict) else frames
+                orig_b = int(np.asarray(leaf).shape[0])
             frames_dev = self.to_device(frames, transfer)
         if mode == "monolith":
-            out = self._fused(self.params, frames_dev, rng)
+            with self._mesh_ctx():
+                out = self._fused(self.params, frames_dev, rng)
         elif mode == "pair":
             out = self.run_paired(frames_dev, rng)
         else:
@@ -875,7 +935,10 @@ class LamenessEngine:
         # one device_get for the whole tree — per-leaf np.asarray costs a
         # tunnel round trip per leaf (~25 leaves x ~30 ms)
         flat, meta = self.pack_output(out)
-        return self.unpack_output(np.asarray(flat), meta)
+        out_np = self.unpack_output(np.asarray(flat), meta)
+        if orig_b is not None:
+            out_np = jax.tree_util.tree_map(lambda x: x[:orig_b], out_np)
+        return out_np
 
     def warmup(self, batch: int = 1, mode: str = "staged") -> Dict[str, float]:
         """Compile all four stage programs concurrently on dummy inputs —
@@ -947,27 +1010,18 @@ class LamenessEngine:
         self._build_jits()
 
     def process_clip_batch_sharded(self, frames: np.ndarray,
-                                   rng: Optional[jax.Array] = None
+                                   rng: Optional[jax.Array] = None,
+                                   transfer: Optional[str] = None
                                    ) -> Dict[str, np.ndarray]:
         """Multi-chip variant of process_clip_batch: pads the batch to the
-        data-axis size, shards, runs the staged pipeline, unpads."""
+        data-axis size, shards (each chip gets its own clips' bytes —
+        to_device/_to_device_sharded), runs the staged pipeline, unpads.
+        Since round 3 this is the same code path process_clip_batch takes
+        once shard_inference() is installed (split-ingest and yuv420
+        transfer included); kept as the explicit-intent API."""
         assert getattr(self, "_mesh", None) is not None, \
             "call shard_inference(mesh) first"
-        from ..parallel.mesh import (DATA_AXIS, batch_sharding,
-                                     pad_batch_to_multiple)
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
-        dp = self._mesh.shape[DATA_AXIS]
-        assert not self.spec.split, \
-            "sharded inference uses the single-array packed path"
-        frames = self.spec.pack_frames(np.asarray(frames))
-        padded, orig_b = pad_batch_to_multiple(frames, dp)
-        frames_dev = jax.device_put(jnp.asarray(padded),
-                                    batch_sharding(self._mesh))
-        with self._mesh:
-            out = self.run_staged(frames_dev, rng)
-        out = jax.tree_util.tree_map(np.asarray, out)
-        return jax.tree_util.tree_map(lambda x: x[:orig_b], out)
+        return self.process_clip_batch(frames, rng=rng, transfer=transfer)
 
     def fused_fn(self):
         """(fn, example_args) for compile checking — the graft entry point.

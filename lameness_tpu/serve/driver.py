@@ -265,6 +265,16 @@ class PipelineDriver:
         from collections import deque as _deque
         from concurrent.futures import ThreadPoolExecutor as _Pool
         jobs = list(jobs)
+        mesh = getattr(self.engine, "_mesh", None)
+        if mesh is not None:
+            # data-parallel engine: keep every batch (incl. the trailing
+            # partial) a multiple of the data axis so each call hits the
+            # one warmed sharded signature; to_device would pad anyway,
+            # but with a varying padded size = a fresh XLA signature
+            from ..parallel.mesh import DATA_AXIS
+            dp = mesh.shape[DATA_AXIS]
+            pad_to = -(-max(batch_size, pad_to or 1) // dp) * dp
+            batch_size = pad_to   # fill every sharded call with real clips
         q: "_queue.Queue" = _queue.Queue(maxsize=2)
         wq: "_queue.Queue" = _queue.Queue(maxsize=2)
         if decode_workers is None:

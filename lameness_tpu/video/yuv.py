@@ -29,7 +29,8 @@ import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["rgb_to_i420", "i420_to_rgb_device", "i420_shape",
-           "pack_i420_flat", "i420_flat_to_rgb_device"]
+           "pack_i420_flat", "i420_flat_to_rgb_device",
+           "pack_i420_rows", "i420_rows_to_rgb_device"]
 
 
 def i420_shape(h: int, w: int) -> tuple:
@@ -92,6 +93,49 @@ def i420_flat_to_rgb_device(flat: jnp.ndarray, layout) -> jnp.ndarray:
     for k, shape in layout:
         n = int(np.prod(shape))
         out[k] = i420_to_rgb_device(flat[off:off + n].reshape(shape))
+        off += n
+    if len(layout) == 1 and layout[0][0] == "":
+        return out[""]
+    return out
+
+
+def pack_i420_rows(tree):
+    """Batch-major sibling of ``pack_i420_flat`` for SHARDED (multi-chip)
+    ingest: I420 array/dict with (B, T, H*3//2, W) leaves → one
+    (B, row_bytes) uint8 buffer where row b carries ALL of clip b's
+    bytes (every leaf's, in sorted-key order).
+
+    ``jax.device_put`` with a batch NamedSharding then delivers each
+    chip exactly its own clips' bytes over its own host link — no
+    cross-chip redistribution of ingest data — and the device unpacker
+    (``i420_rows_to_rgb_device``) slices columns per leaf, so the batch
+    axis stays sharded end-to-end.  Returns (rows, layout); layout is
+    hashable and keys the jitted unpacker.
+    """
+    if not isinstance(tree, dict):
+        tree = {"": np.asarray(tree)}
+    keys = sorted(tree)
+    b = next(iter(tree.values())).shape[0]
+    layout = tuple((k, tuple(tree[k].shape)) for k in keys)
+    rows = np.concatenate(
+        [np.ascontiguousarray(tree[k]).reshape(b, -1) for k in keys],
+        axis=1)
+    return rows, layout
+
+
+def i420_rows_to_rgb_device(rows: jnp.ndarray, layout):
+    """Traceable inverse of ``pack_i420_rows``: (B, row_bytes) → RGB tree.
+
+    Static column slices + the fused BT.601 conversion; every reshape
+    keeps the (sharded) batch axis leading, so XLA partitions the whole
+    program over the data axis with zero collectives.
+    """
+    out = {}
+    off = 0
+    for k, shape in layout:
+        n = int(np.prod(shape[1:]))
+        out[k] = i420_to_rgb_device(
+            rows[:, off:off + n].reshape((rows.shape[0],) + shape[1:]))
         off += n
     if len(layout) == 1 and layout[0][0] == "":
         return out[""]

@@ -187,7 +187,8 @@ def test_ml_config_roundtrip(server):
     base, ctx = server
     token = _login(base, "researcher", "testpw")
     cfg = httpx.get(f"{base}/api/ml-config").json()
-    assert cfg["config"]["catboost"]["n_estimators"] == 200
+    # reference default: ml_config.py CatBoostConfig iterations=100
+    assert cfg["config"]["catboost"]["n_estimators"] == 100
     assert "catboost.n_estimators" in cfg["schema"]
     r = httpx.put(f"{base}/api/ml-config",
                   json={"catboost": {"n_estimators": 300}},

@@ -45,3 +45,119 @@ def test_sharded_batch_divisible_exact():
     out = eng.process_clip_batch_sharded(frames)
     assert out["tcn_probability"].shape == (8,)
     assert out["masks"].shape[0] == 8
+
+
+def test_pack_i420_rows_roundtrip():
+    """Batch-major I420 packing: rows buffer rebuilds the same RGB tree
+    as the 1-D flat packing (video/yuv.py pack_i420_rows)."""
+    from lameness_tpu.video.yuv import (i420_flat_to_rgb_device,
+                                        i420_rows_to_rgb_device,
+                                        pack_i420_flat, pack_i420_rows,
+                                        rgb_to_i420)
+    rng = np.random.default_rng(7)
+    tree = {
+        "hi": rgb_to_i420(rng.integers(0, 255, (4, 3, 32, 48, 3),
+                                       dtype=np.uint8)),
+        "lo": rgb_to_i420(rng.integers(0, 255, (4, 5, 16, 24, 3),
+                                       dtype=np.uint8)),
+    }
+    flat, flayout = pack_i420_flat(tree)
+    rows, rlayout = pack_i420_rows(tree)
+    assert rows.shape[0] == 4 and rows.size == flat.size
+    ref = i420_flat_to_rgb_device(flat, flayout)
+    got = i420_rows_to_rgb_device(rows, rlayout)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(ref[k]),
+                                      np.asarray(got[k]), err_msg=k)
+    # bare-array sentinel path
+    arr = next(iter(tree.values()))
+    rows1, l1 = pack_i420_rows(arr)
+    got1 = i420_rows_to_rgb_device(rows1, l1)
+    np.testing.assert_array_equal(np.asarray(got1), np.asarray(ref["hi"]))
+
+
+def test_sharded_yuv_transfer_matches_rgb():
+    """Sharded yuv420 ingest (per-chip row transfer + on-device I420→RGB)
+    runs the same pipeline as sharded rgb within conversion tolerance."""
+    eng = make_test_engine()
+    eng.shard_inference(make_mesh(8))
+    s = eng.spec
+    frames = np.random.default_rng(3).integers(
+        0, 255, (8, s.clip_frames, s.frame_height, s.frame_width, 3),
+        dtype=np.uint8)
+    fd = eng.to_device(frames, transfer="yuv420")
+    assert fd.shape == (8, s.n_packed, s.frame_height, s.frame_width, 3)
+    # the device tree is batch-sharded over the mesh
+    assert len(fd.sharding.device_set) == 8
+    out_yuv = eng.process_clip_batch(frames, transfer="yuv420")
+    out_rgb = eng.process_clip_batch(frames, transfer="rgb")
+    assert out_yuv["tcn_probability"].shape == (8,)
+    assert np.abs(out_yuv["tcn_probability"]
+                  - out_rgb["tcn_probability"]).max() < 0.05
+
+
+def test_sharded_plain_api_pads_and_trims():
+    """process_clip_batch on a sharded engine accepts any batch size:
+    pads to the data-axis multiple for the device, trims on readback."""
+    eng = make_test_engine()
+    eng.shard_inference(make_mesh(8))
+    s = eng.spec
+    frames = np.random.default_rng(5).integers(
+        0, 255, (3, s.clip_frames, s.frame_height, s.frame_width, 3),
+        dtype=np.uint8)
+    out = eng.process_clip_batch(frames)
+    assert out["tcn_probability"].shape == (3,)
+    assert out["masks"].shape[0] == 3
+
+
+def test_sharded_split_ingest():
+    """Split-resolution ingest shards too (round 3: the sharded path is
+    the same to_device/run_staged code, split dict included)."""
+    eng = make_test_engine()
+    eng.spec.lo_height = 44
+    eng.spec.lo_width = 80
+    eng.shard_inference(make_mesh(8))
+    s = eng.spec
+    frames = np.random.default_rng(6).integers(
+        0, 255, (8, s.clip_frames, s.frame_height, s.frame_width, 3),
+        dtype=np.uint8)
+    out = eng.process_clip_batch(frames, transfer="rgb")
+    assert out["tcn_probability"].shape == (8,)
+
+    ref_eng = make_test_engine()
+    ref_eng.spec.lo_height = 44
+    ref_eng.spec.lo_width = 80
+    ref = ref_eng.process_clip_batch(frames, transfer="rgb")
+    np.testing.assert_allclose(out["primary_boxes"], ref["primary_boxes"],
+                               atol=1e-3)
+
+
+@pytest.mark.slow
+def test_process_stream_sharded(tmp_data_root, tmp_path):
+    """The serving stream path over a data-parallel engine: pad_to rounds
+    to the mesh's data-axis size, every clip gets its result files."""
+    import json
+
+    from lameness_tpu.io import schemas as sch
+    from lameness_tpu.serve.driver import PipelineDriver
+    from lameness_tpu.video.curation import ClipCurator
+    from tests.test_video import _square_detector, _synthetic_walk_video
+
+    cfg = tmp_data_root
+    engine = make_test_engine()
+    engine.shard_inference(make_mesh(8))
+    curator = ClipCurator(cfg.dirs, detector=_square_detector)
+    driver = PipelineDriver(config=cfg, engine=engine, curator=curator)
+    jobs = []
+    for i in range(4):
+        vp = _synthetic_walk_video(tmp_path / f"dp{i}.mp4", n_frames=40,
+                                   w=160, h=90, fps=5)
+        vid = driver.ingest(vp, f"dpstream{i}")
+        pre = driver.preprocess(vid)
+        jobs.append((vid, pre["processed_path"]))
+    results = driver.process_stream(jobs, batch_size=2)
+    assert len(results) == 4
+    for vid, _ in jobs:
+        f = cfg.dirs.results_for("tcn") / f"{vid}_tcn.json"
+        assert f.exists()
+        assert sch.validate("tcn", json.load(open(f))) == []

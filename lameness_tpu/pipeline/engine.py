@@ -948,18 +948,32 @@ class LamenessEngine:
         import threading
         import time as _time
         s = self.spec
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None:
+            # warm the SHARDED signature the serving path will hit: round
+            # the batch to the data axis and place inputs like to_device/
+            # the detect stage would
+            from ..parallel.mesh import DATA_AXIS, batch_sharding
+            batch = -(-batch // mesh.shape[DATA_AXIS]) \
+                * mesh.shape[DATA_AXIS]
         if s.split:
-            frames = {"hi": jnp.zeros((batch, len(s.hi_idx), s.frame_height,
-                                       s.frame_width, 3), jnp.uint8),
-                      "lo": jnp.zeros((batch, len(s.lo_idx), s.lo_height,
-                                       s.lo_width, 3), jnp.uint8)}
+            frames = {"hi": np.zeros((batch, len(s.hi_idx), s.frame_height,
+                                      s.frame_width, 3), np.uint8),
+                      "lo": np.zeros((batch, len(s.lo_idx), s.lo_height,
+                                      s.lo_width, 3), np.uint8)}
         else:
-            frames = jnp.zeros((batch, s.n_packed, s.frame_height,
-                                s.frame_width, 3), jnp.uint8)
+            frames = np.zeros((batch, s.n_packed, s.frame_height,
+                               s.frame_width, 3), np.uint8)
         td = len(s.det_idx)
-        boxes = jnp.tile(jnp.asarray([[1.0, 1.0, 10.0, 10.0]]),
-                         (batch, td, 1))
-        scores = jnp.full((batch, td), 0.5)
+        boxes = np.tile(np.asarray([[1.0, 1.0, 10.0, 10.0]], np.float32),
+                        (batch, td, 1))
+        scores = np.full((batch, td), 0.5, np.float32)
+        if mesh is not None:
+            sh = batch_sharding(mesh)
+            frames, boxes, scores = jax.device_put((frames, boxes, scores),
+                                                   sh)
+        else:
+            frames, boxes, scores = jax.device_put((frames, boxes, scores))
         rng = jax.random.PRNGKey(0)
         timings: Dict[str, float] = {}
 

@@ -161,3 +161,12 @@ def test_process_stream_sharded(tmp_data_root, tmp_path):
         f = cfg.dirs.results_for("tcn") / f"{vid}_tcn.json"
         assert f.exists()
         assert sch.validate("tcn", json.load(open(f))) == []
+
+
+def test_sharded_warmup_warms_sharded_signature():
+    """warmup on a sharded engine must compile the signature the serving
+    path hits: batch rounded to the data axis, inputs batch-sharded."""
+    eng = make_test_engine()
+    eng.shard_inference(make_mesh(8))
+    t = eng.warmup(batch=4)          # rounds to 8 internally
+    assert set(t) == {"detect", "sam", "dino", "heads"}

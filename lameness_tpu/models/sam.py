@@ -121,6 +121,11 @@ class VisionAttention(nn.Module):
                          and (jax.default_backend() == "tpu"
                               or self.fused is True))
         win_kernel = os.environ.get("LAMENESS_WIN_KERNEL", "v3")
+        if hd + 2 * h > 128 and win_kernel in ("v3", "v5"):
+            # head-last window kernels pack [q|rh|rw] into one 128-lane
+            # group per head (hd + 2*win); all SAM_VARIANTS fit
+            # (hd<=80, win=14 -> <=108) but fall back for exotic dims
+            win_kernel = "v1"
         if use_fused_win and win_kernel in ("v3", "v5"):
             # transpose-free default: head-last layouts end-to-end, the
             # kernel reads 128-lane-aligned per-head slices directly.
@@ -154,7 +159,11 @@ class VisionAttention(nn.Module):
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), rh, rw, interpret=interp)
             out = of.transpose(0, 2, 1, 3)                  # (B, N, nH, hd)
-        elif use_fused and os.environ.get("LAMENESS_GLB_KERNEL") == "v3":
+        elif (use_fused and os.environ.get("LAMENESS_GLB_KERNEL") == "v3"
+              and hd + h <= 128):
+            # (head-last global packing needs hd + G <= 128: true for
+            # hd=64 variants at G=64, NOT for vit_h's hd=80 — those fall
+            # through to the default v4 kernel below)
             # transpose-free head-last global path (opt-in): the grid's
             # lane-block axis selects the head, no HLO transposes
             from ..ops.sam_attention import (project_rel_tables_hl,
@@ -578,6 +587,49 @@ class SamMaskDecoder(nn.Module):
 # ---------------------------------------------------------------------------
 # full model
 # ---------------------------------------------------------------------------
+# Encoder geometry per SAM variant.  The reference's registry loads
+# vit_h / vit_l / vit_b by checkpoint name
+# (services/sam3-pipeline/app/main.py:51-72); these are the canonical
+# ``segment_anything`` build_sam geometries (prompt encoder / mask
+# decoder are identical across variants).
+SAM_VARIANTS: Dict[str, Dict[str, Any]] = {
+    "vit_b": dict(encoder_dim=768, encoder_depth=12, encoder_heads=12,
+                  global_attn_indexes=(2, 5, 8, 11)),
+    "vit_l": dict(encoder_dim=1024, encoder_depth=24, encoder_heads=16,
+                  global_attn_indexes=(5, 11, 17, 23)),
+    "vit_h": dict(encoder_dim=1280, encoder_depth=32, encoder_heads=16,
+                  global_attn_indexes=(7, 15, 23, 31)),
+}
+
+
+def infer_variant(encoder_dim: int) -> str:
+    """Checkpoint geometry -> variant name (dims are unique per variant);
+    analog of the reference's by-checkpoint-name selection (sam3:57-63)."""
+    for name, geo in SAM_VARIANTS.items():
+        if geo["encoder_dim"] == encoder_dim:
+            return name
+    raise ValueError(f"no SAM variant has encoder_dim={encoder_dim}")
+
+
+def build_sam(variant: str = "vit_b", img_size: int = 1024,
+              fused_global: Optional[bool] = None) -> "Sam":
+    """Variant-geometry Sam constructor (config.sam.variant -> module).
+
+    head_dim is 64 for vit_b/vit_l and 80 for vit_h; the Pallas
+    attention kernels handle both (window v3 packs hd + 2*win = 108
+    lanes at hd=80; global v4 contracts K = hd + G = 144 over two MXU
+    tiles — the head-last v3 global kernel requires hd + G <= 128 and
+    falls back automatically, see VisionAttention).
+    """
+    try:
+        geo = SAM_VARIANTS[variant]
+    except KeyError:
+        raise ValueError(
+            f"unknown SAM variant {variant!r}; expected one of "
+            f"{sorted(SAM_VARIANTS)}") from None
+    return Sam(img_size=img_size, fused_global=fused_global, **geo)
+
+
 class Sam(nn.Module):
     """Encoder + prompt encoder + decoder.  Apply via sub-methods to avoid
     re-encoding the image per prompt."""
@@ -662,11 +714,22 @@ def _ffn(sd, prefix, num_layers=3):
     return out
 
 
-def convert_hf_state_dict(sd: Dict[str, Any], depth: int = 12,
+def convert_hf_state_dict(sd: Dict[str, Any], depth: Optional[int] = None,
                           decoder_depth: int = 2) -> Dict:
-    """Map ``SamModel.state_dict()`` to this module tree's params."""
+    """Map ``SamModel.state_dict()`` to this module tree's params.
+
+    ``depth`` defaults to the number of encoder layers present in the
+    state dict, so vit_b/l/h checkpoints (12/24/32 layers,
+    SAM_VARIANTS) all convert without a geometry argument — matching
+    the reference's by-checkpoint-name variant selection
+    (services/sam3-pipeline/app/main.py:51-72).
+    """
     sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
           for k, v in sd.items()}
+    if depth is None:
+        depth = 1 + max(
+            int(k.split(".")[2]) for k in sd
+            if k.startswith("vision_encoder.layers."))
     ve: Dict[str, Any] = {
         "patch_embed": {
             "kernel": np.transpose(

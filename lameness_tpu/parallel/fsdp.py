@@ -14,12 +14,14 @@ Usage::
 
     state, tx = init_train_state(rng, mesh, models)
     state = shard_train_state_fsdp(state, mesh, tp_spec=dino_tp_spec)
-    step_fn, batch_sh = make_train_step(mesh, models, tx)   # unchanged
+    step_fn, batch_sh = make_train_step(
+        mesh, models, tx, state_shardings=state_shardings(state))
 
-The SAME jitted train step runs either way: ``jax.jit`` picks the layout
-up from the committed input shardings and keeps the new state in the
-FSDP layout (validated in tests/test_fsdp.py and, budget permitting,
-``__graft_entry__.dryrun_multichip``).
+The same ``train_step`` FUNCTION runs either layout; pass
+``state_shardings`` so the jit pins the state input/output layouts —
+without the pin GSPMD may re-lay-out the updated state on the way out
+(it re-replicated the dino tp×fsdp leaves in practice; pinned + tested
+in tests/test_fsdp.py and ``__graft_entry__.dryrun_multichip``).
 """
 from __future__ import annotations
 
@@ -30,7 +32,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS
 
-__all__ = ["fsdp_leaf_spec", "shard_params_fsdp", "shard_train_state_fsdp"]
+__all__ = ["fsdp_leaf_spec", "shard_params_fsdp", "shard_train_state_fsdp",
+           "state_shardings"]
+
+
+def state_shardings(state):
+    """Per-leaf sharding tree of a placed TrainState — pass to
+    ``pipeline.train.make_train_step(..., state_shardings=...)`` so the
+    jitted step keeps this exact (e.g. ZeRO-3) layout on its output."""
+    return jax.tree_util.tree_map(lambda x: x.sharding, state)
 
 
 def fsdp_leaf_spec(leaf, dp: int, base: Optional[P] = None,
@@ -45,6 +55,12 @@ def fsdp_leaf_spec(leaf, dp: int, base: Optional[P] = None,
     shape = getattr(leaf, "shape", ())
     ndim = len(shape)
     base_entries = tuple(base) if base is not None else ()
+    if any(e == DATA_AXIS or (isinstance(e, tuple) and DATA_AXIS in e)
+           for e in base_entries):
+        # base already consumes the data axis — adding it again would be
+        # a duplicate mesh axis (opaque NamedSharding error); the leaf is
+        # already data-sharded, keep the caller's spec
+        return P(*base_entries)
     base_entries = base_entries + (None,) * (ndim - len(base_entries))
     size = 1
     for d in shape:
@@ -104,22 +120,54 @@ def shard_train_state_fsdp(state, mesh: Mesh,
     specs = _spec_tree(state.params, mesh, tp_spec, min_size)
     params = jax.tree_util.tree_map(jax.device_put, state.params, specs)
     p_struct = jax.tree_util.tree_structure(state.params)
+    p_shapes = [getattr(l, "shape", ())
+                for l in jax.tree_util.tree_leaves(state.params)]
     repl = NamedSharding(mesh, P())
+    placed = [0]                     # array leaves actually visited
+
+    def _is_moment_tree(node) -> bool:
+        """True iff ``node`` mirrors the params tree structure AND every
+        leaf has the corresponding param's shape — structure equality
+        alone would device_put a coincidentally-shaped subtree with
+        mismatched FSDP specs (shape/divisibility errors)."""
+        try:
+            if jax.tree_util.tree_structure(node) != p_struct:
+                return False
+        except (ValueError, TypeError):
+            return False
+        shapes = [getattr(l, "shape", ())
+                  for l in jax.tree_util.tree_leaves(node)]
+        return shapes == p_shapes
 
     def walk(node):
-        try:
-            if jax.tree_util.tree_structure(node) == p_struct:
-                return jax.tree_util.tree_map(jax.device_put, node, specs)
-        except (ValueError, TypeError):
-            pass
+        if _is_moment_tree(node):
+            placed[0] += len(p_shapes)
+            return jax.tree_util.tree_map(jax.device_put, node, specs)
         if isinstance(node, tuple):            # (Named)tuple optax states
             mapped = [walk(c) for c in node]
             return type(node)(*mapped) if hasattr(node, "_fields") \
                 else type(node)(mapped)
+        if isinstance(node, list):
+            return [walk(c) for c in node]
+        import collections.abc
+        if isinstance(node, collections.abc.Mapping):
+            # dict / FrozenDict-valued optax states (multi_transform,
+            # inject_hyperparams, masked)
+            return type(node)({k: walk(v) for k, v in node.items()})
         if hasattr(node, "shape"):
+            placed[0] += 1
             return jax.device_put(node, repl)
         return node
 
     opt_state = walk(state.opt_state)
+    n_leaves = len([l for l in jax.tree_util.tree_leaves(state.opt_state)
+                    if hasattr(l, "shape")])
+    if placed[0] != n_leaves:
+        # an unhandled container type silently skipped array leaves —
+        # those moments would stay on their original (unsharded) devices
+        raise TypeError(
+            f"shard_train_state_fsdp placed {placed[0]} of {n_leaves} "
+            "opt_state array leaves; opt_state contains a container type "
+            "walk() does not recurse into")
     step = jax.device_put(state.step, repl)
     return type(state)(params, opt_state, step)

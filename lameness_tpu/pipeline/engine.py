@@ -43,7 +43,7 @@ from ..models import dino as dino_mod
 from ..models import pose as pose_mod
 from ..models import sequence_features as seqf
 from ..models.gait_transformer import GaitTransformer
-from ..models.sam import Sam
+from ..models.sam import Sam, build_sam
 from ..models.tcn import TCN
 from ..models.yolo import YoloV8, detect, init_params
 from ..ops import preprocess as prep
@@ -265,7 +265,10 @@ class LamenessEngine:
         s = self.spec
         self.yolo = YoloV8(variant="n", num_classes=self.config.yolo.num_classes)
         self.dino = dino_mod.DinoV2()       # ViT-B/14, dinov2-base geometry
-        self.sam = Sam(img_size=s.sam_size) if s.use_sam_model else None
+        # variant geometry from config (vit_b/vit_l/vit_h — the
+        # reference selects by checkpoint name, sam3:51-72)
+        self.sam = build_sam(self.config.sam.variant, img_size=s.sam_size) \
+            if s.use_sam_model else None
         self.tcn = TCN(input_dim=44)
         self.gait = GaitTransformer(input_dim=44)
         # jit every init: eager init is pathologically slow on remote-compile
@@ -486,8 +489,16 @@ class LamenessEngine:
         if name == "dino":
             self.params["dino"] = dino_mod.convert_hf_state_dict(state_dict)
         elif name == "sam":
-            from ..models.sam import convert_hf_state_dict as conv
-            self.params["sam"] = conv(state_dict)
+            from ..models.sam import (build_sam, convert_hf_state_dict,
+                                      infer_variant)
+            params = convert_hf_state_dict(state_dict)
+            dim = params["params"]["vision_encoder"]["pos_embed"].shape[-1]
+            if self.sam is not None and dim != self.sam.encoder_dim:
+                # checkpoint geometry wins over config (the reference
+                # selects the variant by checkpoint name, sam3:51-72)
+                self.sam = build_sam(infer_variant(dim),
+                                     img_size=self.spec.sam_size)
+            self.params["sam"] = params
         elif name == "yolo":
             from ..models.yolo import convert_ultralytics_state_dict as conv
             self.params["yolo"] = conv(state_dict)

@@ -91,7 +91,15 @@ def init_train_state(rng: jax.Array, mesh: Mesh, models,
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
 
 
-def make_train_step(mesh: Mesh, models, tx):
+def make_train_step(mesh: Mesh, models, tx, state_shardings=None):
+    """Jitted train step + batch shardings.
+
+    ``state_shardings`` (a TrainState-shaped tree of NamedShardings,
+    e.g. ``parallel.fsdp.state_shardings(fstate)``) pins the step's
+    state input AND output layouts.  Without it, GSPMD picks output
+    layouts freely and can silently re-replicate an FSDP-sharded state
+    on the way out (caught by tests/test_fsdp.py); with it, the updated
+    state is guaranteed to keep the given (e.g. ZeRO-3) placement."""
     dino, tcn, gait = models
 
     def loss_fn(params, batch, rng):
@@ -127,7 +135,14 @@ def make_train_step(mesh: Mesh, models, tx):
         "seq_mask": NamedSharding(mesh, P(DATA_AXIS)),
         "labels": NamedSharding(mesh, P(DATA_AXIS)),
     }
-    return jax.jit(train_step), batch_sharding
+    if state_shardings is not None:
+        step = jax.jit(
+            train_step,
+            in_shardings=(state_shardings, batch_sharding, None),
+            out_shardings=(state_shardings, None, None))
+    else:
+        step = jax.jit(train_step)
+    return step, batch_sharding
 
 
 def make_batch(rng: np.random.Generator, batch: int, image_size: int = 56

@@ -66,8 +66,23 @@ class PipelineDriver:
         self.ensemble = GBDTEnsemble(self.dirs.models / "ml")
         self.fusion = FusionService(self.dirs, bus=self.bus,
                                     subjects=self.config.subjects)
-        self.curator = curator or ClipCurator(self.dirs, bus=self.bus,
-                                              subjects=self.config.subjects)
+        if curator is None:
+            # real YOLO weights in the engine -> CHUNKED device detector
+            # (one dispatch per 16 frames, VERDICT r3 item 4); otherwise
+            # the weight-free motion fallback (reference degradation,
+            # clip-curation:103-131)
+            detector = None
+            if self.engine is not None and \
+                    getattr(self.engine, "loaded_weights", {}).get("yolo"):
+                from ..video.curation import BatchedYoloDetector
+                detector = BatchedYoloDetector(
+                    self.engine.yolo, self.engine.params["yolo"],
+                    cow_class_id=self.config.yolo.cow_class_id,
+                    size=self.engine.spec.yolo_size)
+            curator = ClipCurator(self.dirs, detector=detector,
+                                  bus=self.bus,
+                                  subjects=self.config.subjects)
+        self.curator = curator
         self.trackers: Dict[str, ByteTracker] = {}
         self.graph_runner = None        # built lazily (jits two graph heads)
 

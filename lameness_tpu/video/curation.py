@@ -97,17 +97,106 @@ def motion_detector() -> Detector:
     return detect
 
 
+def _best_detection(boxes, scores, classes, valid, h: int, w: int,
+                    cow_class_id: int) -> Optional[Dict[str, Any]]:
+    """clip-curation:103-131 selection: accept cow class or any detection
+    > 10% of frame, keep largest (shared by the per-frame and batched
+    curation detectors so their outputs are identical by construction)."""
+    best = None
+    best_area = 0.0
+    for b, s, c, v in zip(boxes, scores, classes, valid):
+        if not v:
+            continue
+        area = max(0.0, (b[2] - b[0]) * (b[3] - b[1]))
+        if (c == cow_class_id or area > 0.1 * h * w) and area > best_area:
+            best_area = area
+            best = {"bbox": [float(x) for x in b],
+                    "confidence": float(s),
+                    "centroid": ((b[0] + b[2]) / 2, (b[1] + b[3]) / 2),
+                    "area": float(area)}
+    return best
+
+
+class BatchedYoloDetector:
+    """Chunked device YOLO curation detector (VERDICT r3 item 4).
+
+    The reference runs its detector one frame at a time
+    (clip-curation:133-167); so did the injected per-frame path here —
+    one device dispatch per frame, pathological on a remote-dispatch
+    backend.  This detector letterboxes + detects a CHUNK of frames in
+    ONE jitted program (ceil(F/chunk) dispatches per video instead of
+    F; the last ragged chunk is zero-padded so there is exactly one
+    compiled signature per video geometry).
+
+    Selection semantics and numerics are identical to ``yolo_detector``
+    (same letterbox math vmapped on device, same NMS, same
+    ``_best_detection``) — pinned by tests/test_curation_batched.py.
+    Exposes ``detect_batch`` (used by ClipCurator.track_cow_through_video
+    when present) and per-frame ``__call__`` for Detector compatibility.
+    """
+
+    def __init__(self, model, params, conf: float = 0.3,
+                 cow_class_id: int = 19, size: int = 640, chunk: int = 16):
+        import jax
+        import jax.numpy as jnp
+        from ..models.yolo import detect as yolo_detect
+        from ..ops.preprocess import letterbox, unletterbox_boxes
+        self.chunk = int(chunk)
+        self.cow_class_id = cow_class_id
+        self.dispatches = 0              # observable dispatch counter
+
+        def batched(frames_rgb):         # (N, H, W, 3) uint8
+            canvas = jax.vmap(lambda f: letterbox(f, size)[0])(frames_rgb)
+            _, ratio, pad = letterbox(
+                jnp.zeros(frames_rgb.shape[1:], jnp.uint8), size)
+            out = model.apply(params, canvas)
+            det = yolo_detect(out["levels"], conf_threshold=conf, max_det=8)
+            boxes = jax.vmap(
+                lambda b: unletterbox_boxes(b, ratio, pad))(det["boxes"])
+            return boxes, det["scores"], det["classes"], det["valid"]
+
+        self._jit = jax.jit(batched)
+
+    def detect_batch(self, frames_bgr: np.ndarray
+                     ) -> List[Optional[Dict[str, Any]]]:
+        """(N, H, W, 3) BGR uint8 -> N best-detection dicts (or None)."""
+        import jax
+        n, h, w = frames_bgr.shape[:3]
+        rgb = frames_bgr[..., ::-1]
+        if n % self.chunk:
+            pad = self.chunk - n % self.chunk
+            rgb = np.concatenate(
+                [rgb, np.zeros((pad, h, w, 3), np.uint8)], axis=0)
+        results: List[Optional[Dict[str, Any]]] = []
+        for o in range(0, len(rgb), self.chunk):
+            dev = jax.device_put(np.ascontiguousarray(rgb[o:o + self.chunk]))
+            boxes, scores, classes, valid = self._jit(dev)
+            self.dispatches += 1
+            boxes, scores = np.asarray(boxes), np.asarray(scores)
+            classes, valid = np.asarray(classes), np.asarray(valid)
+            for i in range(min(self.chunk, n - o)):
+                results.append(_best_detection(
+                    boxes[i], scores[i], classes[i], valid[i], h, w,
+                    self.cow_class_id))
+        return results
+
+    def __call__(self, frame_bgr: np.ndarray) -> Optional[Dict[str, Any]]:
+        return self.detect_batch(frame_bgr[None])[0]
+
+
 def yolo_detector(model, params, conf: float = 0.3,
-                  cow_class_id: int = 19) -> Detector:
-    """Device YOLO as a curation detector (clip-curation:103-131 semantics:
-    accept cow class or any detection > 10% of frame, keep largest)."""
+                  cow_class_id: int = 19, size: int = 640) -> Detector:
+    """Device YOLO as a per-frame curation detector (clip-curation:103-131
+    semantics).  Prefer ``BatchedYoloDetector`` — one dispatch per chunk
+    instead of per frame; this stays for injection sites that feed single
+    frames."""
     import jax.numpy as jnp
     from ..models.yolo import detect as yolo_detect
     from ..ops.preprocess import letterbox, unletterbox_boxes
 
     def detect_fn(frame_bgr: np.ndarray) -> Optional[Dict[str, Any]]:
         rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
-        canvas, ratio, pad = letterbox(jnp.asarray(rgb), 640)
+        canvas, ratio, pad = letterbox(jnp.asarray(rgb), size)
         out = model.apply(params, canvas[None])
         det = yolo_detect(out["levels"], conf_threshold=conf, max_det=8)
         boxes = np.asarray(unletterbox_boxes(det["boxes"][0], ratio, pad))
@@ -115,19 +204,8 @@ def yolo_detector(model, params, conf: float = 0.3,
         classes = np.asarray(det["classes"][0])
         valid = np.asarray(det["valid"][0])
         h, w = frame_bgr.shape[:2]
-        best = None
-        best_area = 0.0
-        for b, s, c, v in zip(boxes, scores, classes, valid):
-            if not v:
-                continue
-            area = max(0.0, (b[2] - b[0]) * (b[3] - b[1]))
-            if (c == cow_class_id or area > 0.1 * h * w) and area > best_area:
-                best_area = area
-                best = {"bbox": [float(x) for x in b],
-                        "confidence": float(s),
-                        "centroid": ((b[0] + b[2]) / 2, (b[1] + b[3]) / 2),
-                        "area": float(area)}
-        return best
+        return _best_detection(boxes, scores, classes, valid, h, w,
+                               cow_class_id)
     return detect_fn
 
 
@@ -146,11 +224,13 @@ def brightness_score(gray: np.ndarray) -> float:
 
 class ClipCurator:
     def __init__(self, dirs, detector: Optional[Detector] = None,
-                 bus=None, subjects=None):
+                 bus=None, subjects=None, timers=None):
+        from ..utils.timing import StageTimers
         self.dirs = dirs
         self.detector = detector or motion_detector()
         self.bus = bus
         self.subjects = subjects
+        self.timers = timers or StageTimers()
         self.canonical_dir = dirs.canonical
         self.reports_dir = dirs.quality_reports
         self.canonical_dir.mkdir(parents=True, exist_ok=True)
@@ -158,21 +238,52 @@ class ClipCurator:
 
     # -- stage 1: one decode pass -------------------------------------------
     def track_cow_through_video(self, video_path: Path):
-        """Detection + visual-quality stats for every frame in one pass."""
+        """Detection + visual-quality stats for every frame in one pass.
+
+        A detector exposing ``detect_batch`` (BatchedYoloDetector) runs
+        once per CHUNK of frames — ceil(F/chunk) device dispatches per
+        video instead of F (the reference's per-frame loop,
+        clip-curation:133-167).  Stateful per-frame detectors (MOG2
+        background subtraction needs frame order) keep the frame loop."""
+        batch_fn = getattr(self.detector, "detect_batch", None)
+        chunk = getattr(self.detector, "chunk", 16) if batch_fn else 1
         with VideoReader(video_path) as vr:
             info = vr.info
             detections: List[Dict[str, Any]] = []
             visual: List[float] = []
+            pending: List[Tuple[int, np.ndarray]] = []
+
+            def flush():
+                if not pending:
+                    return
+                with self.timers.time("curation.detect"):
+                    dets = batch_fn(np.stack([f for _, f in pending]))
+                for (idx, _), det in zip(pending, dets):
+                    detections.append({
+                        "frame": idx,
+                        "time": idx / info["fps"] if info["fps"] > 0 else 0,
+                        "detection": det,
+                    })
+                pending.clear()
+
             for idx, frame_rgb in vr.frames(interval=1, rgb=True):
                 frame_bgr = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR)
                 gray = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2GRAY)
                 visual.append((blur_score(gray) + brightness_score(gray)) / 2)
-                det = self.detector(frame_bgr)
+                if batch_fn is not None:
+                    pending.append((idx, frame_bgr))
+                    if len(pending) >= chunk:
+                        flush()
+                    continue
+                with self.timers.time("curation.detect"):
+                    det = self.detector(frame_bgr)
                 detections.append({
                     "frame": idx,
                     "time": idx / info["fps"] if info["fps"] > 0 else 0,
                     "detection": det,
                 })
+            if batch_fn is not None:
+                flush()
         return detections, info, np.asarray(visual)
 
     # -- stage 2: walking passes (clip-curation:175-289) ---------------------
@@ -333,7 +444,9 @@ class ClipCurator:
 
     # -- full curation (clip-curation:567-672) -------------------------------
     def curate_video(self, video_path: Path, video_id: str) -> Dict[str, Any]:
-        detections, info, visual_cache = self.track_cow_through_video(video_path)
+        with self.timers.time("curation.track"):
+            detections, info, visual_cache = \
+                self.track_cow_through_video(video_path)
         passes = self.identify_walking_passes(detections, info)
         candidates = []
         for wp in passes:
@@ -359,8 +472,9 @@ class ClipCurator:
                          if not passes else "no window long enough for 5s clip")
         else:
             out_path = self.canonical_dir / f"{video_id}_canonical.mp4"
-            ok = self.extract_canonical_clip(video_path, selected, out_path,
-                                             info)
+            with self.timers.time("curation.extract"):
+                ok = self.extract_canonical_clip(video_path, selected,
+                                                 out_path, info)
             if not ok:
                 status, rejection = "failed", "clip extraction failed"
             if backup is not None and ok:

@@ -9,7 +9,8 @@ import pytest
 from jax.sharding import PartitionSpec as P
 
 from lameness_tpu.parallel.fsdp import (fsdp_leaf_spec,
-                                        shard_train_state_fsdp)
+                                        shard_train_state_fsdp,
+                                        state_shardings)
 from lameness_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from lameness_tpu.pipeline import train as T
 from lameness_tpu.pipeline.train import _dino_param_spec
@@ -67,20 +68,99 @@ def test_fsdp_train_step_matches_replicated():
     shard_shape = biggest.sharding.shard_shape(biggest.shape)
     assert np.prod(shard_shape) < biggest.size
 
-    # AdamW moments sharded like their params
+    # AdamW moments sharded EXACTLY like their params, every leaf
+    # (structure-aware tree_map, not zip order; any() would let a
+    # mostly-misaligned regression pass)
     adam = fstate.opt_state[0]          # ScaleByAdamState
-    mu_leaves = jax.tree_util.tree_leaves(adam.mu)
-    p_leaves = jax.tree_util.tree_leaves(fstate.params)
-    assert any(m.sharding == p.sharding and DATA_AXIS in str(
-        m.sharding.spec) for m, p in zip(mu_leaves, p_leaves))
+    for name, mom in (("mu", adam.mu), ("nu", adam.nu)):
+        ok = jax.tree_util.tree_map(
+            lambda m, p: m.sharding == p.sharding, mom, fstate.params)
+        bad = [k for k, v in
+               jax.tree_util.tree_flatten_with_path(ok)[0] if not v]
+        assert not bad, (name, bad[:5])
 
+    # pinned-layout step: the jit keeps the ZeRO-3 placement on output
+    fstep, _ = T.make_train_step(mesh, models, tx,
+                                 state_shardings=state_shardings(fstate))
     with mesh:
-        new_state, loss_fsdp, _ = step_fn(fstate, batch,
-                                          jax.random.PRNGKey(1))
+        new_state, loss_fsdp, _ = fstep(fstate, batch,
+                                        jax.random.PRNGKey(1))
     assert np.isfinite(float(loss_fsdp))
     np.testing.assert_allclose(float(loss_fsdp), float(loss_ref),
                                rtol=2e-5, atol=2e-5)
-    # the updated params keep the FSDP layout (no silent re-replication)
-    assert any(DATA_AXIS in tuple(p.sharding.spec)
-               for p in jax.tree_util.tree_leaves(new_state.params)), \
-        "train step re-replicated the FSDP params"
+    # the updated state keeps the FULL FSDP layout, leaf for leaf — a
+    # regression that re-replicates all but one leaf must fail
+    kept = jax.tree_util.tree_map(
+        lambda n, f: n.sharding == f.sharding,
+        new_state.params, fstate.params)
+    bad = [k for k, v in jax.tree_util.tree_flatten_with_path(kept)[0]
+           if not v]
+    assert not bad, f"train step changed param shardings: {bad[:5]}"
+    new_adam = new_state.opt_state[0]
+    kept_mu = jax.tree_util.tree_map(
+        lambda n, p: n.sharding == p.sharding, new_adam.mu,
+        new_state.params)
+    assert all(jax.tree_util.tree_leaves(kept_mu)), \
+        "updated mu shardings diverged from their params"
+
+
+def test_fsdp_leaf_spec_base_already_data_sharded():
+    """A base spec that already carries the data axis is returned as-is
+    (no duplicate-axis NamedSharding error)."""
+    class L:
+        def __init__(self, shape):
+            self.shape = shape
+
+    assert fsdp_leaf_spec(L((64, 64)), 4, base=P(DATA_AXIS, "model"),
+                          min_size=1) == P(DATA_AXIS, "model")
+    assert fsdp_leaf_spec(L((64, 64)), 4, base=P((DATA_AXIS, "model"),),
+                          min_size=1) == P((DATA_AXIS, "model"),)
+
+
+@pytest.mark.slow
+def test_fsdp_dict_valued_opt_state_and_shape_guard():
+    """walk() recurses into dict/list-valued optax states (e.g.
+    multi_transform) and a params-structure-shaped subtree with WRONG
+    leaf shapes is replicated, not FSDP-spec'd."""
+    import optax
+    mesh = make_mesh(8)
+    models = T.make_models(hidden=64, layers=2, heads=4)
+    state, _ = T.init_train_state(jax.random.PRNGKey(0), mesh, models,
+                                  image_size=56)
+    adam = state.opt_state[0]
+    # a decoy tree: params structure, wrong shapes (scalar leaves)
+    decoy = jax.tree_util.tree_map(lambda p: np.zeros(()), state.params)
+    wrapped = type(state)(
+        state.params,
+        (adam, {"nested": [adam.mu, decoy]}, state.opt_state[1:]),
+        state.step)
+    fstate = shard_train_state_fsdp(wrapped, mesh, tp_spec=_tp_spec,
+                                    min_size=256)
+    _, inner, _ = fstate.opt_state
+    # dict/list recursed: the nested mu copy got the param specs
+    ok = jax.tree_util.tree_map(
+        lambda m, p: m.sharding == p.sharding,
+        inner["nested"][0], fstate.params)
+    assert all(jax.tree_util.tree_leaves(ok))
+    # the decoy (structure match, shape mismatch) stayed replicated
+    for leaf in jax.tree_util.tree_leaves(inner["nested"][1]):
+        assert leaf.sharding.spec == P(), leaf.sharding
+    # no array leaf may be silently skipped: a pytree-REGISTERED
+    # container walk() can't enter makes the visit counter raise
+    # (an unregistered object is itself a shapeless leaf — harmless)
+    @jax.tree_util.register_pytree_node_class
+    class Opaque:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def tree_flatten(self):
+            return (self.inner,), None
+
+        @classmethod
+        def tree_unflatten(cls, aux, children):
+            return cls(*children)
+
+    with pytest.raises(TypeError, match="does not recurse"):
+        shard_train_state_fsdp(
+            type(state)(state.params, (Opaque(adam.mu),), state.step),
+            mesh)

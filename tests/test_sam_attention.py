@@ -281,3 +281,98 @@ def test_vision_attention_global_v3_env_parity(rng, monkeypatch):
     monkeypatch.setenv("LAMENESS_GLB_KERNEL", "v3")
     got = VisionAttention(dim, heads, (g, g), fused=True).apply(params, x)
     assert np.max(np.abs(np.asarray(got) - np.asarray(ref))) < 2e-5
+
+
+# ---------------------------------------------------------------------------
+# vit_h head_dim 80 (VERDICT r3 item 1): the kernels' packing assumptions
+# outside their tuned d=64 shape
+# ---------------------------------------------------------------------------
+def test_window_kernel_v3_hd80_real_window(rng):
+    """Head-last window kernel at vit_h geometry: hd=80, win=14 packs
+    hd + 2*win = 108 <= 128 lanes — parity vs the dense reference at the
+    REAL window size (196 tokens)."""
+    from lameness_tpu.ops.sam_attention import (project_rel_tables_hl,
+                                                sam_window_attention_v3,
+                                                sam_window_attention_v5)
+    win, hd, bw, nh = 14, 80, 2, 2
+    n = win * win
+    q4 = jnp.asarray(rng.standard_normal((bw, n, nh, hd)).astype(np.float32))
+    k4 = jnp.asarray(rng.standard_normal((bw, n, nh, hd)).astype(np.float32))
+    v4 = jnp.asarray(rng.standard_normal((bw, n, nh, hd)).astype(np.float32))
+    rel_h = jnp.asarray(
+        rng.standard_normal((2 * win - 1, hd)).astype(np.float32)) * 0.2
+    rel_w = jnp.asarray(
+        rng.standard_normal((2 * win - 1, hd)).astype(np.float32)) * 0.2
+    rh4, rw4 = project_rel_tables_hl(q4, rel_h, rel_w, win)
+    bias = (rh4[..., :, None] + rw4[..., None, :]
+            ).transpose(0, 2, 1, 3, 4).reshape(bw, nh, n, n)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q4, k4) * (hd ** -0.5) + bias
+    ref = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), v4)
+    ref = np.asarray(ref).reshape(bw, n, nh * hd)
+    got = sam_window_attention_v3(q4, k4, v4, rh4, rw4, interpret=True)
+    assert np.max(np.abs(np.asarray(got) - ref)) < 3e-5
+    got5 = sam_window_attention_v5(q4, k4, v4, rh4, rw4, interpret=True)
+    assert np.max(np.abs(np.asarray(got5) - ref)) < 3e-5
+
+
+def test_global_kernels_hd80(rng):
+    """v1/v2/v4 global kernels at head_dim 80 (augmented K = 80 + GH
+    exceeds one MXU tile — functional parity must hold regardless)."""
+    from lameness_tpu.ops.sam_attention import (
+        project_rel_tables, sam_global_attention_v2,
+        sam_global_attention_v4, sam_global_attention)
+    gh = gw = 8
+    hd, bh = 80, 3
+    n = gh * gw
+    q = jnp.asarray(rng.standard_normal((bh, n, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bh, n, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bh, n, hd)).astype(np.float32))
+    rel_h = jnp.asarray(
+        rng.standard_normal((2 * gh - 1, hd)).astype(np.float32)) * 0.2
+    rel_w = jnp.asarray(
+        rng.standard_normal((2 * gw - 1, hd)).astype(np.float32)) * 0.2
+    rh, rw = project_rel_tables(q, rel_h, rel_w, gh, gw)
+    ref = np.asarray(sam_attention_reference(q, k, v, rh, rw))
+    for name, got in [
+        ("v2", sam_global_attention_v2(q, k, v, rh, rw, interpret=True)),
+        ("v4", sam_global_attention_v4(q, k, v, rh, rw, interpret=True)),
+        ("dispatch", sam_global_attention(q, k, v, rh, rw, interpret=True)),
+    ]:
+        assert np.max(np.abs(np.asarray(got) - ref)) < 3e-5, name
+
+
+def test_vision_attention_hd80_window_parity(rng, monkeypatch):
+    """VisionAttention at head_dim 80 (vit_h): the default head-last v3
+    window route == unfused module on the real 14x14 window."""
+    from lameness_tpu.models.sam import VisionAttention
+    g, heads = 14, 2
+    dim = 80 * heads
+    x = jnp.asarray(rng.standard_normal((2, g, g, dim)).astype(np.float32))
+    ref_mod = VisionAttention(dim, heads, (g, g), fused=False)
+    params = ref_mod.init(jax.random.PRNGKey(0), x)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * np.random.default_rng(1).standard_normal(
+            a.shape).astype(a.dtype) if a.ndim == 2 else a, params)
+    ref = ref_mod.apply(params, x)
+    monkeypatch.delenv("LAMENESS_WIN_KERNEL", raising=False)
+    got = VisionAttention(dim, heads, (g, g), fused=True).apply(params, x)
+    assert np.max(np.abs(np.asarray(got) - np.asarray(ref))) < 3e-5
+
+
+def test_vision_attention_lane_overflow_falls_back(rng, monkeypatch):
+    """head_dim so large the head-last packing can't fit a 128-lane
+    group (hd + 2*win > 128) silently falls back to the generic fused
+    window kernel — still parity, no assert trip."""
+    from lameness_tpu.models.sam import VisionAttention
+    g, heads = 14, 1
+    dim = 112                           # hd=112: 112 + 28 = 140 > 128
+    x = jnp.asarray(rng.standard_normal((1, g, g, dim)).astype(np.float32))
+    ref_mod = VisionAttention(dim, heads, (g, g), fused=False)
+    params = ref_mod.init(jax.random.PRNGKey(0), x)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * np.random.default_rng(1).standard_normal(
+            a.shape).astype(a.dtype) if a.ndim == 2 else a, params)
+    ref = ref_mod.apply(params, x)
+    monkeypatch.setenv("LAMENESS_WIN_KERNEL", "v3")
+    got = VisionAttention(dim, heads, (g, g), fused=True).apply(params, x)
+    assert np.max(np.abs(np.asarray(got) - np.asarray(ref))) < 3e-5

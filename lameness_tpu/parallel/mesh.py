@@ -62,6 +62,45 @@ def replicate_params(mesh: Mesh, params):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), params)
 
 
+def dino_tp_spec(path, leaf) -> P:
+    """Megatron-style tensor-parallel layout for a ViT param leaf:
+    QKV / MLP-in column-sharded, attention-out / MLP-out row-sharded
+    over the model axis; everything else replicated.  Matches both the
+    DINO tower ("query"/"key"/"value", "fc1"/"fc2") and the SAM encoder
+    ("qkv", "lin1"/"lin2") naming."""
+    names = [getattr(p, "key", str(p)) for p in path]
+    joined = "/".join(names)
+    if leaf.ndim == 2:
+        if any(k in joined for k in ("query", "key", "value", "fc1",
+                                     "qkv", "lin1")):
+            return P(None, MODEL_AXIS)          # column parallel
+        if any(k in joined for k in ("out", "fc2", "lin2", "proj")):
+            return P(MODEL_AXIS, None)          # row parallel
+    return P()
+
+
+def shard_params_tp(mesh: Mesh, params, subtrees=("dino",),
+                    spec_fn=dino_tp_spec):
+    """Place a param tree for tensor-parallel inference: leaves under the
+    named top-level ``subtrees`` get ``spec_fn`` over the model axis
+    (sharded dims must divide by the axis size, else replicated);
+    everything else is replicated over the whole mesh."""
+    msize = mesh.shape[MODEL_AXIS]
+
+    def place(path, leaf):
+        spec = P()
+        if path and getattr(path[0], "key", None) in subtrees:
+            spec = spec_fn(tuple(path[1:]), leaf)
+            # even-divisibility guard: fall back to replication
+            for dim, entry in enumerate(spec):
+                if entry is not None and leaf.shape[dim] % msize:
+                    spec = P()
+                    break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 def pad_batch_to_multiple(tree, multiple: int) -> Tuple[object, int]:
     """Pad every leaf's leading dim to a multiple of `multiple` (for even
     data-parallel sharding).  Returns (padded_tree, original_batch)."""

@@ -1025,12 +1025,20 @@ class LamenessEngine:
         return timings
 
     def shard_inference(self, mesh) -> None:
-        """Data-parallel inference over a device mesh: params replicated,
-        clip batches sharded over the ``data`` axis.  XLA partitions every
-        stage automatically from the input shardings (no per-op annotations
+        """Inference over a device mesh.  Pure data mesh: params
+        replicated, clip batches sharded over ``data``.  A composed
+        {data, model} mesh (SURVEY §2.5 TPU-native equivalents (c))
+        additionally column/row-shards the DINO tower's QKV/MLP weights
+        over ``model`` — GSPMD inserts the head all-reduce; outputs are
+        bitwise-independent of the layout.  XLA partitions every stage
+        automatically from the input shardings (no per-op annotations
         needed — the batch axis threads through all stages)."""
-        from ..parallel.mesh import replicate_params
-        self.params = replicate_params(mesh, self.params)
+        from ..parallel.mesh import (MODEL_AXIS, replicate_params,
+                                     shard_params_tp)
+        if mesh.shape.get(MODEL_AXIS, 1) > 1:
+            self.params = shard_params_tp(mesh, self.params)
+        else:
+            self.params = replicate_params(mesh, self.params)
         self._mesh = mesh
         self._build_jits()
 

@@ -41,15 +41,10 @@ class TrainState(NamedTuple):
 
 def _dino_param_spec(path: Tuple, leaf) -> P:
     """Tensor-parallel layout for the ViT: QKV/MLP-in column-sharded,
-    out/MLP-out row-sharded over the model axis."""
-    names = [getattr(p, "key", str(p)) for p in path]
-    joined = "/".join(names)
-    if leaf.ndim == 2:
-        if any(k in joined for k in ("query", "key", "value", "fc1")):
-            return P(None, MODEL_AXIS)          # column parallel
-        if any(k in joined for k in ("out", "fc2")):
-            return P(MODEL_AXIS, None)          # row parallel
-    return P()
+    out/MLP-out row-sharded over the model axis.  Canonical
+    implementation lives in parallel.mesh (shared with tp inference)."""
+    from ..parallel.mesh import dino_tp_spec
+    return dino_tp_spec(path, leaf)
 
 
 def make_models(hidden: int = 64, layers: int = 2, heads: int = 4,

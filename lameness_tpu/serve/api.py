@@ -363,9 +363,25 @@ def build_admin_api(ctx: AdminContext) -> Router:
             "uploaded_at": _now()})
         return {"video_id": video_id, "filename": filename}
 
+    def _video_item(row: dict) -> dict:
+        """Reference list-item shape (routers/videos.py list_videos) as a
+        SUPERSET of our row (internal clients keep `id` etc.)."""
+        out = dict(row)
+        out.update({
+            "video_id": row["id"],
+            "storage": row.get("storage_backend") or "local",
+            "s3_key": row.get("s3_key"),
+            "has_label": row.get("label") is not None,
+            "has_analysis": bool(row.get("has_analysis")),
+            "has_annotated": bool(row.get("has_annotated")),
+        })
+        return out
+
     @r.get("/api/videos")
     def list_videos(req: Request):
-        sql = "SELECT * FROM videos"
+        """{videos, total, skip, limit} envelope
+        (routers/videos.py::list_videos response shape)."""
+        where = ""
         params: tuple = ()
         clauses = []
         if "status" in req.query:
@@ -375,18 +391,38 @@ def build_admin_api(ctx: AdminContext) -> Router:
             clauses.append("label=?")
             params += (int(req.query["label"]),)
         if clauses:
-            sql += " WHERE " + " AND ".join(clauses)
-        sql += " ORDER BY uploaded_at DESC LIMIT ?"
-        params += (int(req.query.get("limit", 100)),)
-        return db.query(sql, params)
+            where = " WHERE " + " AND ".join(clauses)
+        total = db.one("SELECT COUNT(*) AS n FROM videos" + where,
+                       params)["n"]
+        skip = int(req.query.get("skip", 0))
+        limit = int(req.query.get("limit", 100))
+        rows = db.query("SELECT * FROM videos" + where +
+                        " ORDER BY uploaded_at DESC LIMIT ? OFFSET ?",
+                        params + (limit, skip))
+        return {"videos": [_video_item(v) for v in rows],
+                "total": total, "skip": skip, "limit": limit}
 
     @r.get("/api/videos/{video_id}")
     def get_video(req: Request):
-        row = db.one("SELECT * FROM videos WHERE id=?",
-                     (req.params["video_id"],))
+        """Reference detail shape (routers/videos.py::get_video): adds
+        video_id / stream_url / storage / metadata{...} over our row."""
+        vid = req.params["video_id"]
+        row = db.one("SELECT * FROM videos WHERE id=?", (vid,))
         if not row:
             raise HTTPError(404, "video not found")
-        return row
+        out = _video_item(row)
+        fusion = dirs.results_for("fusion") / f"{vid}_fusion.json"
+        out["has_analysis"] = out["has_analysis"] or fusion.exists()
+        annotated = Path(dirs.root) / "annotated" / f"{vid}_annotated.mp4"
+        out["has_annotated"] = out["has_annotated"] or annotated.exists()
+        out["stream_url"] = f"/api/videos/{vid}/stream" \
+            if row.get("file_path") else None
+        out["processed_at"] = row.get("processed_at")
+        out["metadata"] = {
+            "fps": row.get("fps"), "frame_count": row.get("frame_count"),
+            "width": row.get("width"), "height": row.get("height"),
+            "duration": row.get("duration")}
+        return out
 
     def _stream_file(req: Request, f: Path, ctype: str = "video/mp4"):
         """Whole-file or RFC 7233 single-range response — browsers need
@@ -527,7 +563,13 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/videos/{video_id}/stream-url")
     def stream_url(req: Request):
-        return {"url": f"/api/videos/{req.params['video_id']}/stream",
+        """routers/videos.py::get_stream_url local-backend shape
+        (+ legacy url/storage_backend keys for our own clients)."""
+        vid = req.params["video_id"]
+        return {"video_id": vid,
+                "stream_url": f"/api/videos/{vid}/stream",
+                "source": "local",
+                "url": f"/api/videos/{vid}/stream",
                 "storage_backend": "local"}
 
     @r.post("/api/videos/migrate-to-db", roles=["admin"])
@@ -550,6 +592,10 @@ def build_admin_api(ctx: AdminContext) -> Router:
     # ============================ analysis ================================
     @r.get("/api/analysis/{video_id}")
     def analysis_all(req: Request):
+        """Reference shape (routers/analysis.py::get_analysis):
+        {video_id, fusion, pipelines} — plus each pipeline's raw result
+        at top level for our own legacy clients (names never collide
+        with the envelope keys)."""
         vid = req.params["video_id"]
         out = {}
         for p in PIPELINES:
@@ -558,6 +604,11 @@ def build_admin_api(ctx: AdminContext) -> Router:
                 out[p] = res
         if not out:
             raise HTTPError(404, "no analysis results")
+        fusion = out.get("fusion") or {}
+        out["video_id"] = vid
+        out["fusion"] = fusion.get("fusion_result", fusion)
+        out["pipelines"] = {p: out[p] for p in PIPELINES if p in out
+                            and p != "fusion"}
         return out
 
     @r.get("/api/analysis/{video_id}/{pipeline}")
@@ -565,9 +616,23 @@ def build_admin_api(ctx: AdminContext) -> Router:
         p = req.params["pipeline"]
         if p not in PIPELINES:
             raise HTTPError(422, f"unknown pipeline {p}")
-        res = ctx.read_result(p, req.params["video_id"])
+        vid = req.params["video_id"]
+        res = ctx.read_result(p, vid)
         if res is None:
             raise HTTPError(404, "no result")
+        if p == "graph_transformer":
+            # analysis.py:118-140: defaulted envelope over the raw file
+            res = dict(res)
+            res.update({
+                "video_id": vid, "pipeline": p,
+                "model": res.get("model", "CowLamenessGraphormer"),
+                "graph_prediction": res.get("graph_prediction", 0.5),
+                "node_prediction": res.get("node_prediction", 0.5),
+                "uncertainty": res.get("uncertainty", 0.0),
+                "prediction": res.get("prediction", 0),
+                "confidence": res.get("confidence", 0.5),
+                "graph_info": res.get("graph_info", {}),
+                "attention_info": res.get("attention_info", {})})
         return res
 
     @r.get("/api/analysis/{video_id}/explanation/get")
@@ -616,8 +681,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
                 "pairwise_comparisons": comps[0]["n"],
                 "min_new_videos": ctx.config.ml.min_new_videos}
 
-    @r.get("/api/training/label-queue")
-    def training_label_queue(req: Request):
+    def _label_queue() -> Dict[str, Any]:
         """Active-learning queue: unlabeled videos with fusion results,
         most uncertain (|p-0.5| smallest) first (routers/training.py:80-114)."""
         labels_dir = dirs.training / "labels"
@@ -638,10 +702,23 @@ def build_admin_api(ctx: AdminContext) -> Router:
         out.sort(key=lambda v: v["uncertainty"])
         return {"videos": out[:50], "total": len(out)}
 
+    @r.get("/api/training/label-queue")
+    def training_label_queue(req: Request):
+        return _label_queue()
+
     @r.get("/api/training/status")
     def training_status(req: Request):
+        """Reference default shape merged under any saved status file
+        (routers/training.py:148-167)."""
+        out = {"status": "idle", "last_trained": None, "samples_used": 0,
+               "metrics": {}, "models": []}
         p = dirs.training / "training_status.json"
-        return json.load(open(p)) if p.exists() else {"status": "never_run"}
+        if p.exists():
+            try:
+                out.update(json.load(open(p)))
+            except Exception:
+                pass
+        return out
 
     @r.post("/api/training/start/ml", roles=["admin", "researcher"])
     def start_ml_training(req: Request):
@@ -656,6 +733,28 @@ def build_admin_api(ctx: AdminContext) -> Router:
                              {"requested_by": req.user["username"],
                               "requested_at": _now()})
         return {"status": "requested"}
+
+    def _pair_progress(username: str = None):
+        """(total_pairs, completed_pairs, user_completed) over the known
+        video set — the reference's next-pair/stats bookkeeping
+        (routers/elo_ranking.py get_next_pair)."""
+        n_vids = db.one("SELECT COUNT(*) n FROM videos")["n"]
+        total = n_vids * (n_vids - 1) // 2
+        uniq = db.one(
+            "SELECT COUNT(DISTINCT CASE WHEN video_id_1 < video_id_2 "
+            "THEN video_id_1 || '|' || video_id_2 "
+            "ELSE video_id_2 || '|' || video_id_1 END) n "
+            "FROM pairwise_comparisons")["n"]
+        user_done = None
+        if username:
+            user_done = db.one(
+                "SELECT COUNT(DISTINCT CASE WHEN video_id_1 < video_id_2 "
+                "THEN video_id_1 || '|' || video_id_2 "
+                "ELSE video_id_2 || '|' || video_id_1 END) n "
+                "FROM pairwise_comparisons pc JOIN users u "
+                "ON pc.rater_id = u.id WHERE u.username=?",
+                (username,))["n"]
+        return total, uniq, user_done
 
     # -- pairwise (routers/training.py:242-457 via elo router submit) -------
     @r.get("/api/training/pairwise/next", auth=True)
@@ -673,15 +772,26 @@ def build_admin_api(ctx: AdminContext) -> Router:
             raise HTTPError(404, "not enough videos for a pair")
         a, b = elo_mod.active_next_pair(ratings, unc,
                                         np.random.default_rng())
+        total, done, user_done = _pair_progress(req.user["username"])
         return {"video_id_1": a, "video_id_2": b,
-                "strategy": "active_sampling_70_30"}
+                "strategy": "active_sampling_70_30",
+                # reference get_next_pair progress keys
+                "total_pairs": total, "completed_pairs": done,
+                "pending_pairs": max(0, total - done),
+                "global_completed": done, "user_completed": user_done,
+                "user_id": str(req.user["sub"])}
 
     @r.get("/api/training/pairwise/ranking")
     def pairwise_ranking(req: Request):
-        return db.query("SELECT video_id, elo_rating, elo_uncertainty, wins, "
-                        "losses, ties, total_comparisons, normalized_score, "
-                        "rank_position FROM video_elo_ratings "
-                        "ORDER BY elo_rating DESC")
+        """{ranking, total_videos, total_comparisons} envelope
+        (routers/training.py pairwise ranking shape)."""
+        rows = db.query("SELECT video_id, elo_rating, elo_uncertainty, "
+                        "wins, losses, ties, total_comparisons, "
+                        "normalized_score, rank_position "
+                        "FROM video_elo_ratings ORDER BY elo_rating DESC")
+        comps = db.one("SELECT COUNT(*) n FROM pairwise_comparisons")["n"]
+        return {"ranking": rows, "total_videos": len(rows),
+                "total_comparisons": comps}
 
     # -- triplets (routers/training.py:459-650) ------------------------------
     def _completed_triplets(username: str) -> set:
@@ -722,9 +832,12 @@ def build_admin_api(ctx: AdminContext) -> Router:
         task_type = random.choice(["similarity", "dissimilarity"])
         pair = [a, b]
         random.shuffle(pair)
+        total = len(candidates) + len(done)
         return {"reference": ref, "option_a": pair[0], "option_b": pair[1],
                 "task_type": task_type,
-                "remaining": len(candidates)}
+                "remaining": len(candidates),
+                # reference triplet progress keys (routers/training.py)
+                "pending_tasks": len(candidates), "total_tasks": total}
 
     @r.post("/api/training/triplet/submit", auth=True)
     def triplet_submit(req: Request):
@@ -742,9 +855,31 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/training/triplet/stats")
     def triplet_stats(req: Request):
+        """Reference triplet-stats keys (routers/training.py): task-type
+        split + completion rate over the enumeration."""
         p = dirs.training / "triplets" / "triplets.jsonl"
-        n = sum(1 for _ in open(p)) if p.exists() else 0
-        return {"total_triplets": n}
+        recs = []
+        if p.exists():
+            for line in open(p):
+                try:
+                    recs.append(json.loads(line))
+                except Exception:
+                    continue
+        n_vids = db.one("SELECT COUNT(*) n FROM videos")["n"]
+        # every video as reference against each unordered pair of others
+        total = n_vids * (n_vids - 1) * (n_vids - 2) // 2 \
+            if n_vids >= 3 else 0
+        uniq = {(r.get("reference"),
+                 tuple(sorted((r.get("option_a"), r.get("option_b")))))
+                for r in recs}
+        sim = sum(1 for r in recs if r.get("task_type") == "similarity")
+        return {"total_triplets": len(recs),
+                "total_comparisons": len(recs),
+                "total_tasks": total,
+                "completed_tasks": len(uniq),
+                "completion_rate": len(uniq) / total if total else 0.0,
+                "similarity_tasks": sim,
+                "dissimilarity_tasks": len(recs) - sim}
 
     # -- learn ("Lameness Duolingo", routers/training.py:652-814) -----------
     @r.get("/api/training/learn/progress", auth=True)
@@ -764,24 +899,33 @@ def build_admin_api(ctx: AdminContext) -> Router:
                 saved = json.load(open(prog_f))
             except Exception:
                 pass
+        level = saved.get("current_level", min(10, comps[0]["n"] // 10 + 1))
+        tier = stats.tier if stats else "bronze"
         return {"username": user, "comparisons": comps[0]["n"],
-                "tier": stats.tier if stats else "bronze",
+                "tier": tier,
                 "gold_accuracy": stats.gold_task_accuracy if stats else None,
-                "level": min(10, comps[0]["n"] // 10 + 1),
+                "level": level,
                 "modules_completed": saved.get("modules_completed", []),
                 # quiz-game persistence (TrainingModule.tsx score model)
                 "total_score": saved.get("total_score", 0),
                 "streak": saved.get("streak", 0),
                 "total_attempts": saved.get("total_attempts", 0),
-                "correct_count": saved.get("correct_count", 0)}
+                "correct_count": saved.get("correct_count", 0),
+                # reference learn-progress keys (routers/training.py)
+                "user_id": str(req.user["sub"]),
+                "rater_tier": tier,
+                "current_level": level,
+                "updated_at": saved.get("updated_at")}
 
     @r.get("/api/training/learn/leaderboard")
     def leaderboard(req: Request):
+        """{leaderboard, total_users} envelope (routers/training.py)."""
         rows = db.query(
             "SELECT u.username, COUNT(pc.id) n FROM users u "
             "LEFT JOIN pairwise_comparisons pc ON pc.rater_id = u.id "
             "GROUP BY u.username ORDER BY n DESC LIMIT 20")
-        return rows
+        total = db.one("SELECT COUNT(*) n FROM users")["n"]
+        return {"leaderboard": rows, "total_users": total}
 
     @r.get("/api/training/learn/examples", auth=True)
     def learn_examples(req: Request):
@@ -806,12 +950,20 @@ def build_admin_api(ctx: AdminContext) -> Router:
                 "video_id": row["video_id"], "source": "fused_prediction",
                 "label": "lame" if row["fusion_score"] >= 0.5 else "sound",
                 "probability": row["fusion_score"]})
-        return {"examples": examples, "count": len(examples)}
+        return {"examples": examples, "count": len(examples),
+                "total": len(examples)}
 
     # ============================ models ==================================
     @r.get("/api/models/parameters")
     def model_parameters(req: Request):
+        ml = ctx.ml_config()
         return {
+            # reference get_model_parameters keys (routers/models.py):
+            # the GBDT families + ensemble at top level
+            "catboost": ml.get("catboost", {}),
+            "xgboost": ml.get("xgboost", {}),
+            "lightgbm": ml.get("lightgbm", {}),
+            "ensemble": ml.get("ensemble", {}),
             "tcn": {"channels": [64, 64, 64, 64], "kernel_size": 3,
                     "receptive_field": 61, "input_dim": 44},
             "transformer": {"d_model": 64, "num_layers": 4, "nhead": 4,
@@ -879,24 +1031,60 @@ def build_admin_api(ctx: AdminContext) -> Router:
              "label": exported["payloads"].get(ids[i], {}).get("label")}
             for i in range(len(ids))]}
 
+    def _shap_local(vid: str) -> Dict[str, Any]:
+        """Saved SHAP result, else the reference's value-scaled fallback
+        built from the ml result (routers/shap.py:15-58)."""
+        f = dirs.results / "shap" / f"{vid}_shap.json"
+        if f.exists():
+            data = json.load(open(f))
+            data.setdefault("video_id", vid)
+            return data
+        ml = ctx.read_result("ml", vid)
+        if ml is None:
+            raise HTTPError(404, "no shap or ml result")
+        feats = ml.get("features", [])
+        names = ml.get("feature_names",
+                       [f"f{i}" for i in range(len(feats))])
+        sv = []
+        for feat, name in zip(feats, names):
+            contribution = (float(feat) - 0.5) * 0.2
+            sv.append({"feature": name, "value": float(feat),
+                       "shap_value": contribution,
+                       "contribution": abs(contribution)})
+        sv.sort(key=lambda x: x["contribution"], reverse=True)
+        pred = (ml.get("predictions", {}).get("ensemble", {})
+                .get("probability", 0.5))
+        return {"video_id": vid, "shap_values": sv,
+                "base_value": 0.5, "prediction": pred}
+
     @r.get("/api/shap/{video_id}/local")
     def shap_local(req: Request):
-        f = dirs.results / "shap" / f"{req.params['video_id']}_shap.json"
-        if not f.exists():
-            raise HTTPError(404, "no shap result")
-        return json.load(open(f))
+        return _shap_local(req.params["video_id"])
 
     @r.get("/api/shap/global")
     def shap_global(req: Request):
-        if ctx.shap_service is None or ctx.ensemble is None or \
-                not ctx.ensemble.has_models:
-            raise HTTPError(503, "ensemble not trained")
-        from ..xai.shapley import global_importance
-        bg = ctx.shap_service._background("", dim=12)
-        if bg.shape[0] < 2:
-            raise HTTPError(404, "not enough ml results for global shap")
-        names = [f"f{i}" for i in range(bg.shape[1])]
-        return global_importance(ctx.shap_service._predict, bg[:10], bg, names)
+        """Aggregate per-video SHAP files into global importance
+        ({feature_importance, total_videos}, routers/shap.py:74-110);
+        our files may store shap_values as {name: value} or as the
+        reference's [{feature, shap_value}] list — accept both."""
+        shap_dir = dirs.results / "shap"
+        per_feature: Dict[str, list] = {}
+        files = list(shap_dir.glob("*_shap.json")) \
+            if shap_dir.exists() else []
+        for f in files:
+            try:
+                sv = json.load(open(f)).get("shap_values", {})
+            except Exception:
+                continue
+            items = sv.items() if isinstance(sv, dict) else \
+                [(d.get("feature", "unknown"), d.get("shap_value", 0))
+                 for d in sv]
+            for name, val in items:
+                per_feature.setdefault(name, []).append(abs(float(val)))
+        imp = [{"feature": k, "importance": float(np.mean(v)),
+                "std": float(np.std(v))} for k, v in per_feature.items()]
+        imp.sort(key=lambda x: x["importance"], reverse=True)
+        return {"feature_importance": imp, "total_videos": len(files)}
 
     @r.post("/api/shap/{video_id}/what-if")
     def shap_what_if(req: Request):
@@ -914,26 +1102,38 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/training/queue")
     def training_queue(req: Request):
-        """Processing-job queue view (routers/training.py:80-148)."""
+        """The reference's active-learning labeling queue
+        ({videos, total}, routers/training.py:80-114) plus our
+        processing-job view (jobs/by_status) — keyspaces don't collide."""
         jobs = db.query("SELECT * FROM processing_jobs "
                         "ORDER BY created_at DESC LIMIT 100")
         by_status: Dict[str, int] = {}
         for j in jobs:
             by_status[j["status"]] = by_status.get(j["status"], 0) + 1
-        return {"jobs": jobs, "by_status": by_status}
+        out = _label_queue()
+        out.update({"jobs": jobs, "by_status": by_status})
+        return out
 
     @r.get("/api/shap/{video_id}/force-plot")
     def shap_force_plot(req: Request):
-        """Force-plot data: base value + ordered contributions
-        (routers/shap.py)."""
-        f = dirs.results / "shap" / f"{req.params['video_id']}_shap.json"
-        if not f.exists():
-            raise HTTPError(404, "no shap result")
-        data = json.load(open(f))
+        """Force-plot data (routers/shap.py:61-72): {video_id,
+        base_value, prediction, features} — plus our ordered
+        contributions list for legacy clients."""
+        vid = req.params["video_id"]
+        data = _shap_local(vid)
         sv = data.get("shap_values", {})
-        ordered = sorted(sv.items(), key=lambda kv: -abs(kv[1]))
-        return {"base_value": data.get("base_value"),
+        if isinstance(sv, dict):
+            ordered = sorted(sv.items(), key=lambda kv: -abs(kv[1]))
+            features = [{"feature": k, "value": v, "shap_value": v,
+                         "contribution": abs(v)} for k, v in ordered]
+        else:
+            features = sv
+            ordered = [(d.get("feature"), d.get("shap_value", 0))
+                       for d in sv]
+        return {"video_id": vid,
+                "base_value": data.get("base_value"),
                 "prediction": data.get("prediction"),
+                "features": features,
                 "contributions": [{"feature": k, "value": v}
                                   for k, v in ordered]}
 
@@ -953,9 +1153,37 @@ def build_admin_api(ctx: AdminContext) -> Router:
                                       "status": b.get("status", "healthy")})
         return {"status": "recorded"}
 
+    SERVICE_DESCRIPTIONS = {
+        "engine": "Fused device engine (detect/sam/dino/heads)",
+        "video-ingestion": "Upload intake and S3 sync",
+        "video-preprocessing": "Median-bbox crop",
+        "clip-curation": "Walking-pass curation",
+        "yolo-pipeline": "Cow detection",
+        "sam3-pipeline": "Silhouette segmentation",
+        "dinov3-pipeline": "Embedding + re-id",
+        "tleap-pipeline": "Pose estimation",
+        "tcn-pipeline": "Temporal severity head",
+        "transformer-pipeline": "Gait transformer head",
+        "gnn-pipeline": "GraphGPS head",
+        "ml-pipeline": "GBDT ensemble",
+        "fusion-service": "Late fusion",
+    }
+
+    def _service_status_row(row: dict) -> dict:
+        """pipeline.py ServiceStatus model fields over our heartbeat
+        row: + description and success_rate."""
+        out = dict(row)
+        out["description"] = SERVICE_DESCRIPTIONS.get(
+            row["service_name"], row["service_name"])
+        tried = (row.get("success_count") or 0) + (row.get("error_count")
+                                                   or 0)
+        out["success_rate"] = (row.get("success_count") or 0) / tried             if tried else 1.0
+        return out
+
     @r.get("/api/pipeline/status")
     def pipeline_status(req: Request):
-        return db.query("SELECT * FROM service_heartbeats")
+        return [_service_status_row(x) for x in
+                db.query("SELECT * FROM service_heartbeats")]
 
     def _requeue(vid: str, subject: Optional[str] = None) -> None:
         """Re-publish a video into the pipeline (shared by retrigger,
@@ -998,7 +1226,9 @@ def build_admin_api(ctx: AdminContext) -> Router:
                         "GROUP BY status")
         return {"jobs_by_status": {j["status"]: j["n"] for j in jobs},
                 "bus_messages": len(ctx.bus.history),
-                "bus_errors": len(ctx.bus.errors)}
+                "bus_errors": len(ctx.bus.errors),
+                # pipeline.py get_queue_status keys
+                "status": "connected", "error": None}
 
     # ============================ health ==================================
     @r.get("/api/health/overview")
@@ -1052,11 +1282,30 @@ def build_admin_api(ctx: AdminContext) -> Router:
             per_subject[m["subject"]] = per_subject.get(m["subject"], 0) + 1
         done = per_subject.get("analysis.complete", 0)
         from ..utils.timing import TIMERS
+        day = (datetime.now(timezone.utc) - timedelta(days=1)).isoformat()
+        week = (datetime.now(timezone.utc) - timedelta(days=7)).isoformat()
+        v24 = db.one("SELECT COUNT(*) n FROM videos WHERE "
+                     "status='completed' AND uploaded_at >= ?", (day,))["n"]
+        v7d = db.one("SELECT COUNT(*) n FROM videos WHERE "
+                     "status='completed' AND uploaded_at >= ?", (week,))["n"]
+        tried = db.one("SELECT COUNT(*) n FROM videos WHERE "
+                       "status IN ('completed','failed')")["n"]
+        okc = db.one("SELECT COUNT(*) n FROM videos WHERE "
+                     "status='completed'")["n"]
+        queued = db.one("SELECT COUNT(*) n FROM videos WHERE "
+                        "status IN ('uploaded','processing')")["n"]
+        eng = TIMERS.summary().get("engine", {})
         return {"window_s": window, "messages": len(recent),
                 "per_subject": per_subject,
                 "videos_analyzed": done,
                 "videos_per_hour": done / window * 3600,
-                "stage_timings": TIMERS.summary()}
+                "stage_timings": TIMERS.summary(),
+                # health.py ThroughputStats model fields
+                "videos_processed_24h": v24,
+                "videos_processed_7d": v7d,
+                "avg_processing_time_s": eng.get("mean"),
+                "success_rate": okc / tried if tried else 1.0,
+                "queue_depth": queued}
 
     # ============================ ml-config ===============================
     def _sync_ensemble_weights(cfg: Dict[str, Any]) -> None:
@@ -1073,9 +1322,37 @@ def build_admin_api(ctx: AdminContext) -> Router:
         if ctx.ensemble is not None:
             ctx.ensemble.ensemble_weights = dict(w)
 
+    def _model_json_schema(section: str) -> Dict[str, Any]:
+        """Per-section JSON schema in the shape pydantic's
+        model_json_schema() gives the reference (ml_config.py:346-357):
+        title/type/properties with numeric bounds."""
+        props: Dict[str, Any] = {}
+        for key, meta in ML_CONFIG_SCHEMA.items():
+            model, param = key.split(".", 1)
+            if model != section:
+                continue
+            p: Dict[str, Any] = {
+                "title": param.replace("_", " ").title(),
+                "description": meta.get("description", "")}
+            if meta.get("options"):
+                p["enum"] = meta["options"]
+                p["type"] = "string"
+            else:
+                p["type"] = {"int": "integer", "float": "number"}.get(
+                    meta.get("type"), meta.get("type", "number"))
+                if meta.get("min") is not None:
+                    p["minimum"], p["maximum"] = meta["min"], meta["max"]
+            props[param] = p
+        return {"title": f"{section.title()}Config", "type": "object",
+                "properties": props}
+
     @r.get("/api/ml-config")
     def get_ml_config(req: Request):
-        return {"config": ctx.ml_config(), "schema": ML_CONFIG_SCHEMA}
+        """{config, config_file, models_dir} envelope
+        (routers/ml_config.py:177-186) + our flat param schema."""
+        return {"config": ctx.ml_config(), "schema": ML_CONFIG_SCHEMA,
+                "config_file": str(ctx.ml_config_path),
+                "models_dir": str(Path(dirs.models) / "ml")}
 
     @r.put("/api/ml-config", roles=["admin", "researcher"])
     def put_ml_config(req: Request):
@@ -1189,11 +1466,37 @@ def build_admin_api(ctx: AdminContext) -> Router:
         ratings = [r["elo_rating"] for r in rows]
         n_vids = db.query("SELECT COUNT(*) n FROM videos")[0]["n"]
         possible = n_vids * (n_vids - 1) // 2
+        wd = {row["winner"]: row["n"] for row in db.query(
+            "SELECT winner, COUNT(*) n FROM pairwise_comparisons "
+            "GROUP BY winner")}
+        user_stats = None
+        user = getattr(req, "user", None)
+        if user:
+            _, _, user_uniq = _pair_progress(user["username"])
+            user_total = db.one(
+                "SELECT COUNT(*) n FROM pairwise_comparisons pc JOIN "
+                "users u ON pc.rater_id = u.id WHERE u.username=?",
+                (user["username"],))["n"]
+            user_stats = {
+                "user_id": str(user["sub"]),
+                "username": user["username"],
+                "tier": user.get("rater_tier", "bronze"),
+                "total_comparisons": user_total,
+                "unique_pairs_compared": user_uniq,
+                "completion_rate": user_uniq / possible if possible else 0,
+                "pending_pairs": max(0, possible - (user_uniq or 0))}
         return {"total_videos": len(rows),
                 "total_comparisons": comps[0]["n"],
                 "unique_pairs_compared": uniq,
                 "total_possible_pairs": possible,
                 "completion_rate": uniq / possible if possible else 0.0,
+                # reference get_elo_stats keys (elo_ranking.py:640-706)
+                "winner_distribution": {
+                    "video_1_wins": wd.get(1, 0),
+                    "video_2_wins": wd.get(2, 0),
+                    "ties": wd.get(0, 0)},
+                "comparisons_per_pair": comps[0]["n"] / uniq if uniq else 0,
+                "user_stats": user_stats,
                 "rating_mean": float(np.mean(ratings)) if ratings else None,
                 "rating_std": float(np.std(ratings)) if ratings else None}
 
@@ -1242,8 +1545,10 @@ def build_admin_api(ctx: AdminContext) -> Router:
     # ============================ tutorial ================================
     @r.get("/api/tutorial/tasks")
     def tutorial_tasks(req: Request):
-        return db.query("SELECT * FROM gold_tasks WHERE is_active=1 "
+        """{tasks, total} envelope (routers/tutorial.py list shape)."""
+        rows = db.query("SELECT * FROM gold_tasks WHERE is_active=1 "
                         "ORDER BY is_tutorial DESC, tutorial_order")
+        return {"tasks": rows, "total": len(rows)}
 
     @r.post("/api/tutorial/tasks", roles=["admin", "researcher"])
     def create_gold_task(req: Request):
@@ -1310,14 +1615,32 @@ def build_admin_api(ctx: AdminContext) -> Router:
             c["severity_level"] = lr.get("severity_level")
             c["current_score"] = lr.get("fusion_score")
             c["num_videos"] = nvids.get(c["id"], 0)
-        return cows
+        skip = int(req.query.get("skip", 0))
+        limit = int(req.query.get("limit", 50))
+        total = len(cows)
+        return {"cows": cows[skip:skip + limit], "total": total,
+                "skip": skip, "limit": limit}
 
     @r.get("/api/cows/{cow_id}")
     def cow_detail(req: Request):
+        """Reference get_cow shape: row + video_count /
+        lameness_record_count / current_prediction /
+        last_prediction_update (routers/cows.py)."""
         cow = db.one("SELECT * FROM cow_identities WHERE cow_id=?",
                      (req.params["cow_id"],))
         if not cow:
             raise HTTPError(404, "cow not found")
+        cow["video_count"] = db.one(
+            "SELECT COUNT(DISTINCT video_id) n FROM track_history "
+            "WHERE cow_id=?", (cow["id"],))["n"]
+        cow["lameness_record_count"] = db.one(
+            "SELECT COUNT(*) n FROM lameness_records WHERE cow_id=?",
+            (cow["id"],))["n"]
+        pf = dirs.results / "cow_predictions" / \
+            f"{req.params['cow_id']}_prediction.json"
+        pred = json.load(open(pf)) if pf.exists() else {}
+        cow["current_prediction"] = pred.get("prediction")
+        cow["last_prediction_update"] = pred.get("last_updated")
         return cow
 
     @r.get("/api/cows/{cow_id}/lameness-history")
@@ -1355,20 +1678,36 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/cows/{cow_id}/videos")
     def cow_videos(req: Request):
+        """{cow_id, videos, total, skip, limit} envelope
+        (routers/cows.py::get_cow_videos)."""
         cow = db.one("SELECT * FROM cow_identities WHERE cow_id=?",
                      (req.params["cow_id"],))
         if not cow:
             raise HTTPError(404, "cow not found")
-        return db.query("SELECT * FROM track_history WHERE cow_id=?",
+        rows = db.query("SELECT * FROM track_history WHERE cow_id=?",
                         (cow["id"],))
+        skip = int(req.query.get("skip", 0))
+        limit = int(req.query.get("limit", 50))
+        return {"cow_id": req.params["cow_id"],
+                "videos": rows[skip:skip + limit], "total": len(rows),
+                "skip": skip, "limit": limit}
 
     @r.get("/api/cows/{cow_id}/prediction")
     def cow_prediction(req: Request):
-        f = dirs.results / "cow_predictions" / \
-            f"{req.params['cow_id']}_prediction.json"
+        """Reference envelope {cow_id, prediction, last_updated,
+        latest_video} (routers/cows.py:314-345) merged over the raw
+        prediction file."""
+        cid = req.params["cow_id"]
+        f = dirs.results / "cow_predictions" / f"{cid}_prediction.json"
         if not f.exists():
             raise HTTPError(404, "no cow prediction")
-        return json.load(open(f))
+        data = json.load(open(f))
+        out = dict(data)
+        out.update({"cow_id": cid,
+                    "prediction": data.get("prediction", {}),
+                    "last_updated": data.get("last_updated"),
+                    "latest_video": data.get("latest_video")})
+        return out
 
     @r.patch("/api/cows/{cow_id}", roles=["admin", "researcher"])
     def patch_cow(req: Request):
@@ -1466,8 +1805,25 @@ def build_admin_api(ctx: AdminContext) -> Router:
     # -- analysis (routers/analysis.py) -------------------------------------
     @r.get("/api/analysis/{video_id}/all")
     def analysis_all_pipelines(req: Request):
+        """Reference get_all_pipeline_results shape: {video_id,
+        pipelines: {name: {status, data}}} incl. shap + explanation
+        slots — plus legacy raw-result top-level keys."""
         vid = req.params["video_id"]
-        return {p: ctx.read_result(p, vid) for p in PIPELINES}
+        out = {p: ctx.read_result(p, vid) for p in PIPELINES}
+        env = {p: {"status": "success" if out[p] is not None
+                   else "not_available", "data": out[p]}
+               for p in PIPELINES}
+        shap_f = dirs.results_for("shap") / f"{vid}_shap.json"
+        if shap_f.exists():
+            env["shap"] = {"status": "success",
+                           "data": json.load(open(shap_f))}
+        exp_f = dirs.results / "explanations" / f"{vid}_explanation.json"
+        env["explanation"] = {
+            "status": "success" if exp_f.exists() else "not_available",
+            "data": json.load(open(exp_f)) if exp_f.exists() else None}
+        out["video_id"] = vid
+        out["pipelines"] = env
+        return out
 
     @r.get("/api/analysis/{video_id}/summary")
     def analysis_summary(req: Request):
@@ -1476,8 +1832,12 @@ def build_admin_api(ctx: AdminContext) -> Router:
         fr = (fus or {}).get("fusion_result", {})
         return {"video_id": vid,
                 "analyzed": fus is not None,
-                "final_probability": fr.get("final_probability"),
-                "final_prediction": fr.get("final_prediction"),
+                "final_probability": fr.get("final_probability", 0.5),
+                "final_prediction": fr.get("final_prediction", 0),
+                "prediction_label": "lame"
+                if fr.get("final_prediction", 0) == 1 else "sound",
+                "pipeline_contributions":
+                fr.get("pipeline_contributions", {}),
                 "confidence": fr.get("confidence"),
                 "recommendation": fr.get("recommendation"),
                 "pipelines_used": fr.get("pipelines_used", []),
@@ -1539,9 +1899,23 @@ def build_admin_api(ctx: AdminContext) -> Router:
         seqs = tleap.get("pose_sequences", [])
         pose = min(seqs, key=lambda s: abs(s.get("frame", 0) - n)) \
             if seqs else None
-        return {"video_id": vid, "frame": n,
-                "detections": dets[0]["detections"] if dets else [],
-                "pose": pose}
+        # reference get_frame_data shape: a frame entry may be a
+        # per-frame group ({"detections": [...]}) or a flat detection
+        out = {"video_id": vid, "frame": n,
+               "detections": dets[0].get("detections", dets) if dets
+               else [],
+               "pose_keypoints": [], "mask_coverage": None,
+               "pose": pose}
+        exact = [s for s in seqs if s.get("frame") == n]
+        if exact:
+            out["pose_keypoints"] = exact[0].get("keypoints", [])
+            out["pose_bbox"] = exact[0].get("bbox", [])
+        sam = ctx.read_result("sam3", vid) or {}
+        for seg in sam.get("segmentations", []):
+            if seg.get("frame") == n:
+                out["mask_coverage"] = seg.get("mask_available", False)
+                break
+        return out
 
     @r.post("/api/analysis/batch", roles=["admin", "researcher"])
     def analysis_batch(req: Request):
@@ -1554,9 +1928,10 @@ def build_admin_api(ctx: AdminContext) -> Router:
     # -- cows (routers/cows.py reference paths) ------------------------------
     @r.get("/api/cows/{cow_id}/lameness")
     def cow_lameness(req: Request):
-        return db.query("SELECT * FROM lameness_records WHERE cow_id=? "
-                        "ORDER BY observation_date DESC",
-                        (req.params["cow_id"],))
+        """Reference get_cow_lameness_history envelope {cow_id, timeline,
+        total_records, days_range, trend} — same handler as our canonical
+        /lameness-history path."""
+        return cow_history(req)
 
     # the reference exposes validation as a GET (routers/cows.py) — a
     # side-effectful GET is a quirk we deliberately fix: POST is the real
@@ -1568,12 +1943,23 @@ def build_admin_api(ctx: AdminContext) -> Router:
     def validate_lameness(req: Request):
         rec = db.one("SELECT * FROM lameness_records WHERE id=?",
                      (req.params["record_id"],))
-        if not rec or rec["cow_id"] != req.params["cow_id"]:
+        # records store the cow's INTERNAL id; the route carries the
+        # public cow_id string — accept either (cows.py resolves by
+        # cow_id string)
+        cow = db.one("SELECT * FROM cow_identities WHERE cow_id=?",
+                     (req.params["cow_id"],))
+        ids = {req.params["cow_id"]} | ({cow["id"]} if cow else set())
+        if not rec or rec["cow_id"] not in ids:
             raise HTTPError(404, "no such record")
+        is_lame = bool((req.body or {}).get(
+            "is_lame", req.query.get("is_lame", "1") not in ("0", "false")))
         db.update("lameness_records", rec["id"],
-                  {"human_validated": 1, "validator_id": req.user["sub"],
+                  {"human_validated": 1, "human_label": int(is_lame),
+                   "validator_id": req.user["sub"],
                    "validation_date": _now()})
-        return {"status": "validated", "record_id": rec["id"]}
+        return {"status": "validated", "record_id": rec["id"],
+                "human_validated": True, "human_label": is_lame,
+                "message": "Record validated successfully"}
 
     # -- elo snapshots (routers/elo_ranking.py) ------------------------------
     @r.get("/api/elo/snapshots")
@@ -1582,7 +1968,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
                         "total_comparisons, steepness, "
                         "inter_rater_reliability, created_at "
                         "FROM hierarchy_snapshots ORDER BY created_at DESC")
-        return rows
+        return {"snapshots": rows}
 
     @r.get("/api/elo/snapshot/{snapshot_id}")
     def get_snapshot(req: Request):
@@ -1591,26 +1977,48 @@ def build_admin_api(ctx: AdminContext) -> Router:
         if not row:
             raise HTTPError(404, "no such snapshot")
         row["ranking_data"] = json.loads(row["ranking_data"] or "{}")
+        row["ranking"] = row["ranking_data"]     # elo_ranking.py get_snapshot
         return row
 
     # -- health probes (routers/health.py per-dependency checks) -------------
     @r.get("/api/health/disk")
     def health_disk(req: Request):
-        u = shutil.disk_usage(dirs.root)
-        pct = u.used / u.total * 100
-        return {"status": "healthy" if pct < 90 else "critical",
+        """LIST of per-path usage entries (health.py DiskUsage model:
+        path/total_gb/used_gb/free_gb/percent_used/status)."""
+        out = []
+        for p in {str(dirs.root), str(dirs.videos), str(dirs.results)}:
+            try:
+                u = shutil.disk_usage(p)
+            except OSError:
+                continue
+            pct = u.used / u.total * 100
+            out.append({
+                "path": p,
+                "total_gb": round(u.total / 1e9, 1),
+                "used_gb": round(u.used / 1e9, 1),
+                "free_gb": round(u.free / 1e9, 1),
                 "percent_used": round(pct, 1),
-                "free_gb": round(u.free / 1e9, 1)}
+                "status": "healthy" if pct < 80 else
+                          "warning" if pct < 90 else "critical"})
+        return out
 
     @r.get("/api/health/nats")
     def health_nats(req: Request):
         """The in-process bus is the NATS analog; a live NatsBridge
         reports the real socket."""
         bridge = getattr(ctx.bus, "bridge", None)
+        n_msgs = len(ctx.bus.history)
+        n_bytes = sum(len(json.dumps(m.get("data", {})))
+                      for m in ctx.bus.history[-500:])
         return {"status": "healthy",
                 "backend": "nats-bridge" if bridge else "in-process",
-                "messages": len(ctx.bus.history),
-                "errors": len(ctx.bus.errors)}
+                "messages": n_msgs,
+                "errors": len(ctx.bus.errors),
+                # health.py NatsHealth model fields
+                "connections": 1,
+                "subscriptions": len(getattr(ctx.bus, "subscribers", {})),
+                "messages_in": n_msgs, "messages_out": n_msgs,
+                "bytes_in": n_bytes, "bytes_out": n_bytes}
 
     @r.get("/api/health/qdrant")
     def health_qdrant(req: Request):
@@ -1625,6 +2033,10 @@ def build_admin_api(ctx: AdminContext) -> Router:
             return {"status": "healthy",
                     "backend": type(store).__name__,
                     "collections": counts,
+                    # health.py DbHealth model fields
+                    "connection_count": 1,
+                    "database_size_mb": round(
+                        sum(counts.values()) * 768 * 4 / 1e6, 3),
                     "response_time_ms": round(ms, 2)}
         except Exception as e:
             return {"status": "unhealthy", "error": repr(e)[:200]}
@@ -1641,6 +2053,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
             if getattr(db, "path", None) and Path(db.path).exists():
                 size_mb = Path(db.path).stat().st_size / 1e6
             return {"status": "healthy", "backend": "sqlite", "users": n,
+                    "connection_count": 1,    # health.py DbHealth field
                     "database_size_mb": round(size_mb, 2),
                     "response_time_ms": round(ms, 2)}
         except Exception as e:
@@ -1651,15 +2064,35 @@ def build_admin_api(ctx: AdminContext) -> Router:
         """The reference checks its 22 containers; the analog here is the
         in-process service set + live threads."""
         import threading
-        return {"status": "healthy", "backend": "single-process",
-                "threads": [t.name for t in threading.enumerate()][:30],
-                "services": db.query(
-                    "SELECT service_name, status FROM service_heartbeats")}
+        import resource
+        mem_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        rows = db.query(
+            "SELECT service_name, status, last_heartbeat "
+            "FROM service_heartbeats")
+        out = [{"name": "admin-backend", "status": "healthy",
+                "cpu_percent": 0.0, "memory_mb": round(mem_mb, 1),
+                "memory_percent": 0.0,
+                "uptime": f"{len(threading.enumerate())} threads"}]
+        for h in rows:
+            out.append({"name": h["service_name"], "status": h["status"],
+                        "cpu_percent": 0.0, "memory_mb": 0.0,
+                        "memory_percent": 0.0,
+                        "uptime": h.get("last_heartbeat") or ""})
+        return out
 
     # -- ml-config long tail (routers/ml_config.py) --------------------------
     @r.get("/api/ml-config/schema")
     def ml_config_schema(req: Request):
-        return ML_CONFIG_SCHEMA
+        """Flat "model.param" entries (our runtime schema) + the
+        reference's per-model JSON-schema keys (ml_config.py:346-357) —
+        the dotted and bare keyspaces never collide."""
+        out: Dict[str, Any] = dict(ML_CONFIG_SCHEMA)
+        for section in DEFAULT_ML_CONFIG:
+            out[section] = _model_json_schema(section)
+        out["full"] = {"title": "FullMLConfig", "type": "object",
+                       "properties": {s: {"$ref": f"#/{s}"}
+                                      for s in DEFAULT_ML_CONFIG}}
+        return out
 
     @r.get("/api/ml-config/parameter-descriptions")
     def ml_param_descriptions(req: Request):
@@ -1683,17 +2116,43 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/ml-config/models/status")
     def ml_models_status(req: Request):
-        out = {}
+        """{models, training_status, models_dir} envelope
+        (routers/ml_config.py:359-435); per-slot entries carry the
+        reference's trained/file/size plus our loaded/path."""
+        models_dir = Path(dirs.models) / "ml"
+        models: Dict[str, Any] = {}
         for slot in ("catboost", "xgboost", "lightgbm"):
             if ctx.ensemble is not None:
                 f = ctx.ensemble._slot_path(slot)
                 loaded = ctx.ensemble.models.get(slot) is not None
             else:
-                f = Path(dirs.models) / "ml" / f"{slot}_latest.joblib"
+                f = models_dir / f"{slot}_latest.joblib"
                 loaded = False
-            out[slot] = {"file_exists": f.exists(), "loaded": loaded,
-                         "path": str(f)}
-        return out
+            trained = f.exists()
+            models[slot] = {
+                "trained": trained, "loaded": loaded,
+                "file": str(f) if trained else None,
+                "size": f.stat().st_size if trained else None,
+                # legacy spellings our earlier clients used
+                "file_exists": trained, "path": str(f)}
+        wf = models_dir / "ensemble_weights.json"
+        models["ensemble"] = {"trained": wf.exists(),
+                              "file": str(wf) if wf.exists() else None,
+                              "size": None, "file_exists": wf.exists()}
+        if wf.exists():
+            try:
+                models["ensemble"]["weights"] = json.load(open(wf))
+            except Exception:
+                pass
+        sf = dirs.training / "training_status.json"
+        training_status = None
+        if sf.exists():
+            try:
+                training_status = json.load(open(sf))
+            except Exception:
+                pass
+        return {"models": models, "training_status": training_status,
+                "models_dir": str(models_dir)}
 
     @r.post("/api/ml-config/reset", roles=["admin", "researcher"])
     def ml_config_reset(req: Request):
@@ -1704,11 +2163,17 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/ml-config/{model}")
     def ml_config_model(req: Request):
+        """Reference per-model envelope {config, schema}
+        (ml_config.py:208-323) with the section's params also at top
+        level for our own clients (param names never collide)."""
         m = req.params["model"]
         cfg = ctx.ml_config()
         if m not in cfg:
             raise HTTPError(404, f"no config section {m}")
-        return cfg[m]
+        out = dict(cfg[m])
+        out["config"] = cfg[m]
+        out["schema"] = _model_json_schema(m)
+        return out
 
     @r.put("/api/ml-config/{model}", roles=["admin", "researcher"])
     def put_ml_config_model(req: Request):
@@ -1716,10 +2181,14 @@ def build_admin_api(ctx: AdminContext) -> Router:
         cfg = ctx.ml_config()
         if m not in cfg:
             raise HTTPError(404, f"no config section {m}")
-        cfg[m].update(req.body or {})
+        cfg[m].update({k: v for k, v in (req.body or {}).items()
+                       if k not in ("config", "schema")})
         ctx.save_ml_config(cfg)
         _sync_ensemble_weights(cfg)
-        return cfg[m]
+        out = dict(cfg[m])
+        out["config"] = cfg[m]
+        out["message"] = f"{m} configuration updated"
+        return out
 
     # -- models long tail (routers/models.py) --------------------------------
     @r.get("/api/models/parameters/defaults")
@@ -1785,13 +2254,21 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/training/pairwise/stats")
     def pairwise_stats(req: Request):
+        """Reference stats keys (routers/training.py:339-368):
+        total_comparisons / pairs_compared / total_possible_pairs /
+        completion_rate, plus our rater counts."""
         comps = db.query("SELECT COUNT(*) n FROM pairwise_comparisons")
         raters = db.query("SELECT COUNT(DISTINCT rater_id) n "
                           "FROM pairwise_comparisons")
         rated = db.query("SELECT COUNT(*) n FROM video_elo_ratings")
+        total_possible, pairs_done, _ = _pair_progress()
         return {"total_comparisons": comps[0]["n"],
                 "unique_raters": raters[0]["n"],
-                "videos_rated": rated[0]["n"]}
+                "videos_rated": rated[0]["n"],
+                "pairs_compared": pairs_done,
+                "total_possible_pairs": total_possible,
+                "completion_rate": pairs_done / total_possible
+                if total_possible else 0}
 
     @r.put("/api/training/learn/progress", auth=True)
     def put_learn_progress(req: Request):
@@ -1808,7 +2285,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
             except Exception:
                 pass
         for k in ("modules_completed", "total_score", "streak",
-                  "total_attempts", "correct_count"):
+                  "total_attempts", "correct_count", "current_level"):
             if k in b:
                 saved[k] = b[k]
         saved.setdefault("modules_completed", [])
@@ -1822,7 +2299,8 @@ def build_admin_api(ctx: AdminContext) -> Router:
     def tutorial_examples(req: Request):
         tasks = db.query("SELECT * FROM gold_tasks WHERE is_active=1 "
                          "AND is_tutorial=1 ORDER BY tutorial_order")
-        return {"examples": tasks, "count": len(tasks)}
+        return {"examples": tasks, "count": len(tasks),
+                "total": len(tasks)}
 
     @r.get("/api/tutorial/stats")
     def tutorial_stats(req: Request):
@@ -1864,7 +2342,12 @@ def build_admin_api(ctx: AdminContext) -> Router:
     # -- videos long tail (routers/videos.py) --------------------------------
     @r.get("/api/videos/storage-config")
     def storage_config(req: Request):
+        """routers/videos.py::get_storage_config shape (local backend:
+        s3/cloudfront fields present but disabled)."""
         return {"backend": "local",
+                "s3_enabled": False, "s3_bucket": None,
+                "cloudfront_enabled": False, "cloudfront_domain": None,
+                "local_path": str(dirs.videos),
                 "root": str(dirs.root),
                 "videos_dir": str(dirs.videos),
                 "s3_flow": "upload-url/confirm-upload endpoints emulate "
@@ -1876,7 +2359,10 @@ def build_admin_api(ctx: AdminContext) -> Router:
         vid = req.params["video_id"]
         st = renderer.status.get(vid) if renderer else None
         f = Path(dirs.root) / "annotated" / f"{vid}_annotated.mp4"
-        return st or {"status": "completed" if f.exists() else "not_started"}
+        st = dict(st) if st else \
+            {"status": "completed" if f.exists() else "not_started"}
+        st.setdefault("video_id", vid)    # routers/videos.py shape
+        return st
 
     @r.delete("/api/videos/{video_id}/annotation", auth=True)
     def delete_annotation(req: Request):
@@ -1897,7 +2383,42 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/analysis/{video_id}/explanation")         # analysis.py
     def ref_get_explanation(req: Request):
-        return get_explanation(req)
+        """get_llm_explanation shape: not_available envelope instead of
+        404 when no explanation exists (routers/analysis.py)."""
+        vid = req.params["video_id"]
+        f = dirs.results / "explanations" / f"{vid}_explanation.json"
+        if not f.exists():
+            msg = ("LLM explanation not available (no LLM configured or "
+                   "analysis pending)"
+                   if ctx.read_result("fusion", vid) is not None
+                   else "No analysis results found for this video")
+            return {"video_id": vid, "status": "not_available",
+                    "message": msg}
+        data = json.load(open(f))
+        data["status"] = "available"
+        data.setdefault("message", "")
+        return data
+
+    @r.get("/api/analysis/{video_id}/graph_transformer")   # analysis.py
+    def ref_graph_transformer(req: Request):
+        """Dedicated Graphormer view (routers/analysis.py::
+        get_graph_transformer_results keys, defaults included)."""
+        vid = req.params["video_id"]
+        data = ctx.read_result("graph_transformer", vid)
+        if data is None:
+            raise HTTPError(404, "Graph Transformer results not found")
+        out = dict(data)
+        out.update({
+            "video_id": vid, "pipeline": "graph_transformer",
+            "model": data.get("model", "CowLamenessGraphormer"),
+            "graph_prediction": data.get("graph_prediction", 0.5),
+            "node_prediction": data.get("node_prediction", 0.5),
+            "uncertainty": data.get("uncertainty", 0.0),
+            "prediction": data.get("prediction", 0),
+            "confidence": data.get("confidence", 0.5),
+            "graph_info": data.get("graph_info", {}),
+            "attention_info": data.get("attention_info", {})})
+        return out
 
     def _ref_user_field(req: Request, field: str, body_keys):
         b = req.body or {}
@@ -1928,11 +2449,28 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.get("/api/elo/video/{video_id}/history")            # elo_ranking.py
     def ref_elo_history(req: Request):
-        return elo_history(req)
+        """{video_id, history} envelope (elo_ranking.py get_video_history)."""
+        return {"video_id": req.params["video_id"],
+                "history": elo_history(req)}
 
     @r.get("/api/pipeline/{service}/logs")                 # pipeline.py
     def ref_pipeline_logs(req: Request):
-        return pipeline_logs(req)
+        """ARRAY of LogEntry rows (pipeline.py response_model
+        List[LogEntry]: timestamp/level/service/message)."""
+        service = req.params["service"]
+        limit = int(req.query.get("limit", 50))
+        out = []
+        for m in ctx.bus.history:
+            if service in m["subject"]:
+                out.append({"timestamp": m.get("ts"), "level": "info",
+                            "service": service,
+                            "message": m["subject"]})
+        for e in ctx.bus.errors:
+            if service in e["subject"]:
+                out.append({"timestamp": e.get("ts"), "level": "error",
+                            "service": service,
+                            "message": str(e.get("error", e["subject"]))})
+        return out[-limit:]
 
     @r.get("/api/pipeline/{service}/status")
     def ref_pipeline_service_status(req: Request):
@@ -1940,7 +2478,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
                      (req.params["service"],))
         if not row:
             raise HTTPError(404, "no heartbeat for service")
-        return row
+        return _service_status_row(row)
 
     @r.post("/api/pipeline/{service}/trigger/{video_id}",
             roles=["admin", "researcher"])

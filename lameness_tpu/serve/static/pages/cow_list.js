@@ -16,7 +16,8 @@ const scoreColor = (v) => v < 0.3 ? "var(--ok)" : v < 0.5 ? "#d4a017"
 
 export default async function CowList() {
   const [cows, stats] = await Promise.all([
-    api("/api/cows"), api("/api/cows/summary/stats")]);
+    api("/api/cows").then(r => r.cows),
+    api("/api/cows/summary/stats")]);
   const dist = stats.severity_distribution || {};
   const distTotal = Object.values(dist).reduce((a, b) => a + b, 0) || 1;
 

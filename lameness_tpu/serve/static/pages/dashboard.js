@@ -8,7 +8,8 @@ export default async function Dashboard() {
   const [hl, stats, cows, tp, vids, tstatus, elo] = await Promise.all([
     api("/api/health/overview"), api("/api/training/stats"),
     api("/api/cows/summary/stats"), api("/api/health/throughput"),
-    api("/api/videos?limit=1000"), api("/api/training/status")
+    api("/api/videos?limit=1000").then(r => r.videos),
+    api("/api/training/status")
       .catch(() => ({status: "never_run"})),
     api("/api/elo/stats").catch(() => null)]);
 

@@ -29,7 +29,9 @@ export default async function MLConfiguration() {
         <button class="mini" id="mlc-reset">reset to defaults</button>` : ""}
       <span class="dim" id="mlc-dirty"></span></h2>
     <div class="grid" style="grid-template-columns:repeat(3,1fr)">
-      ${Object.entries(mstatus).map(([slot, st]) => `<div class="panel">
+      ${Object.entries(mstatus.models || mstatus)
+        .filter(([slot]) => MODEL_COLOR[slot])
+        .map(([slot, st]) => `<div class="panel">
         <div class="row"><span style="width:10px;height:10px;
           border-radius:50%;background:${st.file_exists ? "var(--ok)"
           : "var(--line)"}"></span><b style="color:${MODEL_COLOR[slot]}">${

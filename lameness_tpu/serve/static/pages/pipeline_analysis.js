@@ -505,7 +505,7 @@ export default async function PipelineAnalysis(videoId) {
 async function perfView() {
   const [tp, queue, vids] = await Promise.all([
     api("/api/health/throughput"), api("/api/pipeline/queue"),
-    api("/api/videos?limit=50").catch(() => [])]);
+    api("/api/videos?limit=50").then(r => r.videos).catch(() => [])]);
   const timings = Object.entries(tp.stage_timings || {});
   const subjects = Object.entries(tp.per_subject || {})
     .sort((a, b) => b[1] - a[1]);

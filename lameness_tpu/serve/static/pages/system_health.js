@@ -74,14 +74,20 @@ export default async function SystemHealth() {
         || '<span class="dim">collections</span><b>none</b>'}
       <span class="dim">response</span><b>${fmt(qd.response_time_ms, 2)} ms
       </b></div></div>`);
-    if (disk) cards.push(`<div class="panel"><h3>💾 Disk
-        ${stc(disk.status)}</h3>
+    // /api/health/disk is a LIST of per-path DiskUsage entries
+    // (reference health.py) — render the fullest volume
+    const dk = Array.isArray(disk) && disk.length
+      ? disk.reduce((a, b) => b.percent_used > a.percent_used ? b : a)
+      : null;
+    if (dk) cards.push(`<div class="panel"><h3>💾 Disk
+        ${stc(dk.status)}</h3>
       <div class="bar" style="margin:6px 0"><i style="width:${
-        disk.percent_used}%;background:${COLOR[disk.status]}"></i></div>
-      <div class="kv"><span class="dim">used</span>
-        <b>${disk.percent_used}%</b>
-      <span class="dim">free</span><b>${disk.free_gb} GB</b>
-      <span class="dim">thresholds</span><b class="dim">warn 75% /
+        dk.percent_used}%;background:${COLOR[dk.status]}"></i></div>
+      <div class="kv"><span class="dim">path</span>
+        <b class="dim">${esc(dk.path)}</b>
+      <span class="dim">used</span><b>${dk.percent_used}%</b>
+      <span class="dim">free</span><b>${dk.free_gb} GB</b>
+      <span class="dim">thresholds</span><b class="dim">warn 80% /
         critical 90%</b></div></div>`);
     if (tp) cards.push(`<div class="panel"><h3>📈 Throughput</h3>
       <div class="kv">

@@ -51,7 +51,7 @@ export default async function TrainingModule(view = "training") {
   // ---------------------------------------------------------------- training
   if (view === "training") {
     const [tasks, ex] = await Promise.all([
-      api("/api/tutorial/tasks").catch(() => []),
+      api("/api/tutorial/tasks").then(r => r.tasks).catch(() => []),
       api("/api/training/learn/examples").catch(() => ({examples: []}))]);
     const lvl = levelOf(S.score);
     const pairs = tasks.filter(t => t.is_active);
@@ -209,7 +209,8 @@ export default async function TrainingModule(view = "training") {
 
   // -------------------------------------------------------------- leaderboard
   if (view === "leaderboard") {
-    const board = await api("/api/training/learn/leaderboard");
+    const board = (await api("/api/training/learn/leaderboard"))
+      .leaderboard;
     body.innerHTML = table(board, [
       ["#", r => board.indexOf(r) + 1],
       ["rater", r => esc(r.username)],
@@ -219,7 +220,8 @@ export default async function TrainingModule(view = "training") {
   // -------------------------------------------------------------------- setup
   if (view === "setup" && isAdmin) {
     const [tasks, vids, stats] = await Promise.all([
-      api("/api/tutorial/tasks"), api("/api/videos?limit=200"),
+      api("/api/tutorial/tasks").then(r => r.tasks),
+      api("/api/videos?limit=200").then(r => r.videos),
       api("/api/tutorial/stats").catch(() => ({}))]);
     const opts = vids.map(v => `<option value="${v.id}">${
       esc(short(v.id, 10))} ${esc(v.original_filename || "")}</option>`)

@@ -19,7 +19,7 @@ const answerLabel = (winner, degree) => {
 
 export default async function TutorialManagement() {
   const [tasks, stats] = await Promise.all([
-    api("/api/tutorial/tasks"),
+    api("/api/tutorial/tasks").then(r => r.tasks),
     api("/api/tutorial/stats").catch(() => null)]);
   const privileged = USER && ["admin", "researcher"].includes(USER.role);
   let filter = "all";
@@ -117,7 +117,7 @@ export default async function TutorialManagement() {
   // ---- create / edit modal (tsx:330-560) ---------------------------------
   async function openForm(existing) {
     const videos = existing ? [] : await api("/api/videos?limit=60")
-      .catch(() => []);
+      .then(r => r.videos).catch(() => []);
     const form = {
       video_id_1: existing?.video_id_1 || null,
       video_id_2: existing?.video_id_2 || null,

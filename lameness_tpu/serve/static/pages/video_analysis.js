@@ -6,7 +6,7 @@ import {api, h, main, pct, fmt, esc, short, gauge, sparkline, table, toast,
 
 export default async function VideoAnalysis(videoId) {
   if (!videoId) {
-    const vids = await api("/api/videos?limit=100");
+    const vids = (await api("/api/videos?limit=100")).videos;
     main.append(h(`<div class="panel"><h2>Pick a video</h2>
       ${vids.length ? table(vids, [
         ["id", v => `<span class="dim">${short(v.id, 12)}</span>`],

@@ -23,7 +23,7 @@ export default async function VideoResults() {
     if (st) q.set("status", st);
     if (lb) q.set("label", lb);
     q.set("limit", 200);
-    const vids = await api("/api/videos?" + q);
+    const vids = (await api("/api/videos?" + q)).videos;
     // fetch fusion scores in parallel (best-effort)
     const fusions = await Promise.all(vids.map(v =>
       api(`/api/analysis/${v.id}/fusion`).catch(() => null)));

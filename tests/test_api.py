@@ -129,7 +129,9 @@ def test_video_upload_and_label(server):
     assert r.status_code == 200
     vid = r.json()["video_id"]
     listing = httpx.get(f"{base}/api/videos").json()
-    assert any(v["id"] == vid for v in listing)
+    assert listing["total"] >= 1           # reference envelope
+    assert any(v["id"] == vid and v["video_id"] == vid
+               for v in listing["videos"])
     r = httpx.post(f"{base}/api/videos/{vid}/label",
                    json={"label": 1}, headers=_auth(token))
     assert r.status_code == 200
@@ -214,7 +216,7 @@ def test_analysis_and_cows_endpoints(server):
 
     ctx.db.record_sighting("COW-0001", "vidX", 0, 0.9, 0, 50, 0.8)
     cows = httpx.get(f"{base}/api/cows").json()
-    assert cows[0]["cow_id"] == "COW-0001"
+    assert cows["cows"][0]["cow_id"] == "COW-0001"   # reference envelope
     detail = httpx.get(f"{base}/api/cows/COW-0001").json()
     assert detail["total_sightings"] == 1
     token = _login(base)
@@ -234,11 +236,11 @@ def test_tutorial_gold_tasks(server):
                          "hint": "look at the back arch"},
                    headers=_auth(token))
     assert r.status_code == 200
-    tasks = httpx.get(f"{base}/api/tutorial/tasks").json()
+    tasks = httpx.get(f"{base}/api/tutorial/tasks").json()["tasks"]
     assert len(tasks) == 1 and tasks[0]["hint"] == "look at the back arch"
     tid = tasks[0]["id"]
     httpx.delete(f"{base}/api/tutorial/tasks/{tid}", headers=_auth(token))
-    assert httpx.get(f"{base}/api/tutorial/tasks").json() == []
+    assert httpx.get(f"{base}/api/tutorial/tasks").json()["tasks"] == []
 
 
 def test_websocket_broadcast(server):

@@ -136,7 +136,7 @@ def test_learn_endpoints(server):
     assert p["username"] == "admin" and p["level"] >= 1
     board = httpx.get(f"{base}/api/training/learn/leaderboard",
                       headers=_auth(tok)).json()
-    assert any(r["username"] == "admin" for r in board)
+    assert any(r["username"] == "admin" for r in board["leaderboard"])
     ex = httpx.get(f"{base}/api/training/learn/examples",
                    headers=_auth(tok)).json()
     assert ex["count"] == len(ex["examples"])
@@ -177,7 +177,11 @@ def test_parity_completion_endpoints(server):
     assert httpx.get(f"{base}/api/ml-config/parameter-descriptions"
                      ).status_code == 200
     st = httpx.get(f"{base}/api/ml-config/models/status").json()
-    assert set(st) == {"catboost", "xgboost", "lightgbm"}
+    # reference envelope (ml_config.py:359-435)
+    assert set(st) == {"models", "training_status", "models_dir"}
+    assert set(st["models"]) == {"catboost", "xgboost", "lightgbm",
+                                 "ensemble"}
+    assert st["models"]["catboost"]["trained"] in (True, False)
     cb = httpx.get(f"{base}/api/ml-config/catboost").json()
     assert cb["n_estimators"] == 100   # reference default (ml_config.py:40)
     up = httpx.put(f"{base}/api/ml-config/catboost", headers=h,
@@ -198,8 +202,13 @@ def test_parity_completion_endpoints(server):
     for probe in ("disk", "nats", "qdrant", "postgres", "docker"):
         pr = httpx.get(f"{base}/api/health/{probe}")
         assert pr.status_code == 200, probe
-        assert pr.json()["status"] in ("healthy", "critical",
-                                       "unconfigured"), probe
+        body = pr.json()
+        if probe in ("disk", "docker"):
+            # LIST of DiskUsage / ContainerStatus entries (health.py)
+            assert body and all("status" in e for e in body)
+            continue
+        assert body["status"] in ("healthy", "critical",
+                                  "unconfigured"), probe
 
     # analysis long tail (no results yet -> structured empties)
     vid = "00000000-0000-0000-0000-000000000001"
@@ -214,10 +223,11 @@ def test_parity_completion_endpoints(server):
     assert ab["queued"] == 1
 
     # elo snapshots
-    assert httpx.get(f"{base}/api/elo/snapshots").json() == []
+    assert httpx.get(f"{base}/api/elo/snapshots").json() == \
+        {"snapshots": []}
     sn = httpx.post(f"{base}/api/elo/snapshot", headers=h,
                     json={"name": "t0"}).json()
-    snaps = httpx.get(f"{base}/api/elo/snapshots").json()
+    snaps = httpx.get(f"{base}/api/elo/snapshots").json()["snapshots"]
     assert len(snaps) == 1 and snaps[0]["name"] == "t0"
     got = httpx.get(f"{base}/api/elo/snapshot/{sn['snapshot_id']}").json()
     assert got["ranking_data"] == {}
@@ -255,8 +265,9 @@ def test_parity_completion_endpoints(server):
     da = httpx.delete(f"{base}/api/videos/{vid}/annotation", headers=h)
     assert da.json()["deleted"] is False
 
-    # cows reference paths
-    assert httpx.get(f"{base}/api/cows/xyz/lameness").json() == []
+    # cows reference paths: history envelope even for an unknown cow
+    hist = httpx.get(f"{base}/api/cows/xyz/lameness").json()
+    assert hist["timeline"] == [] and hist["total_records"] == 0
 
 
 def test_range_streaming(server, tmp_path):

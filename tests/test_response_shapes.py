@@ -1,0 +1,269 @@
+"""Response-SHAPE parity with the reference admin backend (VERDICT r3
+item 2).
+
+test_every_reference_endpoint_path_resolves (test_api_extra.py) proves
+the (method, path) table matches; this sweep goes one level deeper: for
+every reference GET handler it extracts the response's top-level keys
+from the reference source itself (pydantic response_model fields or the
+returned dict literals — routers/*.py under
+/root/reference/services/admin-interface/backend/app) and asserts OUR
+live response carries those keys on a seeded world.  A drop-in client
+of the reference must find every field it would read.
+
+Dict-literal extraction takes the INTERSECTION of all `return {...}`
+keysets in a handler, so branch-dependent extras don't create false
+demands.  Documented, justified deviations live in EXCEPTIONS.
+"""
+import ast
+import json
+import re
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+try:
+    import httpx
+except ImportError:
+    httpx = None
+
+from lameness_tpu.io.bus import MessageBus
+from lameness_tpu.io.db import Database
+from lameness_tpu.io.vecstore import VectorStore
+from lameness_tpu.serve.api import AdminContext, make_server
+
+pytestmark = pytest.mark.skipif(httpx is None, reason="httpx unavailable")
+
+REF_APP = Path("/root/reference/services/admin-interface/backend/app")
+
+# Justified deviations: route -> (missing keys we deliberately do not
+# serve, reason).  Keep SHORT — every entry is a standing parity gap.
+EXCEPTIONS = {
+}
+
+
+# ---------------------------------------------------------------------------
+# reference response-shape extraction
+# ---------------------------------------------------------------------------
+def _dict_keys(node):
+    """String keys of a dict literal, or None if any key is dynamic."""
+    if not isinstance(node, ast.Dict):
+        return None
+    ks = []
+    for k in node.keys:
+        if isinstance(k, ast.Constant) and isinstance(k.value, str):
+            ks.append(k.value)
+        else:
+            return None
+    return ks
+
+
+def reference_get_shapes():
+    """[(route_path, kind, keys)] for every reference GET handler whose
+    response shape is statically extractable.  kind: 'dict' (object with
+    the keys) or 'list' (array of objects with the keys)."""
+    main_src = (REF_APP / "main.py").read_text()
+    prefixes = dict(re.findall(
+        r'include_router\((\w+)\.router,\s*prefix="([^"]*)"', main_src))
+    out = []
+    for f in sorted((REF_APP / "routers").glob("*.py")):
+        tree = ast.parse(f.read_text())
+        models = {}
+        for n in ast.walk(tree):
+            if isinstance(n, ast.ClassDef):
+                fields = [s.target.id for s in n.body
+                          if isinstance(s, ast.AnnAssign)
+                          and isinstance(s.target, ast.Name)]
+                if fields:
+                    models[n.name] = fields
+        for n in tree.body:
+            if not isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            for dec in n.decorator_list:
+                if not (isinstance(dec, ast.Call)
+                        and isinstance(dec.func, ast.Attribute)
+                        and dec.func.attr == "get"):
+                    continue
+                if not (dec.args and isinstance(dec.args[0], ast.Constant)):
+                    continue
+                path = (prefixes.get(f.stem, "")
+                        + dec.args[0].value).rstrip("/") or "/"
+                kind, keys = None, None
+                for kw in dec.keywords:
+                    if kw.arg == "response_model":
+                        v = kw.value
+                        if isinstance(v, ast.Name) and v.id in models:
+                            kind, keys = "dict", models[v.id]
+                        elif isinstance(v, ast.Subscript) and \
+                                isinstance(v.slice, ast.Name) and \
+                                v.slice.id in models:
+                            kind, keys = "list", models[v.slice.id]
+                if keys is None:
+                    assigns, keysets = {}, []
+                    for b in ast.walk(n):
+                        if isinstance(b, ast.Assign) and \
+                                len(b.targets) == 1 and \
+                                isinstance(b.targets[0], ast.Name):
+                            dk = _dict_keys(b.value)
+                            if dk is not None:
+                                assigns[b.targets[0].id] = dk
+                        if isinstance(b, ast.Return) and b.value is not None:
+                            dk = _dict_keys(b.value)
+                            if dk is None and isinstance(b.value, ast.Name):
+                                dk = assigns.get(b.value.id)
+                            if dk:
+                                keysets.append(set(dk))
+                    if keysets:
+                        kind = "dict"
+                        keys = sorted(set.intersection(*keysets))
+                if keys:
+                    out.append((path, kind, keys))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# seeded live server
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def shaped_server(tmp_path_factory):
+    from lameness_tpu.core.config import Config
+    from lameness_tpu.io import schemas
+
+    tmp = tmp_path_factory.mktemp("shapes")
+    cfg = Config.load(data_root=str(tmp / "data"))
+    cfg.dirs.ensure()
+    ctx = AdminContext(cfg, Database(tmp / "x.db"), MessageBus(),
+                       store=VectorStore())
+    ctx.seed_users(password="testpw")
+    srv = make_server(ctx)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    tok = httpx.post(f"{base}/api/auth/login",
+                     json={"username": "admin", "password": "testpw"}
+                     ).json()["access_token"]
+    h = {"Authorization": f"Bearer {tok}"}
+
+    # -- videos + labels + results ------------------------------------------
+    vid = httpx.post(f"{base}/api/videos/upload?filename=walk.mp4",
+                     content=b"\x00" * 64).json()["video_id"]
+    vb = httpx.post(f"{base}/api/videos/upload?filename=b.mp4",
+                    content=b"\x00" * 64).json()["video_id"]
+    vc = httpx.post(f"{base}/api/videos/upload?filename=c.mp4",
+                    content=b"\x00" * 64).json()["video_id"]
+    httpx.post(f"{base}/api/videos/{vid}/label", json={"label": 1},
+               headers=h)
+    res = ctx.dirs
+    for name, payload in {
+        "yolo": {"video_id": vid, "detections": [
+            {"frame": 0, "time": 0.0, "bbox": [1, 2, 30, 40],
+             "confidence": 0.9, "class": "cow"}],
+            "features": {"avg_confidence": 0.9},
+            "position_stability": 0.8},
+        "sam3": {"video_id": vid, "segmentations": [
+            {"frame": 0, "mask_area_frac": 0.2, "bbox": [1, 2, 30, 40]}],
+            "aggregated": {"mean_area": 0.2}},
+        "dinov3": {"video_id": vid, "embedding": [0.1] * 8,
+                   "similar_videos": []},
+        "tleap": {"video_id": vid, "keypoints": [
+            {"frame": 0, "points": [[1, 2, 0.9]] * 20}],
+            "locomotion_features": {"stride": 1.0}},
+        "tcn": {"video_id": vid, "severity_score": 0.7,
+                "probability": 0.7, "uncertainty": 0.1},
+        "transformer": {"video_id": vid, "probability": 0.6,
+                        "severity_score": 0.6},
+        "fusion": {"video_id": vid, "final_probability": 0.65,
+                   "final_prediction": 1,
+                   "pipeline_contributions": {"tcn": 0.5}},
+        "ml": {"video_id": vid, "features": [0.2, 0.8, 0.5],
+               "feature_names": ["stride", "sway", "head_bob"],
+               "predictions": {"ensemble": {"probability": 0.6}}},
+        "graph_transformer": {"video_id": vid, "graph_prediction": 0.55,
+                              "node_prediction": 0.6, "prediction": 1},
+    }.items():
+        d = res.results_for(name)
+        d.mkdir(parents=True, exist_ok=True)
+        schemas.write_result(d / f"{vid}_{name}.json", payload)
+
+    # -- cows + lameness records + aggregated prediction ----------------------
+    for i in range(3):
+        ctx.db.record_sighting("COW-0001", vid, i, 0.9, 0.0, 50.0, 0.8)
+    rec_id = ctx.db.add_lameness_record(
+        "COW-0001", vid, {"final_probability": 0.65, "final_prediction": 1},
+        {"tcn": {"probability": 0.7}})
+    pred_dir = res.results / "cow_predictions"
+    pred_dir.mkdir(parents=True, exist_ok=True)
+    schemas.write_result(pred_dir / "COW-0001_prediction.json", {
+        "prediction": {"aggregated_score": 0.65, "severity_level":
+                       "moderate", "num_videos": 1},
+        "last_updated": "2026-01-01T00:00:00", "latest_video": vid})
+
+    # -- elo comparisons + snapshot -------------------------------------------
+    for v1, v2, w in ((vid, vb, 1), (vb, vc, 1), (vid, vc, 1)):
+        httpx.post(f"{base}/api/elo/comparison", headers=h,
+                   json={"video_id_1": v1, "video_id_2": v2,
+                         "winner": w, "degree": 2})
+    sid = httpx.post(f"{base}/api/elo/snapshot", json={"name": "s1"},
+                     headers=h).json().get("snapshot_id", 1)
+
+    # -- pipeline heartbeat + tutorial + learn progress -----------------------
+    httpx.post(f"{base}/api/pipeline/heartbeat",
+               json={"service_name": "engine", "status": "healthy",
+                     "active_jobs": 1})
+    httpx.post(f"{base}/api/tutorial/tasks", headers=h,
+               json={"video_id_1": vid, "video_id_2": "vb",
+                     "correct_winner": 1, "is_tutorial": True,
+                     "hint": "back arch"})
+    httpx.put(f"{base}/api/training/learn/progress", headers=h,
+              json={"total_score": 10, "total_attempts": 4,
+                    "correct_count": 3, "streak": 2, "current_level": 1})
+
+    subs = {"video_id": vid, "cow_id": "COW-0001", "frame_num": "0",
+            "snapshot_id": str(sid), "service_name": "engine",
+            "record_id": str(rec_id), "user_id": "1", "pipeline": "tcn"}
+    yield base, h, subs
+    srv.stop()
+
+
+def _fill(path: str, subs) -> str:
+    return re.sub(r"\{(\w+)\}", lambda m: subs.get(m.group(1), "pv"), path)
+
+
+def test_reference_get_response_keys(shaped_server):
+    base, h, subs = shaped_server
+    shapes = reference_get_shapes()
+    assert len(shapes) >= 60          # extraction must stay broad (~87%)
+    failures = []
+    checked = 0
+    for path, kind, keys in shapes:
+        url = _fill(path, subs)
+        exc = EXCEPTIONS.get(path, (set(), ""))[0]
+        r = httpx.get(base + url, headers=h)
+        if r.status_code != 200:
+            failures.append((path, f"status {r.status_code}"))
+            continue
+        try:
+            body = r.json()
+        except Exception:
+            failures.append((path, "non-JSON response"))
+            continue
+        if kind == "list":
+            if not isinstance(body, list):
+                failures.append((path, f"expected array, got "
+                                 f"{type(body).__name__}"))
+                continue
+            if not body:
+                continue               # nothing seeded for this list
+            body = body[0]
+        if not isinstance(body, dict):
+            failures.append((path, f"expected object, got "
+                             f"{type(body).__name__}"))
+            continue
+        missing = [k for k in keys if k not in body and k not in exc]
+        if missing:
+            failures.append((path, f"missing keys {missing}"))
+        checked += 1
+    assert not failures, (
+        f"{len(failures)} of {len(shapes)} reference GET shapes unmet:\n"
+        + "\n".join(f"  {p}: {msg}" for p, msg in failures))
+    assert checked >= 50

@@ -20,7 +20,8 @@ export default async function CowDetail(cowId, daysArg) {
   const cow = await api(`/api/cows/${cowId}`);
   const [hist, vids] = await Promise.all([
     api(`/api/cows/${cowId}/lameness-history?days=${days}`),
-    api(`/api/cows/${cowId}/videos`).catch(() => [])]);
+    api(`/api/cows/${cowId}/videos`)
+      .then(r => r.videos || []).catch(() => [])]);
   let pred = null;
   try { pred = (await api(`/api/cows/${cowId}/prediction`)).prediction; }
   catch (e) {}

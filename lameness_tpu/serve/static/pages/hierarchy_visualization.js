@@ -18,7 +18,8 @@ const catChip = (c) => `<span class="badge" style="border:1px solid ${
 
 export default async function HierarchyVisualization() {
   const hr = await api("/api/elo/hierarchy");
-  const snaps = await api("/api/elo/snapshots").catch(() => []);
+  const snaps = await api("/api/elo/snapshots")
+    .then(r => r.snapshots || []).catch(() => []);
   const ranking = hr.ranking.map(r => ({
     ...r, category: catOf(r.elo_rating ?? 1500), confidence: confOf(r)}));
   const m = hr.metrics || {};

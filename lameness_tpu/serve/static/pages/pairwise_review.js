@@ -158,7 +158,8 @@ export default async function PairwiseReview(pinId1, pinId2) {
     if (show && !rankLoaded) {
       rankLoaded = true;
       const [ranking, hier] = await Promise.all([
-        api("/api/training/pairwise/ranking").catch(() => []),
+        api("/api/training/pairwise/ranking")
+          .then(r => r.ranking || []).catch(() => []),
         api("/api/elo/hierarchy").catch(() => null)]);
       panel.innerHTML = `<h3>Lameness hierarchy
         <span class="dim">higher Elo = more lame${hier

@@ -1766,12 +1766,17 @@ def build_admin_api(ctx: AdminContext) -> Router:
         role = b.get("role", "rater")
         if role not in ("admin", "researcher", "rater"):
             raise HTTPError(422, "invalid role")
+        tier = b.get("rater_tier", "bronze")
+        if tier not in ("gold", "silver", "bronze"):
+            raise HTTPError(422, "invalid rater_tier")
         uid = db.insert("users", {
             "email": email,
             "username": b["username"],
             "password_hash": hash_password(b["password"]),
-            "role": role, "is_active": 1, "created_at": _now()})
-        return {"id": uid, "username": b["username"], "role": role}
+            "role": role, "rater_tier": tier if role == "rater" else None,
+            "is_active": 1, "created_at": _now()})
+        return {"id": uid, "username": b["username"], "role": role,
+                "rater_tier": tier if role == "rater" else None}
 
     @r.get("/api/auth/users/{user_id}", roles=["admin"])
     def get_user(req: Request):

@@ -36,15 +36,19 @@ export default async function TripletComparison() {
         100 * stats.total_triplets / Math.max(total, 1)}%"></i></div>
       <span class="dim">${stats.total_triplets} / ${total}
         (${pct(stats.total_triplets / Math.max(total, 1))})</span></div>
+    <div class="row" style="justify-content:center;margin-top:4px">
+      <span class="badge">${t.task_type === "similarity"
+        ? "🔗 similarity task" : "↔ dissimilarity task"}</span></div>
     <div class="panel" style="text-align:center;margin-top:6px">
-      <div class="dim">reference</div>
+      <div class="dim">reference cow</div>
       <video id="tc-ref" muted loop src="/api/videos/${t.reference}/stream"
-        style="max-height:200px"></video></div>
+        style="max-height:200px;outline:2px solid var(--warn)"></video></div>
     <div class="vs">
       <div class="panel" id="tc-card-a" style="cursor:pointer">
         <div class="dim">A — press [a] or [1]</div>
         <video id="tc-a" muted loop src="/api/videos/${t.option_a}/stream">
         </video></div>
+      <div style="align-self:center;font-size:24px" class="dim">VS</div>
       <div class="panel" id="tc-card-b" style="cursor:pointer">
         <div class="dim">B — press [b] or [2]</div>
         <video id="tc-b" muted loop src="/api/videos/${t.option_b}/stream">
@@ -59,7 +63,21 @@ export default async function TripletComparison() {
         data-c="${c}">${c}</button>`).join("")}</div>
     <div class="row" style="justify-content:center;margin-top:8px">
       <button class="action" id="tc-submit" disabled>Submit (Enter)</button>
-      <button class="mini" id="tc-skip">skip</button></div></div>`));
+      <button class="mini" id="tc-skip">skip</button></div>
+    <div class="panel" style="margin-top:8px;font-size:12px">
+      <b>How to compare</b>
+      <ul class="dim" style="margin:4px 0 0 16px">
+        <li>Watch the <b>reference cow</b> carefully first</li>
+        <li>Then compare both A and B to the reference</li>
+        <li>${t.task_type === "similarity"
+          ? "Select which cow walks most SIMILARLY to the reference"
+          : "Select which cow walks most DIFFERENTLY from the reference"}
+        </li>
+        <li>Consider: gait pattern, speed, posture, lameness indicators</li>
+      </ul></div>
+    <div class="dim" style="text-align:center;font-size:11px;margin-top:4px">
+      shortcuts: <kbd>1/a</kbd> select A · <kbd>2/b</kbd> select B ·
+      <kbd>space</kbd> play/pause · <kbd>enter</kbd> submit</div></div>`));
 
   const videos = ["tc-ref", "tc-a", "tc-b"].map(id =>
     document.getElementById(id));
@@ -96,6 +114,11 @@ export default async function TripletComparison() {
   });
   document.getElementById("tc-play").onclick = playAll;
   document.getElementById("tc-restart").onclick = restartAll;
+  // keep A/B within 0.1 s of the reference (tsx:103-119 sync effect)
+  videos[0].ontimeupdate = () => videos.slice(1).forEach(v => {
+    if (Math.abs(videos[0].currentTime - v.currentTime) > 0.1)
+      v.currentTime = videos[0].currentTime;
+  });
   restartAll();
 
   const doSubmit = async () => {

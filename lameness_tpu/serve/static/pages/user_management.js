@@ -172,6 +172,11 @@ export default async function UserManagement() {
           <option value="rater">rater</option>
           <option value="researcher">researcher</option>
           <option value="admin">admin</option></select>
+        <div id="um-ntier-row"><label class="dim">rater tier</label>
+        <select id="um-nt" style="width:100%">
+          <option value="bronze">bronze</option>
+          <option value="silver">silver</option>
+          <option value="gold">gold</option></select></div>
         <div class="dim" style="font-size:12px;margin-top:6px">
           privileged roles are minted only through this admin endpoint —
           self-registration always creates raters</div>
@@ -189,15 +194,22 @@ export default async function UserManagement() {
       const p = document.getElementById("um-np");
       p.type = p.type === "password" ? "text" : "password";
     };
+    // tier applies to raters only (tsx:530-537)
+    const roleSel = document.getElementById("um-nr");
+    const tierRow = document.getElementById("um-ntier-row");
+    roleSel.onchange = () =>
+      tierRow.style.display = roleSel.value === "rater" ? "" : "none";
     document.getElementById("um-create").onclick = async () => {
       const [u, e2, p] = ["um-nu", "um-ne", "um-np"].map(i =>
         document.getElementById(i).value.trim());
-      const role = document.getElementById("um-nr").value;
+      const role = roleSel.value;
       if (!u || !e2 || !p)
         return toast("username, email, password required", "warn");
+      const body = {username: u, email: e2, password: p, role};
+      if (role === "rater")
+        body.rater_tier = document.getElementById("um-nt").value;
       try {
-        await api("/api/auth/users",
-                  {json: {username: u, email: e2, password: p, role}});
+        await api("/api/auth/users", {json: body});
         toast(`created ${u} (${role})`); close(); go("users");
       } catch (err) { toast(err.message, "bad"); }
     };

@@ -322,6 +322,13 @@ def load_reference_model(models_dir: Path, slot: str) -> Optional[Any]:
             m.load_model(str(path))
             return m
         except ImportError:
-            pass
+            import logging
+            logging.getLogger(__name__).warning(
+                "%s present but the catboost library is not installed; "
+                "its flatbuffers payload cannot be parsed lib-free (see "
+                "docs/adr/ADR-001-cbm.md). Convert it once on a "
+                "catboost-equipped host with scripts/convert_cbm.py to "
+                "produce %s, which loads here without the library.",
+                path.name, CATBOOST_JSON)
     jpath = Path(models_dir) / CATBOOST_JSON
     return CatboostJsonModel(jpath) if jpath.exists() else None

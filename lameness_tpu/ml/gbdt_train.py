@@ -56,12 +56,16 @@ _EPS_GAIN = 1e-12
 # ---------------------------------------------------------------------------
 def _best_split(x: np.ndarray, g: np.ndarray, h: np.ndarray, idx: np.ndarray,
                 reg_lambda: float, min_child_weight: float, gamma: float,
-                feats: Optional[np.ndarray] = None
+                feats: Optional[np.ndarray] = None,
+                min_data_in_leaf: int = 1
                 ) -> Optional[Tuple[float, int, float]]:
     """Best (gain, feature, threshold) over ``feats`` (default: all
     features) for the samples in ``idx``, or None when no split clears
     ``gamma``.  Exact enumeration of every between-distinct-values
-    position (XGBoost ``tree_method=exact``)."""
+    position (XGBoost ``tree_method=exact``).  ``min_data_in_leaf``
+    (LightGBM's count-based leaf constraint, library default 20, ours 1
+    — docs/TRAINING.md deviations) forbids splits leaving fewer samples
+    on either side."""
     gs, hs = g[idx], h[idx]
     gt, ht = gs.sum(), hs.sum()
     parent = gt * gt / (ht + reg_lambda)
@@ -76,6 +80,10 @@ def _best_split(x: np.ndarray, g: np.ndarray, h: np.ndarray, idx: np.ndarray,
         if min_child_weight > 0:
             valid &= (hl >= min_child_weight) & \
                 (ht - hl >= min_child_weight)
+        if min_data_in_leaf > 1:
+            cnt = np.arange(1, xo.size)
+            valid &= (cnt >= min_data_in_leaf) & \
+                (xo.size - cnt >= min_data_in_leaf)
         if not valid.any():
             continue
         gr, hr = gt - gl, ht - hl
@@ -156,7 +164,8 @@ def _grow_depthwise(x, g, h, idx, depth_left, lr, reg_lambda,
 
 
 def _grow_leafwise(x, g, h, idx, num_leaves, max_depth, lr, reg_lambda,
-                   min_child_weight, gamma, feats=None) -> _Node:
+                   min_child_weight, gamma, feats=None,
+                   min_data_in_leaf: int = 1) -> _Node:
     """LightGBM-style best-first growth: always expand the current leaf
     with the highest split gain until ``num_leaves`` is reached."""
     root = _Node()
@@ -173,7 +182,8 @@ def _grow_leafwise(x, g, h, idx, num_leaves, max_depth, lr, reg_lambda,
         if node_idx.size < 2 or (max_depth > 0 and depth >= max_depth):
             return
         split = _best_split(x, g, h, node_idx, reg_lambda,
-                            min_child_weight, gamma, feats)
+                            min_child_weight, gamma, feats,
+                            min_data_in_leaf)
         if split is not None:
             heapq.heappush(heap, (-split[0], serial, node, node_idx,
                                   depth, split))
@@ -294,12 +304,14 @@ class BoostedTreesClassifier(BaseEstimator, ClassifierMixin):
                  num_leaves: int = 31, reg_lambda: float = 1.0,
                  min_child_weight: float = 1.0, gamma: float = 0.0,
                  base_score: float = 0.5, subsample: float = 1.0,
-                 colsample_bytree: float = 1.0, random_state: int = 42):
+                 colsample_bytree: float = 1.0, random_state: int = 42,
+                 min_data_in_leaf: int = 1):
         self.n_estimators = n_estimators
         self.learning_rate = learning_rate
         self.max_depth = max_depth
         self.growth = growth
         self.num_leaves = num_leaves
+        self.min_data_in_leaf = min_data_in_leaf
         self.reg_lambda = reg_lambda
         self.min_child_weight = min_child_weight
         self.gamma = gamma
@@ -351,7 +363,8 @@ class BoostedTreesClassifier(BaseEstimator, ClassifierMixin):
                                       int(self.max_depth),
                                       self.learning_rate, self.reg_lambda,
                                       self.min_child_weight, self.gamma,
-                                      feats)
+                                      feats,
+                                      int(self.min_data_in_leaf))
             elif self.growth == "oblivious":
                 tree = _grow_oblivious(x, g, h, idx, int(self.max_depth),
                                        self.learning_rate, self.reg_lambda,
@@ -692,6 +705,11 @@ def make_numpy_model(slot: str,
         return BoostedTreesClassifier(
             growth="leafwise",
             num_leaves=int(params.get("num_leaves", 31)),
+            # library default is 20; ours is 1 (docs/TRAINING.md
+            # deviations) — settable via /api/ml-config/lightgbm
+            # (min_child_samples is LightGBM's sklearn-facing alias)
+            min_data_in_leaf=int(params.get(
+                "min_data_in_leaf", params.get("min_child_samples", 1))),
             **common(0.0, 1e-3))
     if slot == "catboost":
         return BoostedTreesClassifier(growth="oblivious", **common(3.0, 0.0))

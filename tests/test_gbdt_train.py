@@ -235,3 +235,30 @@ def test_ensemble_catboost_json_persistence(data, tmp_path):
     np.testing.assert_allclose(
         fresh.models["catboost"].predict_proba(q[:5])[:, 1], before,
         atol=1e-12)
+
+
+def test_leafwise_min_data_in_leaf(data):
+    """LightGBM's count-based leaf constraint (library default 20, our
+    default 1 — docs/TRAINING.md deviations): every leaf must hold at
+    least min_data_in_leaf training samples, and the ml-config alias
+    min_child_samples maps onto it."""
+    x, y, _ = data
+    m = BoostedTreesClassifier(n_estimators=5, growth="leafwise",
+                               num_leaves=31, max_depth=0,
+                               min_data_in_leaf=20)
+    m.fit(x, y)
+    saw_split = False
+    for tree in m.trees_:
+        stack = [tree]
+        while stack:
+            nd = stack.pop()
+            if nd.is_leaf:
+                assert nd.count >= 20, nd.count
+            else:
+                saw_split = True
+                stack.extend([nd.left, nd.right])
+    assert saw_split          # 300 samples: splits must still happen
+    via_alias = make_numpy_model("lightgbm", {"min_child_samples": 20})
+    assert via_alias.min_data_in_leaf == 20
+    default = make_numpy_model("lightgbm", {})
+    assert default.min_data_in_leaf == 1

@@ -741,6 +741,25 @@ def measure_driver_e2e(engine):
     return single, stream
 
 
+def _bench_config():
+    """Engine Config for the bench run.  LAMENESS_SAM_VARIANT=vit_l|vit_h
+    measures the larger SAM geometries on-chip (vs the vit_b default) —
+    the reference registry's preferred variants (sam3:51-72); the stage
+    breakdown in the sweep entries carries the per-variant SAM time."""
+    import dataclasses
+
+    from lameness_tpu.core.config import Config
+    cfg = Config()
+    variant = os.environ.get("LAMENESS_SAM_VARIANT")
+    if variant:
+        if variant not in ("vit_b", "vit_l", "vit_h"):
+            raise SystemExit(f"bad LAMENESS_SAM_VARIANT {variant!r}")
+        cfg = dataclasses.replace(
+            cfg, sam=dataclasses.replace(cfg.sam, variant=variant))
+        RESULT["sam_variant"] = variant
+    return cfg
+
+
 def main():
     small = os.environ.get("LAMENESS_BENCH_SMALL") == "1"
     # provenance: embed the previous last-good on-chip artifact up front,
@@ -781,6 +800,7 @@ def main():
         # code path in seconds (numbers are NOT comparable to the real
         # bench and vs_baseline is meaningless here)
         from lameness_tpu.pipeline.engine import make_test_engine
+        _bench_config()       # validate LAMENESS_SAM_VARIANT + record it
         engine = make_test_engine()
         s = engine.spec
         rng0 = np.random.default_rng(0)
@@ -790,7 +810,7 @@ def main():
         from lameness_tpu.pipeline.engine import EngineSpec, LamenessEngine
         frames = load_clip_frames()
         _log(f"frames loaded {frames.shape}")
-        engine = LamenessEngine(spec=EngineSpec())
+        engine = LamenessEngine(config=_bench_config(), spec=EngineSpec())
     RESULT["build_s"] = round(time.time() - t0, 1)
     _log(f"engine built ({RESULT['build_s']}s)")
     # snapshot for precision restore: apply_engine_policy replaces dict

@@ -941,7 +941,51 @@ def probe_samparts(small: bool) -> None:
         _emit("sp_stage_error", {"error": repr(e)[:300]})
 
 
+def probe_curation(small: bool) -> None:
+    """Chunked curation detector (VERDICT r3 item 4): per-frame device
+    dispatch vs BatchedYoloDetector on the same frames — wall time and
+    dispatch counts.  The reference curates one frame per detector call
+    (clip-curation:133-167); the win here is ceil(F/chunk) dispatches."""
+    import jax
+
+    from lameness_tpu.models.yolo import YoloV8, init_params
+    from lameness_tpu.video.curation import (BatchedYoloDetector,
+                                             yolo_detector)
+
+    size = 64 if small else 640
+    n_frames = 8 if small else 60            # one curation pass per video
+    h, w = (90, 160) if small else (576, 1024)
+    model = YoloV8(variant="n", num_classes=80)
+    params = init_params(model, jax.random.PRNGKey(0), size)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (n_frames, h, w, 3), dtype=np.uint8)
+
+    per_frame = yolo_detector(model, params, size=size)
+    batched = BatchedYoloDetector(model, params, size=size, chunk=16)
+
+    per_frame(frames[0])                       # compile
+    t0 = time.time()
+    dets_pf = [per_frame(f) for f in frames]
+    t_pf = time.time() - t0
+
+    batched.detect_batch(frames[:1])           # compile
+    batched.dispatches = 0
+    t0 = time.time()
+    dets_b = batched.detect_batch(frames)
+    t_b = time.time() - t0
+
+    agree = sum((a is None) == (b is None) for a, b in zip(dets_pf, dets_b))
+    _emit("curation", {
+        "small": small, "n_frames": n_frames,
+        "per_frame_s": round(t_pf, 3), "batched_s": round(t_b, 3),
+        "speedup": round(t_pf / max(t_b, 1e-9), 2),
+        "dispatches_per_frame_path": n_frames,
+        "dispatches_batched": batched.dispatches,
+        "presence_agreement": f"{agree}/{n_frames}"})
+
+
 PROBES = {"overlap": probe_overlap, "samprof": probe_samprof,
+          "curation": probe_curation,
           "pairab": probe_pairab, "winvar": probe_winvar,
           "samstage": probe_samstage, "glbvar": probe_glbvar,
           "attnover": probe_attnover, "streamgap": probe_streamgap,

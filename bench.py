@@ -119,6 +119,8 @@ def _update_headline() -> None:
                 "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                            time.gmtime()),
             }
+            if RESULT.get("sam_variant"):       # non-default geometry run
+                entry["sam_variant"] = RESULT["sam_variant"]
             # Keep-best semantics: the artifact is the judge's fallback
             # provenance, so a weaker run must never clobber a stronger
             # one.  Transfer-inclusive beats compute-only at any value;

@@ -306,7 +306,9 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.post("/api/auth/logout", auth=True)
     def logout(req: Request):
-        return {"status": "logged_out"}
+        # reference returns {message} (auth.py logout)
+        return {"status": "logged_out",
+                "message": "Successfully logged out"}
 
     @r.post("/api/auth/refresh", auth=True)
     def refresh(req: Request):
@@ -537,7 +539,9 @@ def build_admin_api(ctx: AdminContext) -> Router:
              "labeled_at": _now()})
         ctx.bus.publish_sync(ctx.config.subjects.training_data_added, {
             "video_id": vid, "label": label})
-        return {"video_id": vid, "label": label}
+        # reference shape (training.py label_video: {status, video_id,
+        # label})
+        return {"status": "labeled", "video_id": vid, "label": label}
 
     @r.post("/api/videos/upload-url")
     def upload_url(req: Request):
@@ -547,9 +551,14 @@ def build_admin_api(ctx: AdminContext) -> Router:
         b = req.body or {}
         filename = b.get("filename", "upload.mp4")
         video_id = str(uuid.uuid4())
+        # reference presign shape (videos.py: {video_id, upload_url,
+        # s3_key, upload_fields, expires_in}); local backend keeps the
+        # 3-call contract with empty POST fields
         return {"video_id": video_id,
                 "upload_url": f"/api/videos/upload?filename={filename}"
                               f"&video_id={video_id}",
+                "s3_key": f"videos/{video_id}/{filename}",
+                "upload_fields": {},
                 "storage_backend": "local",
                 "expires_in": 3600}
 
@@ -652,9 +661,20 @@ def build_admin_api(ctx: AdminContext) -> Router:
         shap_file = dirs.results / "shap" / f"{vid}_shap.json"
         shap_data = json.load(open(shap_file)) if shap_file.exists() else None
         if ctx.llm_service is None:
-            raise HTTPError(503, "llm service unavailable")
-        return ctx.llm_service.explain(vid, fusion.get("fusion_result", {}),
-                                       shap_data)
+            # reference semantics (analysis.py:299-313): the request is an
+            # ack — generation is the llm service's job, triggered on the
+            # bus; no local LLM is required to accept the request
+            ctx.bus.publish_sync(ctx.config.subjects.analysis_complete, {
+                "video_id": vid, "request": "explanation"})
+            return {"video_id": vid, "status": "requested",
+                    "message": "Explanation generation requested. "
+                               "Check back shortly."}
+        out = ctx.llm_service.explain(vid, fusion.get("fusion_result", {}),
+                                      shap_data)
+        out.setdefault("video_id", vid)
+        out.setdefault("status", "generated")
+        out.setdefault("message", "explanation generated inline")
+        return out
 
     # ============================ training ================================
     @r.get("/api/training/stats")
@@ -841,17 +861,34 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.post("/api/training/triplet/submit", auth=True)
     def triplet_submit(req: Request):
+        """Accepts BOTH our field names (reference/option_a/option_b/
+        choice) and the reference's TripletComparisonRequest
+        (reference_id/comparison_a_id/comparison_b_id/selected_answer,
+        training.py:450-456); returns the reference's {status,
+        triplet_key, total_comparisons} (training.py:581-585)."""
         b = req.body or {}
+        ref = b.get("reference") or b.get("reference_id")
+        a = b.get("option_a") or b.get("comparison_a_id")
+        opt_b = b.get("option_b") or b.get("comparison_b_id")
+        choice = b.get("choice") or \
+            str(b.get("selected_answer", "")).lower()
+        if not ref or not a or not opt_b:
+            raise HTTPError(422, "reference + two comparison ids required")
         out_dir = dirs.training / "triplets"
         out_dir.mkdir(parents=True, exist_ok=True)
-        rec = {"reference": b.get("reference"), "option_a": b.get("option_a"),
-               "option_b": b.get("option_b"), "choice": b.get("choice"),
-               "task_type": b.get("task_type"),
+        rec = {"reference": ref, "option_a": a, "option_b": opt_b,
+               "choice": choice, "task_type": b.get("task_type"),
                "confidence": b.get("confidence", "medium"),
                "rater": req.user["username"], "submitted_at": _now()}
         with open(out_dir / "triplets.jsonl", "a") as f:
             f.write(json.dumps(rec) + "\n")
-        return {"status": "recorded"}
+        lo, hi = sorted((a, opt_b))
+        key = f"{ref}_{lo}_{hi}"
+        n = sum(1 for line in open(out_dir / "triplets.jsonl")
+                if f'"reference": "{ref}"' in line
+                and f'"{lo}"' in line and f'"{hi}"' in line)
+        return {"status": "saved", "triplet_key": key,
+                "total_comparisons": n}
 
     @r.get("/api/training/triplet/stats")
     def triplet_stats(req: Request):
@@ -1088,17 +1125,43 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.post("/api/shap/{video_id}/what-if")
     def shap_what_if(req: Request):
+        """Accepts the reference body ({video_id, feature_changes:
+        {name: value}}, shap.py:112-141) and our sweep form
+        ({feature_index, values}).  Always answers with the reference's
+        {video_id, original_prediction, modified_features, note}; with
+        a live shap service the prediction is genuinely recomputed (the
+        reference's handler left that as a TODO)."""
         b = req.body or {}
-        ml = ctx.read_result("ml", req.params["video_id"])
+        vid = req.params["video_id"]
+        ml = ctx.read_result("ml", vid)
         if ml is None:
             raise HTTPError(404, "no ml result")
+        feats = np.asarray(ml.get("features", []), float)
+        names = ml.get("feature_names",
+                       [f"f{i}" for i in range(len(feats))])
+        modified = feats.copy()
+        for name, val in (b.get("feature_changes") or {}).items():
+            if name in names:
+                modified[names.index(name)] = float(val)
+        orig_p = (ml.get("predictions", {}).get("ensemble", {})
+                  .get("probability", 0.5))
+        out = {"video_id": vid, "original_prediction": orig_p,
+               "modified_features": dict(zip(names, modified.tolist()))}
         if ctx.shap_service is None:
-            raise HTTPError(503, "shap unavailable")
-        from ..xai.shapley import what_if
-        feats = np.asarray(ml["features"], float)
-        idx = int(b.get("feature_index", 0))
-        values = b.get("values") or list(np.linspace(0, 1, 5))
-        return what_if(ctx.shap_service._predict, feats, idx, values)
+            out["note"] = ("Prediction recalculation needs the shap "
+                           "service; modified features echoed (reference "
+                           "shap.py:136-141 behavior)")
+            return out
+        out["modified_prediction"] = float(
+            np.asarray(ctx.shap_service._predict(modified[None])).ravel()[0])
+        out["note"] = "prediction recomputed on the live ensemble"
+        if "feature_index" in b or "values" in b:
+            from ..xai.shapley import what_if
+            idx = int(b.get("feature_index", 0))
+            values = b.get("values") or list(np.linspace(0, 1, 5))
+            out.update(what_if(ctx.shap_service._predict, feats, idx,
+                               values))
+        return out
 
     @r.get("/api/training/queue")
     def training_queue(req: Request):
@@ -1151,7 +1214,8 @@ def build_admin_api(ctx: AdminContext) -> Router:
         ctx.ws.broadcast("pipeline", {"type": "heartbeat",
                                       "service": name,
                                       "status": b.get("status", "healthy")})
-        return {"status": "recorded"}
+        # reference shape (pipeline.py heartbeat: {status, service})
+        return {"status": "recorded", "service": name}
 
     SERVICE_DESCRIPTIONS = {
         "engine": "Fused device engine (detect/sam/dino/heads)",
@@ -1206,8 +1270,10 @@ def build_admin_api(ctx: AdminContext) -> Router:
             "fusion": ctx.config.subjects.pipeline_ml,
         }.get(service, ctx.config.subjects.video_preprocessed)
         _requeue(vid, subj)
+        # reference shape (pipeline.py trigger: {status, service,
+        # video_id, subject})
         return {"status": "retriggered", "service": service,
-                "video_id": vid}
+                "video_id": vid, "subject": subj}
 
     @r.get("/api/pipeline/logs/{service}")
     def pipeline_logs(req: Request):
@@ -1404,7 +1470,13 @@ def build_admin_api(ctx: AdminContext) -> Router:
             "degree": degree, "rater_id": req.user["username"]})
         ctx.ws.broadcast("rater", {"type": "comparison",
                                    "rater": req.user["username"]})
-        return {"video_id_1": {"rating": na, "uncertainty": ua},
+        # reference shape (elo_ranking.py:421-435) + our legacy keys
+        return {"status": "saved",
+                "video_1": {"video_id": v1, "new_elo": round(na, 1),
+                            "change": round(na - ra["elo_rating"], 1)},
+                "video_2": {"video_id": v2, "new_elo": round(nb, 1),
+                            "change": round(nb - rb["elo_rating"], 1)},
+                "video_id_1": {"rating": na, "uncertainty": ua},
                 "video_id_2": {"rating": nb, "uncertainty": ub}}
 
     @r.get("/api/elo/hierarchy")
@@ -1514,7 +1586,13 @@ def build_admin_api(ctx: AdminContext) -> Router:
             "inter_rater_reliability": icc,
             "ranking_data": json.dumps(ds),
             "created_by": req.user["sub"]})
-        return {"snapshot_id": sid, "steepness": st}
+        row = db.one("SELECT * FROM hierarchy_snapshots WHERE id=?", (sid,))
+        # reference shape (elo_ranking.py::create_snapshot response:
+        # {id, name, total_videos, created_at}) + our legacy keys
+        return {"id": sid, "name": row["name"],
+                "total_videos": row["total_videos"],
+                "created_at": row["created_at"],
+                "snapshot_id": sid, "steepness": st}
 
     @r.get("/api/elo/history/{video_id}")
     def elo_history(req: Request):
@@ -1540,7 +1618,10 @@ def build_admin_api(ctx: AdminContext) -> Router:
                           {1: "win", 2: "loss", 0: "tie"}[c["winner"]])
             db.update_elo(c["video_id_2"], nb, ub,
                           {1: "loss", 2: "win", 0: "tie"}[c["winner"]])
-        return {"recalculated": len(comps)}
+        n_vids = db.one("SELECT COUNT(*) n FROM video_elo_ratings")["n"]
+        # reference shape (elo_ranking.py:740-817) + our legacy key
+        return {"status": "recalculated", "total_comparisons": len(comps),
+                "total_videos": n_vids, "recalculated": len(comps)}
 
     # ============================ tutorial ================================
     @r.get("/api/tutorial/tasks")
@@ -1565,7 +1646,8 @@ def build_admin_api(ctx: AdminContext) -> Router:
             "is_tutorial": int(b.get("is_tutorial", False)),
             "tutorial_order": b.get("tutorial_order"),
             "created_by": req.user["sub"]})
-        return {"id": tid}
+        # reference returns the full task row (tutorial.py GoldTask shape)
+        return db.one("SELECT * FROM gold_tasks WHERE id=?", (tid,))
 
     @r.delete("/api/tutorial/tasks/{task_id}", roles=["admin", "researcher"])
     def delete_gold_task(req: Request):
@@ -1591,7 +1673,12 @@ def build_admin_api(ctx: AdminContext) -> Router:
                 "description": "auto-generated from Elo extremes",
                 "created_by": req.user["sub"]})
             created.append(tid)
-        return {"created": created}
+        # reference shape (tutorial.py:126-160 auto_generate_tutorial)
+        return {"created": created, "created_ids": created,
+                "message": f"auto-generated {len(created)} gold tasks "
+                           "from Elo extremes",
+                "note": "auto-generated tasks need expert review before "
+                        "being served to raters"}
 
     # ============================ cows ====================================
     @r.get("/api/cows")
@@ -1924,11 +2011,22 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.post("/api/analysis/batch", roles=["admin", "researcher"])
     def analysis_batch(req: Request):
-        """Re-queue a list of videos through the pipeline."""
-        vids = (req.body or {}).get("video_ids") or []
+        """Batch analysis READ (routers/analysis.py:242-258
+        get_batch_analysis): body is a bare JSON list of video ids
+        (FastAPI `video_ids: List[str]`) or {video_ids: [...]}, response
+        {count, results: {vid: {pipelines: {...}}}}."""
+        body = req.body
+        vids = body if isinstance(body, list) \
+            else (body or {}).get("video_ids") or []
+        results = {}
         for vid in vids:
-            _requeue(vid)
-        return {"queued": len(vids)}
+            pipes = {}
+            for p in PIPELINES:
+                res = ctx.read_result(p, vid)
+                if res is not None:
+                    pipes[p] = res
+            results[vid] = {"pipelines": pipes}
+        return {"count": len(results), "results": results}
 
     # -- cows (routers/cows.py reference paths) ------------------------------
     @r.get("/api/cows/{cow_id}/lameness")
@@ -2164,7 +2262,10 @@ def build_admin_api(ctx: AdminContext) -> Router:
         cfg = json.loads(json.dumps(DEFAULT_ML_CONFIG))
         ctx.save_ml_config(cfg)
         _sync_ensemble_weights(cfg)
-        return cfg
+        # reference envelope (ml_config.py reset: {message, config});
+        # the sections stay at top level for our legacy clients
+        return dict(cfg, config=cfg,
+                    message="configuration reset to defaults")
 
     @r.get("/api/ml-config/{model}")
     def ml_config_model(req: Request):
@@ -2208,7 +2309,8 @@ def build_admin_api(ctx: AdminContext) -> Router:
                 cfg[section].update(vals)
         ctx.save_ml_config(cfg)
         _sync_ensemble_weights(cfg)
-        return cfg
+        # reference shape (models.py:61-84: {status, parameters})
+        return dict(cfg, status="updated", parameters=cfg)
 
     @r.get("/api/models/comparison")
     def model_comparison(req: Request):
@@ -2231,9 +2333,18 @@ def build_admin_api(ctx: AdminContext) -> Router:
             rows = db.query("SELECT video_id FROM processing_jobs "
                             "WHERE status='failed'")
             vids = [row["video_id"] for row in rows]
+        errors = []
         for vid in vids:
-            _requeue(vid)
-        return {"requeued": vids}
+            try:
+                _requeue(vid)
+            except Exception as e:       # pragma: no cover - requeue is local
+                errors.append({"video_id": vid, "error": str(e)})
+        done = [v for v in vids
+                if v not in {e["video_id"] for e in errors}]
+        # reference shape (pipeline.py:311-360 batch_reprocess)
+        return {"status": "completed", "triggered": done,
+                "triggered_count": len(done), "error_count": len(errors),
+                "errors": errors, "requeued": done}
 
     # -- training long tail (routers/training.py) ----------------------------
     @r.get("/api/training/models")
@@ -2254,8 +2365,18 @@ def build_admin_api(ctx: AdminContext) -> Router:
 
     @r.post("/api/training/pairwise", auth=True)
     def training_pairwise_submit(req: Request):
-        """Reference path alias for comparison submission."""
-        return submit_comparison(req)
+        """Reference path alias for comparison submission, answering
+        with the reference's {status, pair_key, total_comparisons}
+        (training.py:242-281) on top of the Elo-update payload."""
+        out = submit_comparison(req)
+        b = req.body or {}
+        v1, v2 = b.get("video_id_1"), b.get("video_id_2")
+        lo, hi = sorted((v1, v2))
+        n = db.one("SELECT COUNT(*) n FROM pairwise_comparisons WHERE "
+                   "(video_id_1=? AND video_id_2=?) OR "
+                   "(video_id_1=? AND video_id_2=?)", (lo, hi, hi, lo))["n"]
+        return dict(out, status="saved", pair_key=f"{lo}_{hi}",
+                    total_comparisons=n)
 
     @r.get("/api/training/pairwise/stats")
     def pairwise_stats(req: Request):
@@ -2342,7 +2463,10 @@ def build_admin_api(ctx: AdminContext) -> Router:
                       (req.params["task_id"],)):
             raise HTTPError(404, "no such gold task")
         db.update("gold_tasks", req.params["task_id"], allowed)
-        return {"status": "updated"}
+        # reference returns the full updated task row (tutorial.py)
+        row = db.one("SELECT * FROM gold_tasks WHERE id=?",
+                     (req.params["task_id"],))
+        return dict(row, status="updated")
 
     # -- videos long tail (routers/videos.py) --------------------------------
     @r.get("/api/videos/storage-config")

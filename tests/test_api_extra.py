@@ -219,8 +219,9 @@ def test_parity_completion_endpoints(server):
     fr = httpx.get(f"{base}/api/analysis/{vid}/frames/10").json()
     assert fr["frame"] == 10 and fr["detections"] == []
     ab = httpx.post(f"{base}/api/analysis/batch", headers=h,
-                    json={"video_ids": [vid]}).json()
-    assert ab["queued"] == 1
+                    json=[vid]).json()          # reference bare-list body
+    assert ab["count"] == 1
+    assert ab["results"][vid]["pipelines"] == {}
 
     # elo snapshots
     assert httpx.get(f"{base}/api/elo/snapshots").json() == \

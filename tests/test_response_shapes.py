@@ -58,10 +58,11 @@ def _dict_keys(node):
     return ks
 
 
-def reference_get_shapes():
-    """[(route_path, kind, keys)] for every reference GET handler whose
-    response shape is statically extractable.  kind: 'dict' (object with
-    the keys) or 'list' (array of objects with the keys)."""
+def reference_get_shapes(methods=("get",)):
+    """[(route_path, kind, keys)] (plus the method when several are
+    asked for) for every reference handler of the given HTTP methods
+    whose response shape is statically extractable.  kind: 'dict'
+    (object with the keys) or 'list' (array of objects with the keys)."""
     main_src = (REF_APP / "main.py").read_text()
     prefixes = dict(re.findall(
         r'include_router\((\w+)\.router,\s*prefix="([^"]*)"', main_src))
@@ -82,7 +83,7 @@ def reference_get_shapes():
             for dec in n.decorator_list:
                 if not (isinstance(dec, ast.Call)
                         and isinstance(dec.func, ast.Attribute)
-                        and dec.func.attr == "get"):
+                        and dec.func.attr in methods):
                     continue
                 if not (dec.args and isinstance(dec.args[0], ast.Constant)):
                     continue
@@ -117,7 +118,11 @@ def reference_get_shapes():
                         kind = "dict"
                         keys = sorted(set.intersection(*keysets))
                 if keys:
-                    out.append((path, kind, keys))
+                    if methods == ("get",):
+                        out.append((path, kind, keys))
+                    else:
+                        out.append((dec.func.attr.upper(), path, kind,
+                                    keys))
     return out
 
 
@@ -339,3 +344,92 @@ def test_reference_get_response_keys(shaped_server):
         f"{len(failures)} of {len(shapes)} reference GET shapes unmet:\n"
         + "\n".join(f"  {p}: {msg}" for p, msg in failures))
     assert checked >= 50
+
+
+# Reference-shaped request bodies per mutating route (pydantic request
+# models in routers/*.py) — a drop-in client sends exactly these.
+# Defined LAST in this module: mutations run against the module-scoped
+# seeded server only after the read-only sweeps above.
+def _mutation_bodies(subs):
+    vid = subs["video_id"]
+    return {
+        ("POST", "/api/analysis/batch"): [vid],        # List[str] body
+        ("POST", "/api/analysis/{video_id}/explanation/generate"): {},
+        ("POST", "/api/auth/logout"): {},
+        ("POST", "/api/elo/comparison"): {
+            "video_id_1": vid, "video_id_2": "vb2", "winner": 1,
+            "degree": 2, "confidence": "confident"},
+        ("POST", "/api/elo/snapshot"): {"name": "mut-snap"},
+        ("POST", "/api/elo/recalculate"): {},
+        ("PUT", "/api/ml-config/xgboost"): {"n_estimators": 50},
+        ("PUT", "/api/ml-config/lightgbm"): {"n_estimators": 50},
+        ("PUT", "/api/ml-config/catboost"): {"iterations": 50},
+        ("PUT", "/api/ml-config/ensemble"): {
+            "weights": {"catboost": 0.4, "xgboost": 0.3,
+                        "lightgbm": 0.3}},
+        ("PUT", "/api/ml-config/training"): {"cv_folds": 3},
+        ("POST", "/api/ml-config/reset"): {},
+        ("POST", "/api/models/parameters"): {
+            "xgboost": {"n_estimators": 80}},
+        ("POST", "/api/pipeline/{service_name}/trigger/{video_id}"): {},
+        ("POST", "/api/pipeline/batch/reprocess"): {
+            "video_ids": [vid], "pipelines": ["yolo"]},
+        ("POST", "/api/pipeline/heartbeat"): {
+            "service_name": "engine", "status": "healthy",
+            "active_jobs": 0},
+        ("POST", "/api/shap/what-if"): {
+            "video_id": vid, "feature_changes": {"stride": 0.9}},
+        ("POST", "/api/training/videos/{video_id}/label"): {
+            "label": 1, "confidence": "certain"},
+        ("POST", "/api/training/pairwise"): {
+            "video_id_1": vid, "video_id_2": "vb2", "winner": 2,
+            "confidence": "confident"},
+        ("POST", "/api/training/triplet"): {
+            "reference_id": vid, "comparison_a_id": "vb2",
+            "comparison_b_id": "vc2", "selected_answer": "A",
+            "confidence": "medium", "task_type": "similarity"},
+        ("POST", "/api/tutorial/examples/auto-generate"): {"count": 1},
+        ("POST", "/api/tutorial/tasks"): {
+            "video_id_1": vid, "video_id_2": "vb2", "correct_winner": 1,
+            "correct_degree": 2, "difficulty": "easy",
+            "hint": "mut hint", "is_tutorial": True},
+        ("POST", "/api/videos/upload-url"): {
+            "filename": "mut.mp4", "content_type": "video/mp4"},
+    }
+
+
+def test_reference_mutation_response_keys(shaped_server):
+    """POST/PUT response-shape parity: for every reference mutating
+    handler with a statically-extractable response shape, send the
+    reference-shaped request body and assert our 200 response carries
+    the reference's keys.  Routes whose preconditions cannot be met
+    in-image (training starts without data, S3 confirm without a real
+    bucket, raw-bytes upload) are skipped by status, with a floor on
+    how many must succeed."""
+    base, h, subs = shaped_server
+    shapes = [(m, p, kind, keys) for m, p, kind, keys in
+              reference_get_shapes(methods=("post", "put"))]
+    assert len(shapes) >= 30
+    bodies = _mutation_bodies(subs)
+    failures, checked = [], 0
+    for method, path, kind, keys in shapes:
+        body = bodies.get((method, path))
+        if body is None:
+            continue                    # no in-image recipe for this route
+        url = _fill(path, subs)
+        r = httpx.request(method, base + url, headers=h, json=body)
+        if r.status_code != 200:
+            failures.append((method, path, f"status {r.status_code}: "
+                             f"{r.text[:100]}"))
+            continue
+        resp = r.json()
+        if not isinstance(resp, dict):
+            failures.append((method, path, "non-object response"))
+            continue
+        missing = [k for k in keys if k not in resp]
+        if missing:
+            failures.append((method, path, f"missing keys {missing}"))
+        else:
+            checked += 1
+    assert not failures, "\n".join(map(str, failures))
+    assert checked >= 20, (checked, len(bodies))

@@ -240,7 +240,8 @@ export default async function TutorialManagement() {
   if (auto) auto.onclick = async () => {
     try {
       const r = await api("/api/tutorial/auto-generate", {json: {count: 3}});
-      toast(`created ${r.created ?? ""} tasks from Elo extremes`);
+      toast(`created ${(r.created_ids || r.created || []).length} tasks `
+        + `from Elo extremes`);
       go("tutorial");
     } catch (e) { toast(e.message, "bad"); }
   };

@@ -47,6 +47,12 @@ class Subjects:
     tracking_reid_match: str = "tracking.reid.match"
     tracking_lameness_update: str = "tracking.lameness.update"
     analysis_complete: str = "analysis.complete"
+    # explanation (re)generation requests — NOT in the reference's
+    # registry (its generate endpoint is a no-op ack,
+    # analysis.py:299-313); a dedicated subject keeps requests off
+    # analysis.complete, whose subscribers treat messages as finished
+    # analyses
+    explanation_requested: str = "explanation.requested"
     training_data_added: str = "training.data.added"
     training_yolo_requested: str = "training.yolo.requested"
     training_ml_requested: str = "training.ml.requested"

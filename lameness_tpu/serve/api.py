@@ -337,6 +337,14 @@ def build_admin_api(ctx: AdminContext) -> Router:
                    if k in ("role", "is_active", "rater_tier")}
         if not allowed:
             raise HTTPError(422, "nothing to update")
+        if "role" in allowed and allowed["role"] not in (
+                "admin", "researcher", "rater"):
+            raise HTTPError(422, "invalid role")
+        if allowed.get("rater_tier") is not None and \
+                allowed["rater_tier"] not in ("gold", "silver", "bronze"):
+            # an unknown tier would silently weigh as silver in
+            # _rater_weight — same gate as the create path
+            raise HTTPError(422, "invalid rater_tier")
         db.update("users", req.params["user_id"], allowed)
         return db.one("SELECT id, username, role, rater_tier, is_active "
                       "FROM users WHERE id=?", (req.params["user_id"],))
@@ -620,6 +628,22 @@ def build_admin_api(ctx: AdminContext) -> Router:
                             and p != "fusion"}
         return out
 
+    def _graph_transformer_envelope(vid, data):
+        """analysis.py:118-140 defaulted Graphormer envelope over the raw
+        result file (shared by the canonical and reference-alias routes)."""
+        out = dict(data)
+        out.update({
+            "video_id": vid, "pipeline": "graph_transformer",
+            "model": data.get("model", "CowLamenessGraphormer"),
+            "graph_prediction": data.get("graph_prediction", 0.5),
+            "node_prediction": data.get("node_prediction", 0.5),
+            "uncertainty": data.get("uncertainty", 0.0),
+            "prediction": data.get("prediction", 0),
+            "confidence": data.get("confidence", 0.5),
+            "graph_info": data.get("graph_info", {}),
+            "attention_info": data.get("attention_info", {})})
+        return out
+
     @r.get("/api/analysis/{video_id}/{pipeline}")
     def analysis_one(req: Request):
         p = req.params["pipeline"]
@@ -630,18 +654,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
         if res is None:
             raise HTTPError(404, "no result")
         if p == "graph_transformer":
-            # analysis.py:118-140: defaulted envelope over the raw file
-            res = dict(res)
-            res.update({
-                "video_id": vid, "pipeline": p,
-                "model": res.get("model", "CowLamenessGraphormer"),
-                "graph_prediction": res.get("graph_prediction", 0.5),
-                "node_prediction": res.get("node_prediction", 0.5),
-                "uncertainty": res.get("uncertainty", 0.0),
-                "prediction": res.get("prediction", 0),
-                "confidence": res.get("confidence", 0.5),
-                "graph_info": res.get("graph_info", {}),
-                "attention_info": res.get("attention_info", {})})
+            res = _graph_transformer_envelope(vid, res)
         return res
 
     @r.get("/api/analysis/{video_id}/explanation/get")
@@ -663,9 +676,11 @@ def build_admin_api(ctx: AdminContext) -> Router:
         if ctx.llm_service is None:
             # reference semantics (analysis.py:299-313): the request is an
             # ack — generation is the llm service's job, triggered on the
-            # bus; no local LLM is required to accept the request
-            ctx.bus.publish_sync(ctx.config.subjects.analysis_complete, {
-                "video_id": vid, "request": "explanation"})
+            # bus on its own subject (analysis.complete subscribers treat
+            # messages as FINISHED analyses; a request must not look like
+            # one)
+            ctx.bus.publish_sync(ctx.config.subjects.explanation_requested,
+                                 {"video_id": vid})
             return {"video_id": vid, "status": "requested",
                     "message": "Explanation generation requested. "
                                "Check back shortly."}
@@ -1549,10 +1564,13 @@ def build_admin_api(ctx: AdminContext) -> Router:
                 "SELECT COUNT(*) n FROM pairwise_comparisons pc JOIN "
                 "users u ON pc.rater_id = u.id WHERE u.username=?",
                 (user["username"],))["n"]
+            # tier lives in the users table, not the token payload
+            row = db.one("SELECT rater_tier FROM users WHERE id=?",
+                         (user["sub"],))
             user_stats = {
                 "user_id": str(user["sub"]),
                 "username": user["username"],
-                "tier": user.get("rater_tier", "bronze"),
+                "tier": (row or {}).get("rater_tier") or "bronze",
                 "total_comparisons": user_total,
                 "unique_pairs_compared": user_uniq,
                 "completion_rate": user_uniq / possible if possible else 0,
@@ -2111,15 +2129,18 @@ def build_admin_api(ctx: AdminContext) -> Router:
         reports the real socket."""
         bridge = getattr(ctx.bus, "bridge", None)
         n_msgs = len(ctx.bus.history)
-        n_bytes = sum(len(json.dumps(m.get("data", {})))
+        # history records use the 'payload' key (bus.py::_record)
+        n_bytes = sum(len(json.dumps(m.get("payload", {})))
                       for m in ctx.bus.history[-500:])
+        subs = getattr(ctx.bus, "_subs", {})
+        n_subs = sum(len(hs) for hs in subs.values())
         return {"status": "healthy",
                 "backend": "nats-bridge" if bridge else "in-process",
                 "messages": n_msgs,
                 "errors": len(ctx.bus.errors),
                 # health.py NatsHealth model fields
                 "connections": 1,
-                "subscriptions": len(getattr(ctx.bus, "subscribers", {})),
+                "subscriptions": n_subs,
                 "messages_in": n_msgs, "messages_out": n_msgs,
                 "bytes_in": n_bytes, "bytes_out": n_bytes}
 
@@ -2536,18 +2557,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
         data = ctx.read_result("graph_transformer", vid)
         if data is None:
             raise HTTPError(404, "Graph Transformer results not found")
-        out = dict(data)
-        out.update({
-            "video_id": vid, "pipeline": "graph_transformer",
-            "model": data.get("model", "CowLamenessGraphormer"),
-            "graph_prediction": data.get("graph_prediction", 0.5),
-            "node_prediction": data.get("node_prediction", 0.5),
-            "uncertainty": data.get("uncertainty", 0.0),
-            "prediction": data.get("prediction", 0),
-            "confidence": data.get("confidence", 0.5),
-            "graph_info": data.get("graph_info", {}),
-            "attention_info": data.get("attention_info", {})})
-        return out
+        return _graph_transformer_envelope(vid, data)
 
     def _ref_user_field(req: Request, field: str, body_keys):
         b = req.body or {}

@@ -143,6 +143,8 @@ class LamenessApp:
         self.bus.subscribe_sync(s.pipeline_dinov3, self._on_dinov3)
         self.bus.subscribe_sync(s.pipeline_ml, self._on_ml)
         self.bus.subscribe_sync(s.analysis_complete, self._on_complete)
+        self.bus.subscribe_sync(s.explanation_requested,
+                                self._on_explanation_requested)
         self.bus.subscribe_sync(s.training_ml_requested,
                                 self.training.handle_training_request)
         self.bus.subscribe_sync(s.hitl_comparison_submitted,
@@ -336,6 +338,22 @@ class LamenessApp:
             self.db.get_or_create_cow(cow_id)
             self.db.add_lameness_record(cow_id, vid, fusion, full)
         self._heartbeat("xai-services", success_count=1)
+
+    def _on_explanation_requested(self, msg) -> None:
+        """explanation.requested: (re)generate the LLM explanation for an
+        already-analyzed video (the admin API's generate endpoint acks
+        and publishes here when it has no in-process LLM)."""
+        vid = msg.get("video_id")
+        f = self.dirs.results_for("fusion") / f"{vid}_fusion.json"
+        if not vid or not f.exists():
+            return
+        try:
+            fusion = json.load(open(f))
+        except Exception:
+            return
+        self.llm.handle_analysis_complete(
+            {"video_id": vid,
+             "fusion_result": fusion.get("fusion_result", fusion)})
 
     # -- public --------------------------------------------------------------
     def submit_video(self, video_path: Path,

@@ -367,6 +367,15 @@ class AdminHTTPServer:
                     self._respond(h, 403, {"detail": "Insufficient role"})
                     return
                 req.user = payload
+            else:
+                # optional auth (reference get_optional_user): ungated
+                # handlers see the caller when a valid token is sent —
+                # e.g. /api/elo/stats personalizes user_stats
+                auth = h.headers.get("Authorization", "")
+                token = auth[7:] if auth.startswith("Bearer ") else None
+                payload = self.tokens.decode(token) if token else None
+                if payload is not None:
+                    req.user = payload
             try:
                 result = route.handler(req)
                 if isinstance(result, tuple) and len(result) == 2 and \

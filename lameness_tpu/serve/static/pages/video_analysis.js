@@ -23,7 +23,9 @@ export default async function VideoAnalysis(videoId) {
       <b>${esc(videoId)}</b> — still processing?</div>`));
   }
   const vinfo = await api(`/api/videos/${videoId}`).catch(() => null);
-  const fr = (a.fusion || {}).fusion_result || {};
+  // a.fusion is the INNER fusion_result (reference analysis.py:39-43);
+  // tolerate the raw-file shape too
+  const fr = (a.fusion || {}).fusion_result || a.fusion || {};
   const contribs = fr.pipeline_contributions || {};
   // collapsible raw-JSON viewer appended to every pipeline card
   // (VideoResults.tsx renders raw JSON for each expanded pipeline)

@@ -438,3 +438,30 @@ def test_no_route_responds_500(server):
         if r.status_code >= 500:
             failures.append((method, shape, r.status_code, r.text[:120]))
     assert failures == [], "\n".join(map(str, failures))
+
+
+def test_elo_stats_user_stats_optional_auth(server):
+    """/api/elo/stats personalizes user_stats when a valid Bearer token
+    is sent (reference get_optional_user semantics) and stays anonymous
+    without one; tier comes from the users table, not the token."""
+    base, ctx = server
+    t = _login(base)
+    v1 = httpx.post(f"{base}/api/videos/upload?filename=u1.mp4",
+                    content=b"\0" * 32).json()["video_id"]
+    v2 = httpx.post(f"{base}/api/videos/upload?filename=u2.mp4",
+                    content=b"\0" * 32).json()["video_id"]
+    httpx.post(f"{base}/api/elo/comparison", headers=_auth(t),
+               json={"video_id_1": v1, "video_id_2": v2, "winner": 1})
+
+    anon = httpx.get(f"{base}/api/elo/stats").json()
+    assert anon["user_stats"] is None
+
+    mine = httpx.get(f"{base}/api/elo/stats", headers=_auth(t)).json()
+    us = mine["user_stats"]
+    assert us is not None and us["username"] == "admin"
+    assert us["total_comparisons"] == 1
+    assert us["tier"] in ("gold", "silver", "bronze")
+
+    bad = httpx.get(f"{base}/api/elo/stats",
+                    headers={"Authorization": "Bearer not.a.token"}).json()
+    assert bad["user_stats"] is None

@@ -134,7 +134,11 @@ def _update_headline() -> None:
                 [{"compute_clips_per_min": m["compute_clips_per_min"],
                   "p50_compute_s_per_clip": m.get("p50_compute_s_per_clip"),
                   "bf16": m.get("bf16"), "batch": m.get("batch"),
-                  "timestamp": entry["timestamp"]}
+                  "timestamp": entry["timestamp"],
+                  # geometry provenance rides along: a vit_l/vit_h sweep
+                  # winning max() must not read as default-vit_b
+                  **({"sam_variant": RESULT["sam_variant"]}
+                     if RESULT.get("sam_variant") else {})}
                  for m in RESULT.get("sweep", [])
                  if m.get("compute_clips_per_min")],
                 key=lambda e: e.get("compute_clips_per_min", 0.0))
@@ -802,7 +806,10 @@ def main():
         # code path in seconds (numbers are NOT comparable to the real
         # bench and vs_baseline is meaningless here)
         from lameness_tpu.pipeline.engine import make_test_engine
-        _bench_config()       # validate LAMENESS_SAM_VARIANT + record it
+        _bench_config()       # validate LAMENESS_SAM_VARIANT spelling only
+        # the tiny engine builds NO Sam (use_sam_model=False) — recording
+        # a variant here would label a SAM-less run as a geometry run
+        RESULT.pop("sam_variant", None)
         engine = make_test_engine()
         s = engine.spec
         rng0 = np.random.default_rng(0)

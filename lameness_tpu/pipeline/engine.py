@@ -1030,7 +1030,9 @@ class LamenessEngine:
         {data, model} mesh (SURVEY §2.5 TPU-native equivalents (c))
         additionally column/row-shards the DINO tower's QKV/MLP weights
         over ``model`` — GSPMD inserts the head all-reduce; outputs are
-        bitwise-independent of the layout.  XLA partitions every stage
+        numerically equivalent to the replicated layout within float
+        reassociation of that reduction (dryrun pins atol=1e-4; NOT
+        bitwise).  XLA partitions every stage
         automatically from the input shardings (no per-op annotations
         needed — the batch axis threads through all stages)."""
         from ..parallel.mesh import (MODEL_AXIS, replicate_params,

@@ -157,24 +157,32 @@ class BatchedYoloDetector:
 
         self._jit = jax.jit(batched)
 
-    def detect_batch(self, frames_bgr: np.ndarray
+    def detect_batch(self, frames: np.ndarray, *, bgr: bool = True
                      ) -> List[Optional[Dict[str, Any]]]:
-        """(N, H, W, 3) BGR uint8 -> N best-detection dicts (or None)."""
+        """(N, H, W, 3) uint8 -> N best-detection dicts (or None).
+
+        ``bgr=False`` takes RGB directly (the decode loop already holds
+        RGB — skips a per-frame BGR round trip that detect_batch would
+        immediately undo)."""
         import jax
-        n, h, w = frames_bgr.shape[:3]
-        rgb = frames_bgr[..., ::-1]
-        if n % self.chunk:
-            pad = self.chunk - n % self.chunk
+        n, h, w = frames.shape[:3]
+        rgb = frames[..., ::-1] if bgr else frames
+        # single frames (Detector-protocol __call__) run a batch-1
+        # signature instead of zero-padding to a full chunk — one extra
+        # compile, 1/chunk the per-call compute/wire
+        bs = 1 if n == 1 else self.chunk
+        if n % bs:
+            pad = bs - n % bs
             rgb = np.concatenate(
                 [rgb, np.zeros((pad, h, w, 3), np.uint8)], axis=0)
         results: List[Optional[Dict[str, Any]]] = []
-        for o in range(0, len(rgb), self.chunk):
-            dev = jax.device_put(np.ascontiguousarray(rgb[o:o + self.chunk]))
+        for o in range(0, len(rgb), bs):
+            dev = jax.device_put(np.ascontiguousarray(rgb[o:o + bs]))
             boxes, scores, classes, valid = self._jit(dev)
             self.dispatches += 1
             boxes, scores = np.asarray(boxes), np.asarray(scores)
             classes, valid = np.asarray(classes), np.asarray(valid)
-            for i in range(min(self.chunk, n - o)):
+            for i in range(min(bs, n - o)):
                 results.append(_best_detection(
                     boxes[i], scores[i], classes[i], valid[i], h, w,
                     self.cow_class_id))
@@ -194,18 +202,24 @@ def yolo_detector(model, params, conf: float = 0.3,
     from ..models.yolo import detect as yolo_detect
     from ..ops.preprocess import letterbox, unletterbox_boxes
 
-    def detect_fn(frame_bgr: np.ndarray) -> Optional[Dict[str, Any]]:
-        rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
-        canvas, ratio, pad = letterbox(jnp.asarray(rgb), size)
+    import jax
+
+    @jax.jit
+    def device_fn(rgb):      # ONE dispatch per frame, not one per op
+        canvas, ratio, pad = letterbox(rgb, size)
         out = model.apply(params, canvas[None])
         det = yolo_detect(out["levels"], conf_threshold=conf, max_det=8)
-        boxes = np.asarray(unletterbox_boxes(det["boxes"][0], ratio, pad))
-        scores = np.asarray(det["scores"][0])
-        classes = np.asarray(det["classes"][0])
-        valid = np.asarray(det["valid"][0])
+        boxes = unletterbox_boxes(det["boxes"][0], ratio, pad)
+        return boxes, det["scores"][0], det["classes"][0], det["valid"][0]
+
+    def detect_fn(frame_bgr: np.ndarray) -> Optional[Dict[str, Any]]:
+        rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+        boxes, scores, classes, valid = device_fn(
+            jax.device_put(np.ascontiguousarray(rgb)))
         h, w = frame_bgr.shape[:2]
-        return _best_detection(boxes, scores, classes, valid, h, w,
-                               cow_class_id)
+        return _best_detection(np.asarray(boxes), np.asarray(scores),
+                               np.asarray(classes), np.asarray(valid),
+                               h, w, cow_class_id)
     return detect_fn
 
 
@@ -257,7 +271,11 @@ class ClipCurator:
                 if not pending:
                     return
                 with self.timers.time("curation.detect"):
-                    dets = batch_fn(np.stack([f for _, f in pending]))
+                    # frames stay RGB end-to-end: the decode loop holds
+                    # RGB and detect_batch wants RGB on device — no
+                    # per-frame BGR round trip
+                    dets = batch_fn(np.stack([f for _, f in pending]),
+                                    bgr=False)
                 for (idx, _), det in zip(pending, dets):
                     detections.append({
                         "frame": idx,
@@ -267,16 +285,17 @@ class ClipCurator:
                 pending.clear()
 
             for idx, frame_rgb in vr.frames(interval=1, rgb=True):
-                frame_bgr = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR)
-                gray = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2GRAY)
+                gray = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
                 visual.append((blur_score(gray) + brightness_score(gray)) / 2)
                 if batch_fn is not None:
-                    pending.append((idx, frame_bgr))
+                    pending.append((idx, frame_rgb))
                     if len(pending) >= chunk:
                         flush()
                     continue
                 with self.timers.time("curation.detect"):
-                    det = self.detector(frame_bgr)
+                    # stateful per-frame detectors (MOG2) take BGR
+                    det = self.detector(
+                        cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR))
                 detections.append({
                     "frame": idx,
                     "time": idx / info["fps"] if info["fps"] > 0 else 0,

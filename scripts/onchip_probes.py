@@ -945,7 +945,13 @@ def probe_curation(small: bool) -> None:
     """Chunked curation detector (VERDICT r3 item 4): per-frame device
     dispatch vs BatchedYoloDetector on the same frames — wall time and
     dispatch counts.  The reference curates one frame per detector call
-    (clip-curation:133-167); the win here is ceil(F/chunk) dispatches."""
+    (clip-curation:133-167); the win here is ceil(F/chunk) dispatches.
+
+    NOTE: yolo_detector is now jitted (one dispatch per frame), so
+    dispatches_per_frame_path == n_frames is exact.  The archived
+    docs/PROBE_curation_r04.txt (16.1x) predates that fix — its
+    per-frame baseline ran EAGER (one remote dispatch per op), so part
+    of that measured gap was eager overhead, not only batching."""
     import jax
 
     from lameness_tpu.models.yolo import YoloV8, init_params
@@ -968,8 +974,8 @@ def probe_curation(small: bool) -> None:
     dets_pf = [per_frame(f) for f in frames]
     t_pf = time.time() - t0
 
-    batched.detect_batch(frames[:1])           # compile
-    batched.dispatches = 0
+    batched.detect_batch(frames[:2])           # compile the CHUNK signature
+    batched.dispatches = 0                     # (n=1 compiles batch-1 only)
     t0 = time.time()
     dets_b = batched.detect_batch(frames)
     t_b = time.time() - t0

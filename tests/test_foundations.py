@@ -24,8 +24,13 @@ def test_config_defaults_match_reference_constants():
     # reid thresholds (matcher.py:52-54)
     assert (c.reid.strong_match_threshold, c.reid.match_threshold,
             c.reid.weak_match_threshold) == (0.85, 0.75, 0.65)
-    # subjects registry covers all 25 subjects (config.yaml:5-30)
-    assert len(c.subjects.as_dict()) == 25
+    # subjects registry covers all 25 reference subjects (config.yaml:5-30)
+    # plus exactly one documented extension: explanation.requested keeps
+    # regenerate requests off analysis.complete (see Subjects comment)
+    subs = c.subjects.as_dict()
+    assert len(subs) == 26
+    assert subs.pop("explanation_requested") == "explanation.requested"
+    assert len(subs) == 25
     assert c.subjects.pipeline_graph_transformer == "pipeline.graph_transformer"
 
 

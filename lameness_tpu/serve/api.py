@@ -1226,9 +1226,13 @@ def build_admin_api(ctx: AdminContext) -> Router:
                             b.get("active_jobs", 0),
                             b.get("success_count", 0),
                             b.get("error_count", 0), b.get("last_error"))
-        ctx.ws.broadcast("pipeline", {"type": "heartbeat",
-                                      "service": name,
-                                      "status": b.get("status", "healthy")})
+        # reference push shape (websocket/handler.py:133-138 +
+        # pipeline.py:454-458: type/service/status/details{active_jobs});
+        # our pipeline_monitor refreshes on type.startsWith("pipeline")
+        ctx.ws.broadcast("pipeline", {
+            "type": "pipeline_status", "service": name,
+            "status": b.get("status", "healthy"),
+            "details": {"active_jobs": b.get("active_jobs", 0)}})
         # reference shape (pipeline.py heartbeat: {status, service})
         return {"status": "recorded", "service": name}
 
@@ -1285,6 +1289,12 @@ def build_admin_api(ctx: AdminContext) -> Router:
             "fusion": ctx.config.subjects.pipeline_ml,
         }.get(service, ctx.config.subjects.video_preprocessed)
         _requeue(vid, subj)
+        # reference also pushes the trigger over WS (pipeline.py:295-299)
+        ctx.ws.broadcast("pipeline", {
+            "type": "pipeline_status", "service": service,
+            "status": "triggered",
+            "details": {"video_id": vid,
+                        "triggered_by": req.user["username"]}})
         # reference shape (pipeline.py trigger: {status, service,
         # video_id, subject})
         return {"status": "retriggered", "service": service,
@@ -1483,8 +1493,12 @@ def build_admin_api(ctx: AdminContext) -> Router:
         ctx.bus.publish_sync(ctx.config.subjects.hitl_comparison_submitted, {
             "video_id_1": v1, "video_id_2": v2, "winner": winner,
             "degree": degree, "rater_id": req.user["username"]})
-        ctx.ws.broadcast("rater", {"type": "comparison",
-                                   "rater": req.user["username"]})
+        # reference push shape (websocket/handler.py:162-168:
+        # type/event/data)
+        ctx.ws.broadcast("rater", {
+            "type": "rater_update", "event": "comparison",
+            "data": {"rater": req.user["username"],
+                     "video_id_1": v1, "video_id_2": v2}})
         # reference shape (elo_ranking.py:421-435) + our legacy keys
         return {"status": "saved",
                 "video_1": {"video_id": v1, "new_elo": round(na, 1),

@@ -16,6 +16,7 @@ import json
 import os
 import re
 import secrets
+import select
 import socket
 import struct
 import threading
@@ -412,12 +413,24 @@ class AdminHTTPServer:
         self.ws.register(channel, sock)
         try:
             while True:
+                # reference keepalive (websocket/handler.py:193-212):
+                # 30 s idle -> server sends {"type": "ping"}; select
+                # (not a socket timeout) so a frame split across
+                # packets can never be half-consumed
+                r, _, _ = select.select([sock], [], [], 30.0)
+                if not r:
+                    try:
+                        ws_send(sock, json.dumps({"type": "ping"}))
+                    except OSError:
+                        break
+                    continue
                 msg = ws_recv(sock)
                 if msg is None:
                     break
-                # echo pings back (client keepalive convention)
+                # bare-text ping -> bare-text pong, exactly the
+                # reference convention (handler.py:197-199)
                 if msg == "ping":
-                    ws_send(sock, json.dumps({"type": "pong"}))
+                    ws_send(sock, "pong")
         finally:
             self.ws.unregister(channel, sock)
 

@@ -268,6 +268,101 @@ def test_websocket_broadcast(server):
     s.close()
 
 
+def _ws_connect(base: str, channel: str) -> socket.socket:
+    import base64 as b64
+    host, port = base.replace("http://", "").split(":")
+    s = socket.create_connection((host, int(port)))
+    key = b64.b64encode(b"0123456789abcdef").decode()
+    s.sendall((f"GET /api/ws/{channel} HTTP/1.1\r\nHost: {host}\r\n"
+               f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+               f"Sec-WebSocket-Key: {key}\r\n"
+               f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+    assert "101" in s.recv(1024).decode().split("\r\n")[0]
+    return s
+
+
+def _ws_read_text(s: socket.socket) -> str:
+    def exact(n):
+        data = b""
+        while len(data) < n:
+            chunk = s.recv(n - len(data))
+            assert chunk, "socket closed mid-frame"
+            data += chunk
+        return data
+    head = exact(2)
+    assert head[0] == 0x81
+    n = head[1] & 0x7F
+    if n == 126:                       # extended 16-bit length
+        n = int.from_bytes(exact(2), "big")
+    elif n == 127:
+        n = int.from_bytes(exact(8), "big")
+    return exact(n).decode()
+
+
+def _ws_send_text(s: socket.socket, text: str) -> None:
+    """One masked client text frame (servers require masking)."""
+    data = text.encode()
+    mask = b"\x01\x02\x03\x04"
+    s.sendall(bytes([0x81, 0x80 | len(data)]) + mask +
+              bytes(b ^ mask[i % 4] for i, b in enumerate(data)))
+
+
+def _ws_wait(ctx, channel: str) -> None:
+    import time
+    deadline = time.time() + 2
+    while ctx.ws.connection_count(channel) == 0 and time.time() < deadline:
+        time.sleep(0.02)
+
+
+def test_ws_ping_pong_reference_convention(server):
+    """Bare-text ping -> bare-text pong, exactly the reference's
+    keepalive (websocket/handler.py:197-199) — NOT a JSON envelope."""
+    base, ctx = server
+    s = _ws_connect(base, "pipeline")
+    _ws_wait(ctx, "pipeline")
+    _ws_send_text(s, "ping")
+    assert _ws_read_text(s) == "pong"
+    s.close()
+
+
+def test_ws_heartbeat_pushes_reference_pipeline_status_shape(server):
+    """POST /api/pipeline/heartbeat must push the reference's
+    pipeline_status message (handler.py:133-138 via pipeline.py:454-458):
+    type/service/status/details{active_jobs}."""
+    base, ctx = server
+    s = _ws_connect(base, "pipeline")
+    _ws_wait(ctx, "pipeline")
+    httpx.post(f"{base}/api/pipeline/heartbeat",
+               json={"service_name": "engine", "status": "healthy",
+                     "active_jobs": 3})
+    msg = json.loads(_ws_read_text(s))
+    assert msg == {"type": "pipeline_status", "service": "engine",
+                   "status": "healthy", "details": {"active_jobs": 3}}
+    s.close()
+
+
+def test_ws_comparison_pushes_reference_rater_update_shape(server):
+    """Elo comparison submission pushes the reference's rater_update
+    message (handler.py:162-168): type/event/data."""
+    base, ctx = server
+    token = _login(base)
+    va = httpx.post(f"{base}/api/videos/upload?filename=wa.mp4",
+                    content=b"\x00" * 16).json()["video_id"]
+    vb = httpx.post(f"{base}/api/videos/upload?filename=wb.mp4",
+                    content=b"\x00" * 16).json()["video_id"]
+    s = _ws_connect(base, "rater")
+    _ws_wait(ctx, "rater")
+    httpx.post(f"{base}/api/elo/comparison", headers=_auth(token),
+               json={"video_id_1": va, "video_id_2": vb,
+                     "winner": 1, "degree": 2})
+    msg = json.loads(_ws_read_text(s))
+    assert msg["type"] == "rater_update"
+    assert msg["event"] == "comparison"
+    assert msg["data"]["video_id_1"] == va
+    assert msg["data"]["rater"] == "admin"
+    s.close()
+
+
 def test_unknown_route_404(server):
     base, _ = server
     assert httpx.get(f"{base}/api/nope").status_code == 404

@@ -92,22 +92,53 @@ export function table(rows, cols, {rowAttr = null} = {}) {
       cols.map(c => `<td>${c[1](r)}</td>`).join("")}</tr>`).join("")}</table>`;
 }
 
-// websocket channels (websocket/handler.py: pipeline/health/queue/rater)
+// websocket channels (websocket/handler.py: pipeline/health/queue/rater).
+// Client behavior mirrors hooks/useWebSocket.ts: bare "ping" every 25 s,
+// bare "pong" filtered out, server {"type":"ping"} keepalives answered
+// with "pong", reconnect up to 3 attempts 5 s apart.
 let sockets = {};
-export function ws(channel, onEvent) {
-  try {
-    if (sockets[channel]) sockets[channel].close();
-    const proto = location.protocol === "https:" ? "wss" : "ws";
-    const s = new WebSocket(`${proto}://${location.host}/api/ws/${channel}`);
-    s.onmessage = (ev) => {
-      try { onEvent(JSON.parse(ev.data)); } catch (e) {}
-    };
-    sockets[channel] = s;
-    return s;
-  } catch (e) { return null; }
+let wsEpochs = {};   // bumped on new ws()/closeSockets: cancels stale reconnects
+export function ws(channel, onEvent, reconnectAttempts = 3) {
+  const epoch = (wsEpochs[channel] = (wsEpochs[channel] || 0) + 1);
+  let tries = 0;
+  const open = () => {
+    if (wsEpochs[channel] !== epoch) return null;  // superseded by nav/new ws
+    try {
+      const old = sockets[channel];
+      if (old) { try { old.onclose = null; old.close(); } catch (e) {} }
+      const proto = location.protocol === "https:" ? "wss" : "ws";
+      const s = new WebSocket(`${proto}://${location.host}/api/ws/${channel}`);
+      let ping = null;
+      s.onopen = () => {
+        tries = 0;
+        ping = setInterval(() => { try { s.send("ping"); } catch (e) {} },
+                           25000);
+      };
+      s.onmessage = (ev) => {
+        if (ev.data === "pong") return;
+        try {
+          const m = JSON.parse(ev.data);
+          if (m.type === "ping") { try { s.send("pong"); } catch (e) {}
+                                   return; }
+          onEvent(m);
+        } catch (e) {}
+      };
+      s.onclose = () => {
+        clearInterval(ping);
+        if (sockets[channel] === s && tries++ < reconnectAttempts)
+          setTimeout(open, 5000);
+      };
+      sockets[channel] = s;
+      return s;
+    } catch (e) { return null; }
+  };
+  return open();
 }
 export function closeSockets() {
-  Object.values(sockets).forEach(s => { try { s.close(); } catch (e) {} });
+  Object.keys(wsEpochs).forEach(c => wsEpochs[c]++);
+  Object.values(sockets).forEach(s => {
+    try { s.onclose = null; s.close(); } catch (e) {}
+  });
   sockets = {};
 }
 

@@ -258,6 +258,18 @@ def _now():
     return datetime.now(timezone.utc).isoformat()
 
 
+def _qint(req: Request, key: str, default: int) -> int:
+    """Integer query param with FastAPI-style validation: a non-integer
+    value is a client error (the reference returns 422 from pydantic
+    validation), not a 500 from a bare int() ValueError."""
+    raw = req.query.get(key, default)
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        raise HTTPError(422, f"query param {key!r} must be an integer, "
+                             f"got {raw!r}")
+
+
 def build_admin_api(ctx: AdminContext) -> Router:
     r = Router()
     db = ctx.db
@@ -399,13 +411,13 @@ def build_admin_api(ctx: AdminContext) -> Router:
             params += (req.query["status"],)
         if "label" in req.query:
             clauses.append("label=?")
-            params += (int(req.query["label"]),)
+            params += (_qint(req, "label", 0),)
         if clauses:
             where = " WHERE " + " AND ".join(clauses)
         total = db.one("SELECT COUNT(*) AS n FROM videos" + where,
                        params)["n"]
-        skip = int(req.query.get("skip", 0))
-        limit = int(req.query.get("limit", 100))
+        skip = _qint(req, "skip", 0)
+        limit = _qint(req, "limit", 100)
         rows = db.query("SELECT * FROM videos" + where +
                         " ORDER BY uploaded_at DESC LIMIT ? OFFSET ?",
                         params + (limit, skip))
@@ -490,7 +502,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
         requested frame index."""
         import cv2
         vid = req.params["video_id"]
-        frame_idx = int(req.query.get("frame", 0))
+        frame_idx = _qint(req, "frame", 0)
         matches = (list(dirs.processed.glob(f"{vid}_cropped.mp4"))
                    + list(dirs.videos.glob(f"{vid}.*")))
         if not matches:
@@ -899,9 +911,18 @@ def build_admin_api(ctx: AdminContext) -> Router:
             f.write(json.dumps(rec) + "\n")
         lo, hi = sorted((a, opt_b))
         key = f"{ref}_{lo}_{hi}"
-        n = sum(1 for line in open(out_dir / "triplets.jsonl")
-                if f'"reference": "{ref}"' in line
-                and f'"{lo}"' in line and f'"{hi}"' in line)
+        # exact-field count (like triplet_stats): substring matching over
+        # raw lines overcounts when one video id is a prefix of another
+        # or appears in a different field (rater, task_type)
+        n = 0
+        for line in open(out_dir / "triplets.jsonl"):
+            try:
+                r_ = json.loads(line)
+            except Exception:
+                continue
+            if r_.get("reference") == ref and sorted(
+                    (r_.get("option_a"), r_.get("option_b"))) == [lo, hi]:
+                n += 1
         return {"status": "saved", "triplet_key": key,
                 "total_comparisons": n}
 
@@ -1305,7 +1326,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
         """Per-service 'logs': the bus journal filtered to the service's
         subjects (routers/pipeline.py log view)."""
         service = req.params["service"]
-        limit = int(req.query.get("limit", 50))
+        limit = _qint(req, "limit", 50)
         rel = [m for m in ctx.bus.history
                if service in m["subject"]][-limit:]
         errs = [e for e in ctx.bus.errors if service in e["subject"]][-limit:]
@@ -1734,8 +1755,8 @@ def build_admin_api(ctx: AdminContext) -> Router:
             c["severity_level"] = lr.get("severity_level")
             c["current_score"] = lr.get("fusion_score")
             c["num_videos"] = nvids.get(c["id"], 0)
-        skip = int(req.query.get("skip", 0))
-        limit = int(req.query.get("limit", 50))
+        skip = _qint(req, "skip", 0)
+        limit = _qint(req, "limit", 50)
         total = len(cows)
         return {"cows": cows[skip:skip + limit], "total": total,
                 "skip": skip, "limit": limit}
@@ -1767,7 +1788,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
         """Timeline + trend per the reference shape (cows.py:159-237:
         newest-first timeline, recent-vs-older trend, ?days filter)."""
         try:
-            days = int(req.query.get("days", 30))
+            days = _qint(req, "days", 30)
         except ValueError:
             days = 30
         rows = db.lameness_history(req.params["cow_id"])
@@ -1805,8 +1826,8 @@ def build_admin_api(ctx: AdminContext) -> Router:
             raise HTTPError(404, "cow not found")
         rows = db.query("SELECT * FROM track_history WHERE cow_id=?",
                         (cow["id"],))
-        skip = int(req.query.get("skip", 0))
-        limit = int(req.query.get("limit", 50))
+        skip = _qint(req, "skip", 0)
+        limit = _qint(req, "limit", 50)
         return {"cow_id": req.params["cow_id"],
                 "videos": rows[skip:skip + limit], "total": len(rows),
                 "skip": skip, "limit": limit}
@@ -2086,8 +2107,13 @@ def build_admin_api(ctx: AdminContext) -> Router:
         ids = {req.params["cow_id"]} | ({cow["id"]} if cow else set())
         if not rec or rec["cow_id"] not in ids:
             raise HTTPError(404, "no such record")
-        is_lame = bool((req.body or {}).get(
-            "is_lame", req.query.get("is_lame", "1") not in ("0", "false")))
+        # normalize string-typed body values the same way as the query
+        # fallback: a JSON "false"/"0" must not coerce to True via bool()
+        raw = (req.body or {}).get(
+            "is_lame", req.query.get("is_lame", "1"))
+        if isinstance(raw, str):
+            raw = raw.strip().lower() not in ("0", "false", "no", "")
+        is_lame = bool(raw)
         db.update("lameness_records", rec["id"],
                   {"human_validated": 1, "human_label": int(is_lame),
                    "validator_id": req.user["sub"],
@@ -2611,7 +2637,7 @@ def build_admin_api(ctx: AdminContext) -> Router:
         """ARRAY of LogEntry rows (pipeline.py response_model
         List[LogEntry]: timestamp/level/service/message)."""
         service = req.params["service"]
-        limit = int(req.query.get("limit", 50))
+        limit = _qint(req, "limit", 50)
         out = []
         for m in ctx.bus.history:
             if service in m["subject"]:

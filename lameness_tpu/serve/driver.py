@@ -66,25 +66,51 @@ class PipelineDriver:
         self.ensemble = GBDTEnsemble(self.dirs.models / "ml")
         self.fusion = FusionService(self.dirs, bus=self.bus,
                                     subjects=self.config.subjects)
-        if curator is None:
-            # real YOLO weights in the engine -> CHUNKED device detector
-            # (one dispatch per 16 frames, VERDICT r3 item 4); otherwise
-            # the weight-free motion fallback (reference degradation,
-            # clip-curation:103-131)
-            detector = None
-            if self.engine is not None and \
-                    getattr(self.engine, "loaded_weights", {}).get("yolo"):
-                from ..video.curation import BatchedYoloDetector
-                detector = BatchedYoloDetector(
-                    self.engine.yolo, self.engine.params["yolo"],
-                    cow_class_id=self.config.yolo.cow_class_id,
-                    size=self.engine.spec.yolo_size)
-            curator = ClipCurator(self.dirs, detector=detector,
-                                  bus=self.bus,
-                                  subjects=self.config.subjects)
-        self.curator = curator
+        # Auto-built curators resolve their detector LAZILY (the
+        # ``curator`` property): YOLO weights loaded after driver
+        # construction (load_torch_weights on a running engine) must
+        # upgrade curation off the motion fallback instead of silently
+        # staying there for the process lifetime (ADVICE r4).
+        self._curator_injected = curator is not None
+        self._curator_on_device = False
+        self._curator = curator if self._curator_injected \
+            else self._build_curator()
         self.trackers: Dict[str, ByteTracker] = {}
         self.graph_runner = None        # built lazily (jits two graph heads)
+
+    def _engine_has_yolo(self) -> bool:
+        return self.engine is not None and bool(
+            getattr(self.engine, "loaded_weights", {}).get("yolo"))
+
+    def _build_curator(self) -> ClipCurator:
+        """real YOLO weights in the engine -> CHUNKED device detector
+        (one dispatch per 16 frames, VERDICT r3 item 4); otherwise the
+        weight-free motion fallback (reference degradation,
+        clip-curation:103-131)."""
+        detector = None
+        if self._engine_has_yolo():
+            from ..video.curation import BatchedYoloDetector
+            detector = BatchedYoloDetector(
+                self.engine.yolo, self.engine.params["yolo"],
+                cow_class_id=self.config.yolo.cow_class_id,
+                size=self.engine.spec.yolo_size)
+        self._curator_on_device = detector is not None
+        return ClipCurator(self.dirs, detector=detector, bus=self.bus,
+                           subjects=self.config.subjects)
+
+    @property
+    def curator(self) -> ClipCurator:
+        if (not self._curator_injected and not self._curator_on_device
+                and self._engine_has_yolo()):
+            LOG.info("curator.upgrade", detail="yolo weights arrived; "
+                     "curation moves to the batched device detector")
+            self._curator = self._build_curator()
+        return self._curator
+
+    @curator.setter
+    def curator(self, value: ClipCurator) -> None:
+        self._curator_injected = True
+        self._curator = value
 
     def _ensure_graph_runner(self):
         if self.graph_runner is None:

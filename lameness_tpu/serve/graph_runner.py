@@ -25,6 +25,9 @@ from ..graph import build as gb
 from ..io import schemas
 from ..models.graphgps import EnhancedGraphGPS
 from ..models.graphormer import CowLamenessGraphormer
+from ..utils.logging import get_logger
+
+LOG = get_logger("graph_runner")
 
 
 def node_features_for_video(dirs, video_id: str) -> Optional[np.ndarray]:
@@ -85,11 +88,15 @@ def embedding_for_video(dirs, video_id: str) -> Optional[np.ndarray]:
 
 
 class GraphHeadRunner:
-    def __init__(self, config: Config, bus=None, max_nodes: int = 64):
+    def __init__(self, config: Config, bus=None,
+                 max_nodes: Optional[int] = None):
         self.config = config
         self.dirs = config.dirs
         self.bus = bus
-        self.max_nodes = max_nodes
+        # the padding bound is a LIVE config knob (graphgps.max_nodes);
+        # an explicit argument still wins (tests size it down)
+        self.max_nodes = int(max_nodes if max_nodes is not None
+                             else config.graphgps.max_nodes)
         self.gnn = EnhancedGraphGPS()
         self.gt = CowLamenessGraphormer()
         self._params: Dict[str, Any] = {}
@@ -179,6 +186,14 @@ class GraphHeadRunner:
         # of its own graph and get no gnn/graph_transformer results
         others = [v for v in candidates if v != target_video]
         selected = others[-(self.max_nodes - 1):] + [target_video]
+        dropped = len(others) - (len(selected) - 1)
+        if dropped > 0:
+            # no silent caps: the reference enumerates EVERY known video
+            # (gnn:1432-1453) — surface what the dense padding bound cut
+            LOG.warning("graph.node_cap_truncated", video_id=target_video,
+                        max_nodes=self.max_nodes,
+                        candidates=len(others) + 1, dropped=dropped,
+                        kept="newest by name order")
         for vid in selected:
             nf = node_features_for_video(self.dirs, vid)
             emb = embedding_for_video(self.dirs, vid)

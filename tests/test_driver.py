@@ -109,3 +109,29 @@ def test_preprocess_crops_around_detection(driver, tmp_path):
     with VideoReader(pre["processed_path"]) as vr:
         info = vr.info
         assert info["width"] == x2 - x1
+
+
+def test_curator_upgrades_when_yolo_weights_arrive(tmp_data_root, engine):
+    """ADVICE r4: an auto-built curator must move off the motion fallback
+    when YOLO weights load AFTER driver construction, and an injected
+    curator must never be swapped out from under the caller."""
+    cfg = tmp_data_root
+    engine.loaded_weights = dict(engine.loaded_weights)
+    engine.loaded_weights["yolo"] = False
+    drv = PipelineDriver(config=cfg, engine=engine)
+    assert not hasattr(drv.curator.detector, "detect_batch")
+    engine.loaded_weights["yolo"] = True          # weights arrive late
+    try:
+        up = drv.curator
+        assert hasattr(up.detector, "detect_batch")
+        assert drv.curator is up                  # upgrade happens once
+
+        # injected curators are the caller's choice — no silent swap
+        from lameness_tpu.video.curation import ClipCurator
+        mine = ClipCurator(cfg.dirs, detector=_square_detector)
+        drv2 = PipelineDriver(config=cfg, engine=engine, curator=mine)
+        assert drv2.curator is mine
+        drv2.curator = mine                       # setter keeps injection
+        assert drv2.curator is mine
+    finally:
+        engine.loaded_weights["yolo"] = False

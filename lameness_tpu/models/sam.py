@@ -714,6 +714,98 @@ def _ffn(sd, prefix, num_layers=3):
     return out
 
 
+def sa_to_hf_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Rename an original ``segment-anything`` checkpoint (the
+    ``sam_vit_{b,l,h}_*.pth`` files the reference registry loads,
+    services/sam3-pipeline/app/main.py:51-72) into the HF ``SamModel``
+    key naming that :func:`convert_hf_state_dict` reads.
+
+    Tensor VALUES are identical between the two layouts (HF's SamModel
+    was converted from these checkpoints) — this is purely a key rename,
+    so a dropped reference checkpoint converts without the
+    segment-anything package installed.
+    """
+    import re
+    rules = [
+        (r"^image_encoder\.patch_embed\.proj\.",
+         "vision_encoder.patch_embed.projection."),
+        (r"^image_encoder\.blocks\.(\d+)\.norm1\.",
+         r"vision_encoder.layers.\1.layer_norm1."),
+        (r"^image_encoder\.blocks\.(\d+)\.norm2\.",
+         r"vision_encoder.layers.\1.layer_norm2."),
+        (r"^image_encoder\.blocks\.(\d+)\.", r"vision_encoder.layers.\1."),
+        (r"^image_encoder\.neck\.0\.", "vision_encoder.neck.conv1."),
+        (r"^image_encoder\.neck\.1\.", "vision_encoder.neck.layer_norm1."),
+        (r"^image_encoder\.neck\.2\.", "vision_encoder.neck.conv2."),
+        (r"^image_encoder\.neck\.3\.", "vision_encoder.neck.layer_norm2."),
+        (r"^image_encoder\.", "vision_encoder."),
+        (r"^prompt_encoder\.pe_layer\.positional_encoding_gaussian_matrix$",
+         "prompt_encoder.shared_embedding.positional_embedding"),
+        (r"^prompt_encoder\.point_embeddings\.",
+         "prompt_encoder.point_embed."),
+        # mask_downscaling is unused on the box-prompt path but mapped so
+        # a torch-side SamModel.load_state_dict can be key-complete
+        (r"^prompt_encoder\.mask_downscaling\.0\.",
+         "prompt_encoder.mask_embed.conv1."),
+        (r"^prompt_encoder\.mask_downscaling\.1\.",
+         "prompt_encoder.mask_embed.layer_norm1."),
+        (r"^prompt_encoder\.mask_downscaling\.3\.",
+         "prompt_encoder.mask_embed.conv2."),
+        (r"^prompt_encoder\.mask_downscaling\.4\.",
+         "prompt_encoder.mask_embed.layer_norm2."),
+        (r"^prompt_encoder\.mask_downscaling\.6\.",
+         "prompt_encoder.mask_embed.conv3."),
+        (r"^mask_decoder\.transformer\.norm_final_attn\.",
+         "mask_decoder.transformer.layer_norm_final_attn."),
+        (r"^mask_decoder\.transformer\.layers\.(\d+)\.norm([1-4])\.",
+         r"mask_decoder.transformer.layers.\1.layer_norm\2."),
+        (r"^mask_decoder\.output_upscaling\.0\.",
+         "mask_decoder.upscale_conv1."),
+        (r"^mask_decoder\.output_upscaling\.1\.",
+         "mask_decoder.upscale_layer_norm."),
+        (r"^mask_decoder\.output_upscaling\.3\.",
+         "mask_decoder.upscale_conv2."),
+        # 3-layer MLPs: SA uses layers.{0,1,2}; HF names them
+        # proj_in / layers.0 / proj_out
+        (r"^(mask_decoder\.(?:output_hypernetworks_mlps\.\d+|"
+         r"iou_prediction_head))\.layers\.0\.", r"\1.proj_in."),
+        (r"^(mask_decoder\.(?:output_hypernetworks_mlps\.\d+|"
+         r"iou_prediction_head))\.layers\.1\.", r"\1.layers.0."),
+        (r"^(mask_decoder\.(?:output_hypernetworks_mlps\.\d+|"
+         r"iou_prediction_head))\.layers\.2\.", r"\1.proj_out."),
+    ]
+    out: Dict[str, Any] = {}
+    for k, v in sd.items():
+        nk = k
+        for pat, rep in rules:
+            nk2 = re.sub(pat, rep, nk)
+            if nk2 != nk:
+                nk = nk2
+                break
+        out[nk] = v
+    return out
+
+
+def detect_sam_layout(sd: Dict[str, Any]) -> str:
+    """'hf' (transformers SamModel), 'sa' (original segment-anything),
+    or raises for anything else."""
+    if any(k.startswith("vision_encoder.") for k in sd):
+        return "hf"
+    if any(k.startswith("image_encoder.") for k in sd):
+        return "sa"
+    raise ValueError("state dict is neither HF SamModel nor "
+                     "segment-anything layout")
+
+
+def convert_sa_state_dict(sd: Dict[str, Any],
+                          depth: Optional[int] = None,
+                          decoder_depth: int = 2) -> Dict:
+    """Convert an original segment-anything checkpoint (key rename +
+    :func:`convert_hf_state_dict`)."""
+    return convert_hf_state_dict(sa_to_hf_state_dict(sd), depth=depth,
+                                 decoder_depth=decoder_depth)
+
+
 def convert_hf_state_dict(sd: Dict[str, Any], depth: Optional[int] = None,
                           decoder_depth: int = 2) -> Dict:
     """Map ``SamModel.state_dict()`` to this module tree's params.

@@ -331,6 +331,61 @@ def _c2f(sd, t, n):
     return p
 
 
+def export_ultralytics_state_dict(params: Dict, has_pose: bool = False
+                                  ) -> Dict[str, Any]:
+    """Inverse of :func:`convert_ultralytics_state_dict`: emit this
+    module's params under ultralytics YOLOv8 key names (``0.conv.weight``
+    …).  Used to synthesize checkpoints in the real torch file layout so
+    the weight-drop parity harness (scripts/parity_drop.py) is testable
+    end-to-end without the real downloads, and to round-trip-test the
+    converter's name bijection."""
+    sd: Dict[str, Any] = {}
+
+    def put_conv_bn(t, node):
+        sd[f"{t}.conv.weight"] = np.transpose(
+            np.asarray(node["conv"]["kernel"]), (3, 2, 0, 1))
+        sd[f"{t}.bn.weight"] = np.asarray(node["bn"]["scale"])
+        sd[f"{t}.bn.bias"] = np.asarray(node["bn"]["bias"])
+        sd[f"{t}.bn.running_mean"] = np.asarray(node["bn"]["mean"])
+        sd[f"{t}.bn.running_var"] = np.asarray(node["bn"]["var"])
+        sd[f"{t}.bn.num_batches_tracked"] = np.asarray(0)
+
+    def put_plain(t, node):
+        sd[f"{t}.weight"] = np.transpose(np.asarray(node["kernel"]),
+                                         (3, 2, 0, 1))
+        sd[f"{t}.bias"] = np.asarray(node["bias"])
+
+    p = params["params"]
+    for ours, idx in _BACKBONE_MAP:
+        node = p[ours]
+        if "cv1" in node:                               # c2f or sppf
+            put_conv_bn(f"{idx}.cv1", node["cv1"])
+            put_conv_bn(f"{idx}.cv2", node["cv2"])
+            for k in sorted(node):
+                if k.startswith("m") and k[1:].isdigit():
+                    put_conv_bn(f"{idx}.m.{k[1:]}.cv1", node[k]["cv1"])
+                    put_conv_bn(f"{idx}.m.{k[1:]}.cv2", node[k]["cv2"])
+        else:
+            put_conv_bn(idx, node)
+    for i in range(3):
+        d = p[f"detect{i}"]
+        put_conv_bn(f"22.cv2.{i}.0", d["box0"])
+        put_conv_bn(f"22.cv2.{i}.1", d["box1"])
+        put_plain(f"22.cv2.{i}.2", d["box2"])
+        put_conv_bn(f"22.cv3.{i}.0", d["cls0"])
+        put_conv_bn(f"22.cv3.{i}.1", d["cls1"])
+        put_plain(f"22.cv3.{i}.2", d["cls2"])
+        if has_pose and f"pose{i}" in p:
+            k = p[f"pose{i}"]
+            put_conv_bn(f"22.cv4.{i}.0", k["kpt0"])
+            put_conv_bn(f"22.cv4.{i}.1", k["kpt1"])
+            put_plain(f"22.cv4.{i}.2", k["kpt2"])
+    # the DFL bin-expectation conv the converter deliberately skips
+    sd["22.dfl.conv.weight"] = np.arange(16, dtype=np.float32).reshape(
+        1, 16, 1, 1)
+    return sd
+
+
 def convert_ultralytics_state_dict(sd: Dict[str, Any], variant: str = "n",
                                    has_pose: bool = False) -> Dict:
     """Convert ``model.model.state_dict()`` of an ultralytics YOLOv8 (keys

@@ -490,7 +490,12 @@ class LamenessEngine:
             self.params["dino"] = dino_mod.convert_hf_state_dict(state_dict)
         elif name == "sam":
             from ..models.sam import (build_sam, convert_hf_state_dict,
-                                      infer_variant)
+                                      detect_sam_layout, infer_variant,
+                                      sa_to_hf_state_dict)
+            if detect_sam_layout(state_dict) == "sa":
+                # original segment-anything .pth (the reference registry's
+                # files, sam3:51-72): pure key rename, same tensors
+                state_dict = sa_to_hf_state_dict(state_dict)
             params = convert_hf_state_dict(state_dict)
             dim = params["params"]["vision_encoder"]["pos_embed"].shape[-1]
             if self.sam is not None and dim != self.sam.encoder_dim:

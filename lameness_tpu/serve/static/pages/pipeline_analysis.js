@@ -215,18 +215,19 @@ const RENDER = {
     if (!d) return notAvail("Graph Transformer");
     const gi = d.graph_info || {};
     const top = (d.attention_info || {}).top_attending_nodes || [];
-    const pl = (v) => `<div class="panel" style="flex:1;text-align:center;
-        padding:10px${(v ?? 0) > 0.5 ? ";outline:1px solid var(--bad)" : ""}">`;
+    // pl wraps its contents (balanced markup: every template literal
+    // must parse as well-formed HTML on its own — tests/test_frontend)
+    const pl = (v, label) => `<div class="panel" style="flex:1;
+        text-align:center;padding:10px${
+        (v ?? 0) > 0.5 ? ";outline:1px solid var(--bad)" : ""}">
+        <div class="dim">${label}</div>
+        <div style="font-size:22px;font-weight:700">${pct(v)}</div></div>`;
     return `<h3>Graph transformer (Graphormer)</h3>
       <div class="dim" style="margin-bottom:8px">Model:
         <b>${esc(d.model || "CowLamenessGraphormer")}</b></div>
       <div class="row">
-        ${pl(d.graph_prediction)}<div class="dim">graph-level</div>
-          <div style="font-size:22px;font-weight:700">${pct(d.graph_prediction)}
-          </div></div>
-        ${pl(d.node_prediction)}<div class="dim">node-level</div>
-          <div style="font-size:22px;font-weight:700">${pct(d.node_prediction)}
-          </div></div></div>
+        ${pl(d.graph_prediction, "graph-level")}
+        ${pl(d.node_prediction, "node-level")}</div>
       ${mcGrid([
         mc("Uncertainty", pct(d.uncertainty)),
         mc("Confidence", pct(d.confidence)),

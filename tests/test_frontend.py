@@ -90,81 +90,65 @@ def test_no_path_traversal(server):
         assert httpx.get(base + evil).status_code in (404, 422), evil
 
 
-def _js_balance(src, name):
-    """Best-effort syntax check (no JS engine in this image): brackets must
-    balance outside strings/comments/regex-free template literals."""
-    stack = []
-    pairs = {")": "(", "]": "[", "}": "{"}
-    i, n = 0, len(src)
-    mode = []          # nested contexts: "`" template, "${" interpolation
-    while i < n:
-        c = src[i]
-        top = mode[-1] if mode else None
-        if top == "line-comment":
-            if c == "\n":
-                mode.pop()
-        elif top == "block-comment":
-            if src.startswith("*/", i):
-                mode.pop(); i += 1
-        elif top in ("'", '"'):
-            if c == "\\":
-                i += 1
-            elif c == top or c == "\n":
-                mode.pop()
-        elif top == "`":
-            if c == "\\":
-                i += 1
-            elif c == "`":
-                mode.pop()
-            elif src.startswith("${", i):
-                # remember stack depth so the matching } is unambiguous
-                mode.append(("${", len(stack))); i += 1
-        else:
-            if src.startswith("//", i):
-                mode.append("line-comment"); i += 1
-            elif src.startswith("/*", i):
-                mode.append("block-comment"); i += 1
-            elif c == "/":
-                # regex literal when preceded by an operator/opening context
-                j = i - 1
-                while j >= 0 and src[j] in " \t\n":
-                    j -= 1
-                if j < 0 or src[j] in "(,=:[!&|?{};":
-                    i += 1
-                    in_class = False
-                    while i < n:
-                        if src[i] == "\\":
-                            i += 1
-                        elif src[i] == "[":
-                            in_class = True
-                        elif src[i] == "]":
-                            in_class = False
-                        elif src[i] == "/" and not in_class:
-                            break
-                        elif src[i] == "\n":
-                            break
-                        i += 1
-            elif c in "'\"`":
-                mode.append(c)
-            elif c in "([{":
-                stack.append((c, i))
-            elif c in ")]}":
-                interp = isinstance(top, tuple) and top[0] == "${"
-                if interp and c == "}" and len(stack) == top[1]:
-                    mode.pop()
-                else:
-                    assert stack, f"{name}: unmatched {c} at {i}"
-                    o, _ = stack.pop()
-                    assert o == pairs[c], \
-                        f"{name}: mismatched {o}…{c} near offset {i}"
-        i += 1
-    assert not stack, f"{name}: unclosed {stack[-3:]}"
-    assert not mode, f"{name}: unterminated {mode}"
-
-
-def test_js_modules_are_balanced():
+def test_js_modules_tokenize_balance_and_html_validate():
+    """Real tokenization replaces the old brace counting (VERDICT r4
+    weak #1): every module must lex cleanly (strings, nested templates,
+    regex literals, comments), bracket-balance at the TOKEN level, and
+    every markup-bearing template literal must parse as well-formed
+    HTML."""
+    from lameness_tpu.utils.eslex import (tokenize, validate_module,
+                                          walk_templates)
+    n_templates = n_html = 0
     for p in [STATIC / "app.js"] + sorted((STATIC / "pages").glob("*.js")):
-        _js_balance(p.read_text(), p.name)
+        src = p.read_text()
+        assert validate_module(src, p.name) == []
+        tmpl = list(walk_templates(tokenize(src, p.name)))
+        n_templates += len(tmpl)
+        n_html += sum(1 for t in tmpl
+                      if any("<" in c for c in t.chunks))
+    # the check must actually be exercising markup, not vacuously passing
+    assert n_templates > 200, n_templates
+    assert n_html > 100, n_html
+
+
+def test_eslex_catches_seeded_errors():
+    """The validator fails on the exact error classes the old brace
+    counter shipped green: malformed HTML inside a template literal,
+    a stray bracket smuggled around one, and unterminated literals."""
+    from lameness_tpu.utils.eslex import LexError, validate_module
+
+    # malformed HTML inside a template literal
+    bad_html = 'export default { render: (el) => { el.innerHTML = ' \
+               '`<div><span class="x">${v}</div>`; } };'
+    errs = validate_module(bad_html, "seeded.js")
+    assert errs and "closes <span>" in errs[0], errs
+
+    # unclosed tag at end of fragment
+    errs = validate_module('const t = `<table><tr><td>${x}</td></tr>`;',
+                           "seeded.js")
+    assert any("never closed" in e for e in errs), errs
+
+    # stray } in CODE (template contents must not absorb it)
+    errs = validate_module('const a = `ok}`; function f() { return 1; } }',
+                           "seeded.js")
+    assert errs and "unmatched '}'" in errs[0], errs
+
+    # unterminated template literal
+    errs = validate_module('const b = `<div>oops; const c = 1;',
+                           "seeded.js")
+    assert errs and "unterminated template" in errs[0], errs
+
+    # regex literal containing braces/quotes must NOT confuse the lexer
+    ok = 'const re = /[}{"`]+/g; const s = "a/b"; const d = x / y / 2;'
+    assert validate_module(ok, "ok.js") == []
+
+    # sanity: LexError carries file:line
+    try:
+        validate_module('const q = "unterminated\n";', "pos.js")
+    except LexError:                           # pragma: no cover
+        pass
+    errs = validate_module('const q = "unterminated\nmore";', "pos.js")
+    assert errs and errs[0].startswith("pos.js:1"), errs
 
 
 def _page_sources():

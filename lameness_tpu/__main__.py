@@ -90,17 +90,20 @@ def _build(args, engine_needed=True):
         # After the precision cast so replicate_params spreads the final
         # (bf16) params.
         dp = getattr(args, "dp", None) or os.environ.get("LAMENESS_DP")
-        if dp:
-            n = jax.device_count() if str(dp) == "auto" else int(dp)
+        tp = int(getattr(args, "tp", None)
+                 or os.environ.get("LAMENESS_TP") or 1)
+        if dp or tp > 1:
+            n = jax.device_count() if str(dp) == "auto" \
+                else int(dp or 1) * tp
             if n > 1:
                 if n > jax.device_count():
                     raise SystemExit(
-                        f"--dp {n}: only {jax.device_count()} device(s) "
-                        f"visible")
+                        f"--dp {dp} --tp {tp}: needs {n} devices, only "
+                        f"{jax.device_count()} visible")
                 from .parallel.mesh import make_mesh
-                engine.shard_inference(make_mesh(n))
-                print(f"dp: inference sharded over {n} devices",
-                      flush=True)
+                engine.shard_inference(make_mesh(n, model_parallel=tp))
+                print(f"mesh: inference sharded over {n} devices "
+                      f"(data={n // tp}, model={tp})", flush=True)
     return cfg, engine, LamenessApp
 
 
@@ -116,6 +119,11 @@ def main(argv=None):
                          "all visible devices); clip batches shard over "
                          "the mesh, params replicate (LAMENESS_DP env "
                          "equivalent)")
+    ap.add_argument("--tp", type=int, default=None,
+                    help="tensor-parallel degree composing with --dp: a "
+                         "{data: dp, model: tp} mesh shards the ViT "
+                         "towers' heads/MLP over the model axis "
+                         "(LAMENESS_TP env equivalent)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("serve", help="reactive app + admin API")

@@ -152,6 +152,13 @@ class SamConfig:
     patch_size: int = 16
     prompt_embed_dim: int = 256
     mask_threshold: float = 0.0
+    # encode the detection frames in sub-batches of this size (0 = one
+    # batched call): single-chip activation-memory governor that lets
+    # vit_h run batch 8 (EngineSpec.sam_encode_chunk carries it)
+    encode_chunk: int = 0
+    # per-layer activation checkpointing in the ViTDet encoder — the
+    # fine-tune memory knob (inference uses encode_chunk instead)
+    encoder_remat: bool = False
 
 
 @dataclass(frozen=True)

@@ -259,6 +259,12 @@ class SamVisionEncoder(nn.Module):
     window_size: int = 14
     global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
     fused_global: Optional[bool] = None
+    # activation checkpointing per transformer layer: trades ~1 extra
+    # forward of FLOPs in the backward pass for O(depth) less live
+    # activation memory — the fine-tune knob for the 32-layer vit_h
+    # encoder.  Inference memory is bounded by EngineSpec.sam_encode_chunk
+    # instead (no backward pass to save).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, content_rows: int = 0):
@@ -287,10 +293,11 @@ class SamVisionEncoder(nn.Module):
         x = x + (pos if (gh, gw) == (g, g) else pos[:, :gh, :gw])
         first_global = min(self.global_attn_indexes) \
             if self.global_attn_indexes else self.depth
+        layer_cls = nn.remat(VisionLayer) if self.remat else VisionLayer
         for i in range(self.depth):
             win = 0 if i in self.global_attn_indexes else self.window_size
-            layer = VisionLayer(self.dim, self.heads, self.mlp_ratio, win,
-                                (g, g), self.fused_global, name=f"layer{i}")
+            layer = layer_cls(self.dim, self.heads, self.mlp_ratio, win,
+                              (g, g), self.fused_global, name=f"layer{i}")
             split = 0
             if (win and content_rows and i < first_global
                     and (gh, gw) == (g, g) and x.shape[0] > 1):
@@ -612,7 +619,8 @@ def infer_variant(encoder_dim: int) -> str:
 
 
 def build_sam(variant: str = "vit_b", img_size: int = 1024,
-              fused_global: Optional[bool] = None) -> "Sam":
+              fused_global: Optional[bool] = None,
+              encoder_remat: bool = False) -> "Sam":
     """Variant-geometry Sam constructor (config.sam.variant -> module).
 
     head_dim is 64 for vit_b/vit_l and 80 for vit_h; the Pallas
@@ -627,7 +635,8 @@ def build_sam(variant: str = "vit_b", img_size: int = 1024,
         raise ValueError(
             f"unknown SAM variant {variant!r}; expected one of "
             f"{sorted(SAM_VARIANTS)}") from None
-    return Sam(img_size=img_size, fused_global=fused_global, **geo)
+    return Sam(img_size=img_size, fused_global=fused_global,
+               encoder_remat=encoder_remat, **geo)
 
 
 class Sam(nn.Module):
@@ -640,13 +649,15 @@ class Sam(nn.Module):
     global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
     window_size: int = 14
     fused_global: Optional[bool] = None
+    encoder_remat: bool = False      # per-layer activation checkpointing
 
     def setup(self):
         self.vision_encoder = SamVisionEncoder(
             img_size=self.img_size, dim=self.encoder_dim,
             depth=self.encoder_depth, heads=self.encoder_heads,
             global_attn_indexes=self.global_attn_indexes,
-            window_size=self.window_size, fused_global=self.fused_global)
+            window_size=self.window_size, fused_global=self.fused_global,
+            remat=self.encoder_remat)
         self.prompt_encoder = SamPromptEncoder(
             input_image_size=self.img_size,
             image_embedding_size=self.img_size // 16)

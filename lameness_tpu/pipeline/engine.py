@@ -121,6 +121,14 @@ class EngineSpec:
     # without pose pixels cannot run a trained pose model —
     # install_pose_params refuses with guidance.
     pose_pixels: bool = True
+    # single-chip memory governor for the big SAM encoders: encode the
+    # B·Td detection frames in sequential sub-batches of this size
+    # (lax.map) instead of one batched call — peak encoder activation
+    # memory scales with the CHUNK, not the batch, so vit_h fits batch 8
+    # on one chip (VERDICT r4 item 2; the OOM was activations, params are
+    # only ~1.2 GB bf16).  0 = whole batch in one call (vit_b default).
+    # Bench knob: LAMENESS_SAM_CHUNK.
+    sam_encode_chunk: int = 0
 
     # stage frame subsets (reference sampling rules, SURVEY §6)
     @property
@@ -267,8 +275,11 @@ class LamenessEngine:
         self.dino = dino_mod.DinoV2()       # ViT-B/14, dinov2-base geometry
         # variant geometry from config (vit_b/vit_l/vit_h — the
         # reference selects by checkpoint name, sam3:51-72)
-        self.sam = build_sam(self.config.sam.variant, img_size=s.sam_size) \
+        self.sam = build_sam(self.config.sam.variant, img_size=s.sam_size,
+                             encoder_remat=self.config.sam.encoder_remat) \
             if s.use_sam_model else None
+        if self.config.sam.encode_chunk and not s.sam_encode_chunk:
+            s.sam_encode_chunk = self.config.sam.encode_chunk
         self.tcn = TCN(input_dim=44)
         self.gait = GaitTransformer(input_dim=44)
         # jit every init: eager init is pathologically slow on remote-compile
@@ -672,8 +683,22 @@ class LamenessEngine:
             if self._sam_fused_active():
                 # fused Pallas rel-pos attention never materialises the
                 # (N, N) bias — all clip frames encode in one batch
-                emb = self.sam.apply(params["sam"], sam_in, crows,
-                                     method=self.sam.encode)
+                # (or in sam_encode_chunk sub-batches: peak activation
+                # memory scales with the chunk, letting vit_h run b8)
+                chunk = s.sam_encode_chunk
+                n_img = sam_in.shape[0]
+                if chunk and 0 < chunk < n_img:
+                    pad = (-n_img) % chunk
+                    si = jnp.concatenate(
+                        [sam_in, sam_in[:pad]]) if pad else sam_in
+                    emb = jax.lax.map(
+                        lambda c: self.sam.apply(params["sam"], c, crows,
+                                                 method=self.sam.encode),
+                        si.reshape((-1, chunk) + si.shape[1:]))
+                    emb = emb.reshape((-1,) + emb.shape[2:])[:n_img]
+                else:
+                    emb = self.sam.apply(params["sam"], sam_in, crows,
+                                         method=self.sam.encode)
             else:
                 # unfused path: the global-attention bias is (12, 4096,
                 # 4096) f32 per frame — batching all frames would

@@ -819,13 +819,17 @@ class PipelineDriver:
         video_id = self.ingest(video_path, video_id)
         if curate:
             raw = next(iter(self.dirs.videos.glob(f"{video_id}.*")))
-            self.curator.curate_video(raw, video_id)
+            with TIMERS.time("curation"):
+                self.curator.curate_video(raw, video_id)
         pre = self.preprocess(video_id)
         self.run_feature_stages(video_id, Path(pre["processed_path"]))
         self.run_tracking(video_id)
         if graph_heads:
-            self._ensure_graph_runner().process_video(video_id)
-        self.run_ml(video_id)
-        fusion = self.fusion.process_video(
-            video_id, timestamp=datetime.now(timezone.utc).isoformat())
+            with TIMERS.time("graph_heads"):
+                self._ensure_graph_runner().process_video(video_id)
+        with TIMERS.time("ml"):
+            self.run_ml(video_id)
+        with TIMERS.time("fusion"):
+            fusion = self.fusion.process_video(
+                video_id, timestamp=datetime.now(timezone.utc).isoformat())
         return {"video_id": video_id, "fusion": fusion}

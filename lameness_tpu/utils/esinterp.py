@@ -1,0 +1,2349 @@
+"""Tree-walking interpreter for the ES-module subset the SPA uses.
+
+No JS runtime ships in this image; this converts "checklist parity" for
+the SPA pages (serve/static/**.js, the rebuild of the reference's
+frontend/src/pages/*.tsx) into EXECUTED parity: pages run for real —
+the real app.js module, real template rendering, real api() calls
+against the live admin server, into a DOM stub — so runtime TypeErrors
+in exercised branches fail tests instead of shipping (VERDICT r4
+item 9 / missing #4).
+
+Scope (bounded by a survey of the 21 modules): import/export,
+async/await (synchronous promises), arrow + function expressions with
+destructuring/default/rest params, const/let destructuring, for-of /
+classic for, if/try/throw, template literals, regex literals (via
+``re``), spread, optional chaining, ``??``/logical assignment, update
+expressions, object method shorthand, and the Array/String/Object/
+Math/JSON/Number/Promise/Map/Set/Date built-ins the pages call.  NOT a
+spec-complete engine: no classes, generators, labels, ``with``,
+prototype mutation, or getters.
+
+The host supplies browser globals (document, fetch, localStorage,
+WebSocket, timers) — see tests/support_browser.py.
+"""
+from __future__ import annotations
+
+import json as _json
+import math
+import re as _re
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from .eslex import LexError, Tok, tokenize
+
+# ---------------------------------------------------------------------------
+# values
+# ---------------------------------------------------------------------------
+
+
+class JSUndefined:
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "undefined"
+
+    def __bool__(self):
+        return False
+
+
+UNDEF = JSUndefined()
+
+
+class JSObject(dict):
+    """A plain JS object; attribute-style props live as dict keys."""
+    pass
+
+
+class JSRegExp:
+    def __init__(self, pattern: str, flags: str):
+        py = 0
+        if "i" in flags:
+            py |= _re.IGNORECASE
+        if "s" in flags:
+            py |= _re.DOTALL
+        if "m" in flags:
+            py |= _re.MULTILINE
+        self.source, self.flags = pattern, flags
+        self.global_ = "g" in flags
+        self.rx = _re.compile(_js_regex_to_py(pattern), py)
+
+    def __repr__(self):
+        return f"/{self.source}/{self.flags}"
+
+
+def _js_regex_to_py(p: str) -> str:
+    # the common JS-isms the pages use translate directly; \d \w etc are
+    # shared.  JS's "/" needs no escape in python
+    return p.replace(r"\/", "/")
+
+
+class JSFunction:
+    def __init__(self, node, env: "Env", interp: "Interp",
+                 this: Any = UNDEF):
+        self.node = node        # ("func", params, body, is_arrow, is_async, name)
+        self.env = env
+        self.interp = interp
+        self.this = this
+        self.name = node[5] or ""
+
+    def __call__(self, *args):
+        return self.interp.call_function(self, list(args), UNDEF)
+
+    def __repr__(self):
+        return f"[Function {self.name or 'anonymous'}]"
+
+
+class Promise:
+    def __init__(self, value=UNDEF, resolved=True, error=None):
+        self.value, self.resolved, self.error = value, resolved, error
+        self.callbacks: List[Tuple[Any, Any]] = []
+
+    def resolve(self, value):
+        self.value, self.resolved = value, True
+        for ok, _ in self.callbacks:
+            if ok is not None:
+                _call(ok, [value])
+        self.callbacks.clear()
+
+    def reject(self, err):
+        self.error, self.resolved = err, True
+        for _, bad in self.callbacks:
+            if bad is not None:
+                _call(bad, [err])
+        self.callbacks.clear()
+
+
+class JSError(Exception):
+    """A thrown JS value."""
+
+    def __init__(self, value):
+        self.value = value
+        super().__init__(js_str(_get(value, "message"))
+                         if isinstance(value, JSObject) else js_str(value))
+
+
+def make_error(msg: str, kind: str = "Error") -> JSObject:
+    e = JSObject()
+    e["message"] = msg
+    e["name"] = kind
+    e["__error__"] = True
+    return e
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+_ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%=", "&&=", "||=", "??=",
+               "&=", "|=", "^="}
+_BIN_PREC = {
+    "??": 1, "||": 2, "&&": 3, "|": 4, "^": 5, "&": 6,
+    "==": 7, "!=": 7, "===": 7, "!==": 7,
+    "<": 8, ">": 8, "<=": 8, ">=": 8, "instanceof": 8, "in": 8,
+    "<<": 9, ">>": 9, ">>>": 9,
+    "+": 10, "-": 10,
+    "*": 11, "/": 11, "%": 11,
+    "**": 12,
+}
+
+
+class ParseError(SyntaxError):
+    pass
+
+
+class Parser:
+    def __init__(self, toks: List[Tok], name: str = "<js>", src: str = ""):
+        self.toks = toks
+        self.i = 0
+        self.name = name
+        self.src = src
+
+    # -- token helpers --------------------------------------------------------
+    def peek(self, k=0) -> Optional[Tok]:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def at(self, kind, value=None, k=0) -> bool:
+        t = self.peek(k)
+        return t is not None and t.kind == kind and \
+            (value is None or t.value == value)
+
+    def at_punct(self, *vals) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "punct" and t.value in vals
+
+    def at_kw(self, *words) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "ident" and t.value in words
+
+    def eat(self, kind=None, value=None) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise ParseError(f"{self.name}: unexpected EOF "
+                             f"(wanted {value or kind})")
+        if kind and t.kind != kind or value is not None and t.value != value:
+            raise ParseError(
+                f"{self.name}:{self._line(t)}: expected {value or kind}, "
+                f"got {t.kind} {t.value!r}")
+        self.i += 1
+        return t
+
+    def _line(self, t: Tok) -> int:
+        return self.src.count("\n", 0, t.pos) + 1
+
+    def _here(self) -> str:
+        t = self.peek()
+        ln = self._line(t) if t is not None else 0
+        return f"{self.name}:{ln}"
+
+    def opt_semi(self):
+        while self.at_punct(";"):
+            self.i += 1
+
+    # -- module ---------------------------------------------------------------
+    def parse_module(self):
+        stmts = []
+        while self.peek() is not None:
+            stmts.append(self.statement())
+        return ("module", stmts)
+
+    # -- statements -----------------------------------------------------------
+    def statement(self):
+        if self.at_kw("import") and not self.at("punct", "(", 1):
+            return self.import_stmt()
+        if self.at_kw("export"):
+            return self.export_stmt()
+        if self.at_kw("const", "let", "var"):
+            s = self.var_decl()
+            self.opt_semi()
+            return s
+        if self.at_kw("function") or (self.at_kw("async")
+                                      and self.at("ident", "function", 1)):
+            return self.function_decl()
+        if self.at_kw("if"):
+            return self.if_stmt()
+        if self.at_kw("for"):
+            return self.for_stmt()
+        if self.at_kw("while"):
+            self.eat()
+            self.eat("punct", "(")
+            test = self.expression()
+            self.eat("punct", ")")
+            return ("while", test, self.block_or_stmt())
+        if self.at_kw("return"):
+            t = self.eat()
+            if self.at_punct(";", "}") or self.peek() is None or \
+                    self._newline_before(t):
+                pass
+            val = None
+            if not (self.at_punct(";", "}") or self.peek() is None):
+                val = self.expression()
+            self.opt_semi()
+            return ("return", val)
+        if self.at_kw("throw"):
+            self.eat()
+            e = self.expression()
+            self.opt_semi()
+            return ("throw", e)
+        if self.at_kw("try"):
+            return self.try_stmt()
+        if self.at_kw("break"):
+            self.eat()
+            self.opt_semi()
+            return ("break",)
+        if self.at_kw("continue"):
+            self.eat()
+            self.opt_semi()
+            return ("continue",)
+        if self.at_punct("{"):
+            return self.block()
+        if self.at_punct(";"):
+            self.eat()
+            return ("empty",)
+        e = self.expression()
+        self.opt_semi()
+        return ("expr", e)
+
+    def _newline_before(self, after_tok: Tok) -> bool:
+        nxt = self.peek()
+        if nxt is None:
+            return True
+        between = self.src[after_tok.pos + len(after_tok.value):nxt.pos]
+        return "\n" in between
+
+    def block(self):
+        self.eat("punct", "{")
+        stmts = []
+        while not self.at_punct("}"):
+            stmts.append(self.statement())
+        self.eat("punct", "}")
+        return ("block", stmts)
+
+    def block_or_stmt(self):
+        return self.block() if self.at_punct("{") else \
+            ("block", [self.statement()])
+
+    def import_stmt(self):
+        self.eat()                                   # import
+        default = None
+        names: List[Tuple[str, str]] = []
+        if self.at("ident"):
+            default = self.eat("ident").value
+            if self.at_punct(","):
+                self.eat()
+        if self.at_punct("{"):
+            self.eat()
+            while not self.at_punct("}"):
+                imported = self.eat("ident").value
+                local = imported
+                if self.at_kw("as"):
+                    self.eat()
+                    local = self.eat("ident").value
+                names.append((imported, local))
+                if self.at_punct(","):
+                    self.eat()
+            self.eat("punct", "}")
+        self.eat("ident", "from")
+        src = self.eat("str").value[1:-1]
+        self.opt_semi()
+        return ("import", default, names, src)
+
+    def export_stmt(self):
+        self.eat()                                   # export
+        if self.at_kw("default"):
+            self.eat()
+            if self.at_kw("function") or (
+                    self.at_kw("async")
+                    and self.at("ident", "function", 1)):
+                fn = self.function_decl()
+                return ("export_default", ("ident", fn[1]), fn)
+            e = self.expression()
+            self.opt_semi()
+            return ("export_default", e, None)
+        if self.at_kw("const", "let", "var"):
+            d = self.var_decl()
+            self.opt_semi()
+            return ("export_decl", d)
+        if self.at_kw("function") or (self.at_kw("async")
+                                      and self.at("ident", "function", 1)):
+            return ("export_decl", self.function_decl())
+        if self.at_punct("{"):
+            self.eat()
+            names = []
+            while not self.at_punct("}"):
+                names.append(self.eat("ident").value)
+                if self.at_punct(","):
+                    self.eat()
+            self.eat("punct", "}")
+            self.opt_semi()
+            return ("export_names", names)
+        raise ParseError(f"{self.name}: unsupported export form")
+
+    def var_decl(self):
+        kind = self.eat("ident").value
+        decls = []
+        while True:
+            target = self.binding_pattern()
+            init = None
+            if self.at_punct("="):
+                self.eat()
+                init = self.assignment_expr()
+            decls.append((target, init))
+            if self.at_punct(","):
+                self.eat()
+                continue
+            break
+        return ("var", kind, decls)
+
+    def binding_pattern(self):
+        if self.at_punct("["):
+            self.eat()
+            elems, rest = [], None
+            while not self.at_punct("]"):
+                if self.at_punct(","):
+                    self.eat()
+                    elems.append(None)
+                    continue
+                if self.at_punct("..."):
+                    self.eat()
+                    rest = self.eat("ident").value
+                else:
+                    p = self.binding_pattern()
+                    default = None
+                    if self.at_punct("="):
+                        self.eat()
+                        default = self.assignment_expr()
+                    elems.append((p, default))
+                if self.at_punct(","):
+                    self.eat()
+            self.eat("punct", "]")
+            return ("arr_pat", elems, rest)
+        if self.at_punct("{"):
+            self.eat()
+            props, rest = [], None
+            while not self.at_punct("}"):
+                if self.at_punct("..."):
+                    self.eat()
+                    rest = self.eat("ident").value
+                else:
+                    key = self.eat("ident").value
+                    alias = key
+                    sub = None
+                    if self.at_punct(":"):
+                        self.eat()
+                        sub = self.binding_pattern()
+                    default = None
+                    if self.at_punct("="):
+                        self.eat()
+                        default = self.assignment_expr()
+                    props.append((key, sub or ("ident_pat", alias), default))
+                if self.at_punct(","):
+                    self.eat()
+            self.eat("punct", "}")
+            return ("obj_pat", props, rest)
+        return ("ident_pat", self.eat("ident").value)
+
+    def function_decl(self):
+        is_async = False
+        if self.at_kw("async"):
+            self.eat()
+            is_async = True
+        self.eat("ident", "function")
+        name = self.eat("ident").value
+        params = self.param_list()
+        body = self.block()
+        return ("func_decl", name,
+                ("func", params, body, False, is_async, name))
+
+    def param_list(self):
+        self.eat("punct", "(")
+        params = []
+        while not self.at_punct(")"):
+            if self.at_punct("..."):
+                self.eat()
+                params.append(("rest", self.eat("ident").value))
+            else:
+                p = self.binding_pattern()
+                default = None
+                if self.at_punct("="):
+                    self.eat()
+                    default = self.assignment_expr()
+                params.append(("param", p, default))
+            if self.at_punct(","):
+                self.eat()
+        self.eat("punct", ")")
+        return params
+
+    def if_stmt(self):
+        self.eat()
+        self.eat("punct", "(")
+        test = self.expression()
+        self.eat("punct", ")")
+        cons = self.block_or_stmt()
+        alt = None
+        if self.at_kw("else"):
+            self.eat()
+            alt = self.if_stmt() if self.at_kw("if") else self.block_or_stmt()
+        return ("if", test, cons, alt)
+
+    def for_stmt(self):
+        self.eat()
+        self.eat("punct", "(")
+        if self.at_kw("const", "let", "var"):
+            kind = self.eat("ident").value
+            pat = self.binding_pattern()
+            if self.at_kw("of"):
+                self.eat()
+                it = self.expression()
+                self.eat("punct", ")")
+                return ("for_of", kind, pat, it, self.block_or_stmt())
+            if self.at_kw("in"):
+                self.eat()
+                it = self.expression()
+                self.eat("punct", ")")
+                return ("for_in", kind, pat, it, self.block_or_stmt())
+            # classic: const/let i = ...
+            init_decls = []
+            init = None
+            if self.at_punct("="):
+                self.eat()
+                init = self.assignment_expr()
+            init_decls.append((pat, init))
+            while self.at_punct(","):
+                self.eat()
+                p2 = self.binding_pattern()
+                i2 = None
+                if self.at_punct("="):
+                    self.eat()
+                    i2 = self.assignment_expr()
+                init_decls.append((p2, i2))
+            init_stmt = ("var", kind, init_decls)
+        elif self.at_punct(";"):
+            init_stmt = None
+        else:
+            init_stmt = ("expr", self.expression())
+        self.eat("punct", ";")
+        test = None if self.at_punct(";") else self.expression()
+        self.eat("punct", ";")
+        update = None if self.at_punct(")") else self.expression()
+        self.eat("punct", ")")
+        return ("for", init_stmt, test, update, self.block_or_stmt())
+
+    def try_stmt(self):
+        self.eat()
+        block = self.block()
+        param, handler, fin = None, None, None
+        if self.at_kw("catch"):
+            self.eat()
+            if self.at_punct("("):
+                self.eat()
+                param = self.binding_pattern()
+                self.eat("punct", ")")
+            handler = self.block()
+        if self.at_kw("finally"):
+            self.eat()
+            fin = self.block()
+        return ("try", block, param, handler, fin)
+
+    # -- expressions ----------------------------------------------------------
+    def expression(self):
+        e = self.assignment_expr()
+        while self.at_punct(","):
+            self.eat()
+            e = ("seq", e, self.assignment_expr())
+        return e
+
+    def assignment_expr(self):
+        arrow = self.try_arrow()
+        if arrow is not None:
+            return arrow
+        left = self.conditional()
+        t = self.peek()
+        if t is not None and t.kind == "punct" and t.value in _ASSIGN_OPS:
+            self.eat()
+            right = self.assignment_expr()
+            return ("assign", t.value, left, right)
+        return left
+
+    def try_arrow(self):
+        """Lookahead for [async] (params) => …  /  [async] ident => …"""
+        start = self.i
+        is_async = False
+        if self.at_kw("async") and (
+                self.at("ident", None, 1) or self.at("punct", "(", 1)) \
+                and not self.at("ident", "function", 1):
+            # tentative; roll back if no arrow follows
+            self.i += 1
+            is_async = True
+        if self.at("ident") and self.at("punct", "=>", 1):
+            name = self.eat("ident").value
+            self.eat("punct", "=>")
+            params = [("param", ("ident_pat", name), None)]
+            return self.arrow_body(params, is_async)
+        if self.at_punct("("):
+            depth, j = 0, self.i
+            while j < len(self.toks):
+                t = self.toks[j]
+                if t.kind == "punct" and t.value in "([{":
+                    depth += 1
+                elif t.kind == "punct" and t.value in ")]}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            nxt = self.toks[j + 1] if j + 1 < len(self.toks) else None
+            if nxt is not None and nxt.kind == "punct" and nxt.value == "=>":
+                params = self.param_list()
+                self.eat("punct", "=>")
+                return self.arrow_body(params, is_async)
+        self.i = start
+        return None
+
+    def arrow_body(self, params, is_async):
+        if self.at_punct("{"):
+            body = self.block()
+        else:
+            body = ("return", self.assignment_expr())
+        return ("func", params, body, True, is_async, None)
+
+    def conditional(self):
+        test = self.binary(0)
+        if self.at_punct("?"):
+            self.eat()
+            cons = self.assignment_expr()
+            self.eat("punct", ":")
+            alt = self.assignment_expr()
+            return ("cond", test, cons, alt)
+        return test
+
+    def binary(self, min_prec):
+        left = self.unary()
+        while True:
+            t = self.peek()
+            if t is None:
+                return left
+            op = t.value
+            if t.kind == "ident" and op in ("instanceof", "in"):
+                prec = _BIN_PREC[op]
+            elif t.kind == "punct" and op in _BIN_PREC:
+                prec = _BIN_PREC[op]
+            else:
+                return left
+            if prec < min_prec:
+                return left
+            self.eat()
+            right = self.binary(prec + (0 if op == "**" else 1))
+            kind = "logical" if op in ("&&", "||", "??") else "binary"
+            left = (kind, op, left, right)
+
+    def unary(self):
+        t = self.peek()
+        if t is None:
+            raise ParseError(f"{self.name}: unexpected EOF in expression")
+        if t.kind == "punct" and t.value in ("!", "~", "+", "-"):
+            self.eat()
+            return ("unary", t.value, self.unary())
+        if t.kind == "punct" and t.value in ("++", "--"):
+            self.eat()
+            return ("update", t.value, self.unary(), True)
+        if t.kind == "ident" and t.value in ("typeof", "void", "delete"):
+            self.eat()
+            return ("unary", t.value, self.unary())
+        if t.kind == "ident" and t.value == "await":
+            self.eat()
+            return ("await", self.unary())
+        e = self.postfix()
+        t = self.peek()
+        if t is not None and t.kind == "punct" and t.value in ("++", "--") \
+                and not self._newline_between(e, t):
+            self.eat()
+            return ("update", t.value, e, False)
+        return e
+
+    def _newline_between(self, _e, _t) -> bool:
+        return False           # ASI corner the pages don't rely on
+
+    def postfix(self):
+        if self.at_kw("new"):
+            self.eat()
+            callee = self.member_only(self.primary())
+            args = self.call_args() if self.at_punct("(") else []
+            e = ("new", callee, args)
+        else:
+            e = self.primary()
+        return self.call_member_chain(e)
+
+    def member_only(self, e):
+        while True:
+            if self.at_punct("."):
+                self.eat()
+                e = ("member", e, self.eat("ident").value, False, False)
+            elif self.at_punct("["):
+                self.eat()
+                prop = self.expression()
+                self.eat("punct", "]")
+                e = ("member", e, prop, True, False)
+            else:
+                return e
+
+    def call_member_chain(self, e):
+        while True:
+            if self.at_punct("."):
+                self.eat()
+                e = ("member", e, self.eat("ident").value, False, False)
+            elif self.at_punct("?."):
+                self.eat()
+                if self.at_punct("("):
+                    e = ("call", e, self.call_args(), True,
+                         self._here())
+                elif self.at_punct("["):
+                    self.eat()
+                    prop = self.expression()
+                    self.eat("punct", "]")
+                    e = ("member", e, prop, True, True)
+                else:
+                    e = ("member", e, self.eat("ident").value, False, True)
+            elif self.at_punct("["):
+                self.eat()
+                prop = self.expression()
+                self.eat("punct", "]")
+                e = ("member", e, prop, True, False)
+            elif self.at_punct("("):
+                here = self._here()
+                e = ("call", e, self.call_args(), False, here)
+            elif self.at("template"):
+                raise ParseError(f"{self.name}: tagged templates "
+                                 "unsupported")
+            else:
+                return e
+
+    def call_args(self):
+        self.eat("punct", "(")
+        args = []
+        while not self.at_punct(")"):
+            if self.at_punct("..."):
+                self.eat()
+                args.append(("spread", self.assignment_expr()))
+            else:
+                args.append(self.assignment_expr())
+            if self.at_punct(","):
+                self.eat()
+        self.eat("punct", ")")
+        return args
+
+    def primary(self):
+        t = self.peek()
+        if t is None:
+            raise ParseError(f"{self.name}: unexpected EOF")
+        if t.kind == "num":
+            self.eat()
+            v = t.value
+            if v.startswith(("0x", "0X")):
+                return ("num", float(int(v, 16)))
+            if v.startswith(("0b", "0B")):
+                return ("num", float(int(v, 2)))
+            if v.startswith(("0o", "0O")):
+                return ("num", float(int(v, 8)))
+            return ("num", float(v))
+        if t.kind == "str":
+            self.eat()
+            return ("str", _unescape(t.value[1:-1]))
+        if t.kind == "template":
+            self.eat()
+            exprs = []
+            for ets in t.exprs:
+                sub = Parser(list(ets), self.name, self.src)
+                exprs.append(sub.expression())
+                if sub.peek() is not None:
+                    raise ParseError(f"{self.name}: trailing tokens in "
+                                     "template expression")
+            return ("tmpl", t.chunks, tuple(exprs))
+        if t.kind == "regex":
+            self.eat()
+            body = t.value
+            last = body.rindex("/")
+            return ("regex", body[1:last], body[last + 1:])
+        if t.kind == "ident":
+            v = t.value
+            if v == "import" and self.at("punct", "(", 1):
+                self.eat()
+                self.eat("punct", "(")
+                arg = self.assignment_expr()
+                self.eat("punct", ")")
+                return ("dyn_import", arg)
+            if v in ("true", "false"):
+                self.eat()
+                return ("bool", v == "true")
+            if v == "null":
+                self.eat()
+                return ("null",)
+            if v == "undefined":
+                self.eat()
+                return ("undef",)
+            if v == "function" or (v == "async"
+                                   and self.at("ident", "function", 1)):
+                is_async = v == "async"
+                if is_async:
+                    self.eat()
+                self.eat("ident", "function")
+                name = self.eat("ident").value if self.at("ident") else None
+                params = self.param_list()
+                body = self.block()
+                return ("func", params, body, False, is_async, name)
+            self.eat()
+            return ("ident", v)
+        if t.kind == "punct" and t.value == "(":
+            self.eat()
+            e = self.expression()
+            self.eat("punct", ")")
+            return e
+        if t.kind == "punct" and t.value == "[":
+            self.eat()
+            elems = []
+            while not self.at_punct("]"):
+                if self.at_punct(","):
+                    self.eat()
+                    elems.append(("undef",))
+                    continue
+                if self.at_punct("..."):
+                    self.eat()
+                    elems.append(("spread", self.assignment_expr()))
+                else:
+                    elems.append(self.assignment_expr())
+                if self.at_punct(","):
+                    self.eat()
+            self.eat("punct", "]")
+            return ("array", elems)
+        if t.kind == "punct" and t.value == "{":
+            return self.object_literal()
+        raise ParseError(f"{self.name}:{self._line(t)}: unexpected "
+                         f"{t.kind} {t.value!r}")
+
+    def object_literal(self):
+        self.eat("punct", "{")
+        props = []
+        while not self.at_punct("}"):
+            if self.at_punct("..."):
+                self.eat()
+                props.append(("spread", self.assignment_expr()))
+            elif self.at_punct("["):
+                self.eat()
+                key = self.expression()
+                self.eat("punct", "]")
+                self.eat("punct", ":")
+                props.append(("computed", key, self.assignment_expr()))
+            else:
+                is_async = False
+                if self.at_kw("async") and (
+                        self.at("ident", None, 1)
+                        and self.at("punct", "(", 2)):
+                    self.eat()
+                    is_async = True
+                kt = self.peek()
+                if kt.kind in ("str", "num"):
+                    self.eat()
+                    key = _unescape(kt.value[1:-1]) if kt.kind == "str" \
+                        else js_str(float(kt.value))
+                else:
+                    key = self.eat("ident").value
+                if self.at_punct("("):           # method shorthand
+                    params = self.param_list()
+                    body = self.block()
+                    props.append(("prop", key,
+                                  ("func", params, body, False, is_async,
+                                   key)))
+                elif self.at_punct(":"):
+                    self.eat()
+                    props.append(("prop", key, self.assignment_expr()))
+                else:                             # shorthand {a}
+                    props.append(("prop", key, ("ident", key)))
+            if self.at_punct(","):
+                self.eat()
+        self.eat("punct", "}")
+        return ("object", props)
+
+
+def _unescape(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            out.append({"n": "\n", "t": "\t", "r": "\r", "b": "\b",
+                        "0": "\0", "\\": "\\", "'": "'", '"': '"',
+                        "`": "`", "/": "/"}.get(n, n))
+            i += 2
+            if n == "u" and i <= len(s) - 4:
+                out.pop()
+                out.append(chr(int(s[i:i + 4], 16)))
+                i += 4
+            elif n == "x" and i <= len(s) - 2:
+                out.pop()
+                out.append(chr(int(s[i:i + 2], 16)))
+                i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def parse_module(src: str, name: str = "<js>"):
+    return Parser(tokenize(src, name), name, src).parse_module()
+
+
+# ---------------------------------------------------------------------------
+# runtime helpers
+# ---------------------------------------------------------------------------
+
+def js_truthy(v) -> bool:
+    if v is UNDEF or v is None or v is False:
+        return False
+    if isinstance(v, float):
+        return v != 0 and not math.isnan(v)
+    if isinstance(v, (int,)) and not isinstance(v, bool):
+        return v != 0
+    if isinstance(v, str):
+        return len(v) > 0
+    if v is True:
+        return True
+    return True        # objects/arrays/functions
+
+
+def js_str(v) -> str:
+    if v is UNDEF:
+        return "undefined"
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        if v == int(v) and abs(v) < 1e21:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, list):
+        return ",".join("" if x is UNDEF or x is None else js_str(x)
+                        for x in v)
+    if isinstance(v, JSObject):
+        if v.get("__error__"):
+            return f"{v.get('name', 'Error')}: {v.get('message', '')}"
+        return "[object Object]"
+    if isinstance(v, Promise):
+        return "[object Promise]"
+    return str(v)
+
+
+def js_num(v) -> float:
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if v is None:
+        return 0.0
+    if v is UNDEF:
+        return float("nan")
+    if isinstance(v, str):
+        s = v.strip()
+        if not s:
+            return 0.0
+        try:
+            return float(int(s, 16)) if s.startswith(("0x", "0X")) \
+                else float(s)
+        except ValueError:
+            return float("nan")
+    if isinstance(v, list) and len(v) == 1:
+        return js_num(v[0])
+    return float("nan")
+
+
+def js_eq_strict(a, b) -> bool:
+    if a is UNDEF and b is UNDEF:
+        return True
+    if a is None and b is None:
+        return True
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a is b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    return a is b
+
+
+def js_eq_loose(a, b) -> bool:
+    if (a is None or a is UNDEF) and (b is None or b is UNDEF):
+        return True
+    if (a is None or a is UNDEF) != (b is None or b is UNDEF):
+        return False
+    if isinstance(a, str) and isinstance(b, (int, float)) \
+            and not isinstance(b, bool):
+        return js_num(a) == b
+    if isinstance(b, str) and isinstance(a, (int, float)) \
+            and not isinstance(a, bool):
+        return js_num(b) == a
+    if isinstance(a, bool) or isinstance(b, bool):
+        return js_num(a) == js_num(b)
+    return js_eq_strict(a, b)
+
+
+def _call(fn, args, this=UNDEF):
+    if isinstance(fn, JSFunction):
+        return fn.interp.call_function(fn, args, this)
+    if callable(fn):
+        # JS ignores surplus arguments; Python host lambdas don't —
+        # trim to the callable's positional arity
+        import inspect
+        try:
+            sig = inspect.signature(fn)
+        except (ValueError, TypeError):
+            return fn(*args)
+        params = list(sig.parameters.values())
+        if any(p.kind == p.VAR_POSITIONAL for p in params):
+            return fn(*args)
+        maxn = len([p for p in params
+                    if p.kind in (p.POSITIONAL_ONLY,
+                                  p.POSITIONAL_OR_KEYWORD)])
+        return fn(*args[:maxn])
+    raise JSError(make_error(f"{js_str(fn)} is not a function",
+                             "TypeError"))
+
+
+def _get(obj, name):
+    return get_member(obj, name)
+
+
+# -- member dispatch ----------------------------------------------------------
+
+def get_member(obj, name):
+    """Property access with native built-in prototypes."""
+    if obj is UNDEF or obj is None:
+        raise JSError(make_error(
+            f"Cannot read properties of {js_str(obj)} "
+            f"(reading '{name}')", "TypeError"))
+    if isinstance(name, float) and name == int(name):
+        name = int(name)
+    if isinstance(name, int) and not isinstance(name, bool):
+        if isinstance(obj, (list, str)):
+            return obj[name] if 0 <= name < len(obj) else UNDEF
+        name = str(name)
+    if isinstance(obj, JSObject):
+        if name in obj:
+            return obj[name]
+        if name == "hasOwnProperty":
+            return lambda k: js_str(k) in obj
+        if name == "toString":
+            return lambda: js_str(obj)
+        return UNDEF
+    if isinstance(obj, dict):          # host dicts behave like JS objects
+        return obj.get(name, UNDEF)
+    if isinstance(obj, str):
+        return _string_member(obj, name)
+    if isinstance(obj, list):
+        return _array_member(obj, name)
+    if isinstance(obj, bool):
+        return UNDEF
+    if isinstance(obj, (int, float)):
+        return _number_member(float(obj), name)
+    if isinstance(obj, Promise):
+        return _promise_member(obj, name)
+    if isinstance(obj, JSRegExp):
+        if name == "test":
+            return lambda s: obj.rx.search(js_str(s)) is not None
+        if name == "source":
+            return obj.source
+        return UNDEF
+    if isinstance(obj, JSFunction):
+        if name == "name":
+            return obj.name
+        if name == "call":
+            return lambda this=UNDEF, *a: _call(obj, list(a), this)
+        if name == "bind":
+            return lambda this=UNDEF, *a: (
+                lambda *b: _call(obj, list(a) + list(b), this))
+        return UNDEF
+    # host objects (DOM stub, Map/Set wrappers, …)
+    getter = getattr(obj, "js_get", None)
+    if getter is not None:
+        return getter(name)
+    if isinstance(name, str) and not name.startswith("_"):
+        v = getattr(obj, name, UNDEF)
+        return v
+    return UNDEF
+
+
+def set_member(obj, name, value):
+    if isinstance(name, float) and name == int(name):
+        name = int(name)
+    if isinstance(obj, list) and isinstance(name, int) \
+            and not isinstance(name, bool):
+        while len(obj) <= name:
+            obj.append(UNDEF)
+        obj[name] = value
+        return
+    if isinstance(name, int):
+        name = str(name)
+    if isinstance(obj, (JSObject, dict)):
+        obj[name] = value
+        return
+    setter = getattr(obj, "js_set", None)
+    if setter is not None:
+        setter(name, value)
+        return
+    try:
+        setattr(obj, name, value)
+    except Exception:
+        raise JSError(make_error(
+            f"cannot set {name} on {type(obj).__name__}", "TypeError"))
+
+
+def _string_member(s: str, name):
+    if name == "length":
+        return float(len(s))
+    table = {
+        "toLowerCase": lambda: s.lower(),
+        "toUpperCase": lambda: s.upper(),
+        "trim": lambda: s.strip(),
+        "includes": lambda sub, start=0.0: js_str(sub) in s[int(start):],
+        "startsWith": lambda p, start=0.0: s[int(start):].startswith(
+            js_str(p)),
+        "endsWith": lambda p: s.endswith(js_str(p)),
+        "indexOf": lambda sub, start=0.0: float(
+            s.find(js_str(sub), int(start))),
+        "lastIndexOf": lambda sub: float(s.rfind(js_str(sub))),
+        "charAt": lambda i=0.0: s[int(i)] if 0 <= int(i) < len(s) else "",
+        "charCodeAt": lambda i=0.0: float(ord(s[int(i)]))
+        if 0 <= int(i) < len(s) else float("nan"),
+        "codePointAt": lambda i=0.0: float(ord(s[int(i)]))
+        if 0 <= int(i) < len(s) else UNDEF,
+        "concat": lambda *a: s + "".join(js_str(x) for x in a),
+        "padStart": lambda n, pad=" ": s.rjust(int(n), js_str(pad)[:1]
+                                               or " "),
+        "padEnd": lambda n, pad=" ": s.ljust(int(n), js_str(pad)[:1]
+                                             or " "),
+        "repeat": lambda n: s * int(n),
+        "at": lambda i: (s[int(i)] if -len(s) <= int(i) < len(s)
+                         else UNDEF),
+        "toFixed": None,
+        "localeCompare": lambda o: float((s > js_str(o))
+                                         - (s < js_str(o))),
+        "toString": lambda: s,
+    }
+    if name in table and table[name] is not None:
+        return table[name]
+    if name == "slice":
+        def _slice(a=UNDEF, b=UNDEF):
+            return _py_slice(s, a, b)
+        return _slice
+    if name == "substring":
+        def _substr(a=0.0, b=UNDEF):
+            i = max(0, int(a))
+            j = len(s) if b is UNDEF else max(0, int(b))
+            i, j = min(i, j), max(i, j)
+            return s[i:j]
+        return _substr
+    if name == "split":
+        def _split(sep=UNDEF, limit=UNDEF):
+            if sep is UNDEF:
+                out = [s]
+            elif isinstance(sep, JSRegExp):
+                out = sep.rx.split(s)
+            elif sep == "":
+                out = list(s)
+            else:
+                out = s.split(js_str(sep))
+            return out[:int(limit)] if limit is not UNDEF else out
+        return _split
+    if name == "replace" or name == "replaceAll":
+        al = name == "replaceAll"
+
+        def _replace(pat, rep):
+            def do_one(m):
+                if callable(rep) or isinstance(rep, JSFunction):
+                    return js_str(_call(rep, [m.group(0),
+                                              *m.groups()]))
+                r = js_str(rep)
+                return _re.sub(r"\$(\d)",
+                               lambda g: m.group(int(g.group(1))) or "",
+                               r.replace("$&", m.group(0)))
+            if isinstance(pat, JSRegExp):
+                return pat.rx.sub(do_one, s,
+                                  count=0 if (pat.global_ or al) else 1)
+            p = js_str(pat)
+            if callable(rep) or isinstance(rep, JSFunction):
+                def lit(m):
+                    return js_str(_call(rep, [m.group(0)]))
+                return _re.sub(_re.escape(p), lit, s,
+                               count=0 if al else 1)
+            return s.replace(p, js_str(rep)) if al else \
+                s.replace(p, js_str(rep), 1)
+        return _replace
+    if name == "match":
+        def _match(pat):
+            rx = pat.rx if isinstance(pat, JSRegExp) else \
+                _re.compile(js_str(pat))
+            if isinstance(pat, JSRegExp) and pat.global_:
+                out = rx.findall(s)
+                return [m if isinstance(m, str) else m[0]
+                        for m in out] or None
+            m = rx.search(s)
+            return [m.group(0), *[g if g is not None else UNDEF
+                                  for g in m.groups()]] if m else None
+        return _match
+    if isinstance(name, int):
+        return s[name] if 0 <= name < len(s) else UNDEF
+    return UNDEF
+
+
+def _py_slice(seq, a=UNDEF, b=UNDEF):
+    n = len(seq)
+    i = 0 if a is UNDEF else int(a)
+    j = n if b is UNDEF else int(b)
+    if i < 0:
+        i += n
+    if j < 0:
+        j += n
+    return seq[max(0, i):max(0, j)]
+
+
+def _array_member(arr: list, name):
+    if name == "length":
+        return float(len(arr))
+    simple = {
+        "push": lambda *a: (arr.extend(a), float(len(arr)))[1],
+        "pop": lambda: arr.pop() if arr else UNDEF,
+        "shift": lambda: arr.pop(0) if arr else UNDEF,
+        "unshift": lambda *a: (arr.__setitem__(slice(0, 0), list(a)),
+                               float(len(arr)))[1],
+        "includes": lambda v: any(js_eq_strict(x, v) for x in arr),
+        "indexOf": lambda v: float(next(
+            (i for i, x in enumerate(arr) if js_eq_strict(x, v)), -1)),
+        "join": lambda sep=",": js_str(sep).join(
+            "" if x is None or x is UNDEF else js_str(x) for x in arr),
+        "reverse": lambda: (arr.reverse(), arr)[1],
+        "flat": lambda depth=1.0: _flat(arr, int(depth)),
+        "concat": lambda *a: arr + [x for e in a for x in
+                                    (e if isinstance(e, list) else [e])],
+        "fill": lambda v, start=0.0: (
+            [arr.__setitem__(i, v) for i in range(int(start), len(arr))],
+            arr)[1],
+        "keys": lambda: [float(i) for i in range(len(arr))],
+        "entries": lambda: [[float(i), v] for i, v in enumerate(arr)],
+        "at": lambda i: (arr[int(i)] if -len(arr) <= int(i) < len(arr)
+                         else UNDEF),
+        "toString": lambda: js_str(arr),
+    }
+    if name in simple:
+        return simple[name]
+    if name == "slice":
+        return lambda a=UNDEF, b=UNDEF: _py_slice(arr, a, b)
+    if name == "splice":
+        def _splice(start, count=UNDEF, *items):
+            i = int(start)
+            if i < 0:
+                i += len(arr)
+            n = len(arr) - i if count is UNDEF else int(count)
+            removed = arr[i:i + n]
+            arr[i:i + n] = list(items)
+            return removed
+        return _splice
+    if name in ("map", "filter", "forEach", "find", "findIndex", "some",
+                "every", "flatMap"):
+        def _iterfn(fn):
+            out = []
+            for i, x in enumerate(arr):
+                r = _call(fn, [x, float(i), arr])
+                if name == "map":
+                    out.append(r)
+                elif name == "flatMap":
+                    out.extend(r if isinstance(r, list) else [r])
+                elif name == "filter":
+                    if js_truthy(r):
+                        out.append(x)
+                elif name == "find":
+                    if js_truthy(r):
+                        return x
+                elif name == "findIndex":
+                    if js_truthy(r):
+                        return float(i)
+                elif name == "some":
+                    if js_truthy(r):
+                        return True
+                elif name == "every":
+                    if not js_truthy(r):
+                        return False
+            if name == "find":
+                return UNDEF
+            if name == "findIndex":
+                return -1.0
+            if name == "some":
+                return False
+            if name == "every":
+                return True
+            if name == "forEach":
+                return UNDEF
+            return out
+        return _iterfn
+    if name == "reduce":
+        def _reduce(fn, *init):
+            it = iter(enumerate(arr))
+            if init:
+                acc = init[0]
+            else:
+                try:
+                    _, acc = next(it)
+                except StopIteration:
+                    raise JSError(make_error(
+                        "Reduce of empty array with no initial value",
+                        "TypeError"))
+            for i, x in it:
+                acc = _call(fn, [acc, x, float(i), arr])
+            return acc
+        return _reduce
+    if name == "sort":
+        def _sort(cmp=UNDEF):
+            import functools
+            if cmp is UNDEF:
+                arr.sort(key=js_str)
+            else:
+                arr.sort(key=functools.cmp_to_key(
+                    lambda a, b: (lambda r: -1 if r < 0 else
+                                  (1 if r > 0 else 0))(
+                        js_num(_call(cmp, [a, b])))))
+            return arr
+        return _sort
+    if isinstance(name, int):
+        return arr[name] if 0 <= name < len(arr) else UNDEF
+    return UNDEF
+
+
+def _flat(arr, depth):
+    out = []
+    for x in arr:
+        if isinstance(x, list) and depth > 0:
+            out.extend(_flat(x, depth - 1))
+        else:
+            out.append(x)
+    return out
+
+
+def _number_member(v: float, name):
+    if name == "toFixed":
+        return lambda d=0.0: f"{v:.{int(d)}f}"
+    if name == "toString":
+        return lambda base=10.0: (js_str(v) if base == 10 else
+                                  _to_base(int(v), int(base)))
+    if name == "toLocaleString":
+        return lambda *a: f"{v:,.0f}" if v == int(v) else f"{v:,}"
+    return UNDEF
+
+
+def _to_base(n: int, base: int) -> str:
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    if n == 0:
+        return "0"
+    sign = "-" if n < 0 else ""
+    n = abs(n)
+    out = []
+    while n:
+        out.append(digits[n % base])
+        n //= base
+    return sign + "".join(reversed(out))
+
+
+def _promise_member(p: Promise, name):
+    if name == "then":
+        def _then(ok=UNDEF, bad=UNDEF):
+            okf = None if ok is UNDEF else ok
+            badf = None if bad is UNDEF else bad
+            if p.resolved:
+                if p.error is not None:
+                    if badf is not None:
+                        return Promise(_call(badf, [p.error]))
+                    return p
+                nv = _call(okf, [p.value]) if okf is not None else p.value
+                if isinstance(nv, Promise):
+                    return nv
+                return Promise(nv)
+            np_ = Promise(resolved=False)
+            p.callbacks.append((
+                (lambda v: np_.resolve(_call(okf, [v])
+                                       if okf is not None else v)),
+                (lambda e: np_.resolve(_call(badf, [e]))
+                 if badf is not None else np_.reject(e))))
+            return np_
+        return _then
+    if name == "catch":
+        def _catch(bad):
+            if p.resolved and p.error is not None:
+                return Promise(_call(bad, [p.error]))
+            if p.resolved:
+                return p
+            np_ = Promise(resolved=False)
+            p.callbacks.append((lambda v: np_.resolve(v),
+                                lambda e: np_.resolve(_call(bad, [e]))))
+            return np_
+        return _catch
+    if name == "finally":
+        def _finally(fn):
+            _call(fn, [])
+            return p
+        return _finally
+    return UNDEF
+
+
+# -- Map / Set / Date hosts ---------------------------------------------------
+
+class JSMap:
+    def __init__(self, entries=None):
+        self.d: Dict[Any, Any] = {}
+        for k, v in (entries or []):
+            self.d[_mkey(k)] = (k, v)
+
+    def js_get(self, name):
+        if name == "get":
+            return lambda k: self.d.get(_mkey(k), (None, UNDEF))[1]
+        if name == "set":
+            def _set(k, v):
+                self.d[_mkey(k)] = (k, v)
+                return self
+            return _set
+        if name == "has":
+            return lambda k: _mkey(k) in self.d
+        if name == "delete":
+            return lambda k: self.d.pop(_mkey(k), None) is not None
+        if name == "size":
+            return float(len(self.d))
+        if name == "keys":
+            return lambda: [k for k, _ in self.d.values()]
+        if name == "values":
+            return lambda: [v for _, v in self.d.values()]
+        if name == "entries":
+            return lambda: [[k, v] for k, v in self.d.values()]
+        if name == "forEach":
+            return lambda fn: [_call(fn, [v, k, self])
+                               for k, v in self.d.values()] and UNDEF
+        if name == "clear":
+            return lambda: (self.d.clear(), UNDEF)[1]
+        return UNDEF
+
+    def __iter__(self):
+        return iter([[k, v] for k, v in self.d.values()])
+
+
+def _mkey(k):
+    return ("n", float(k)) if isinstance(k, (int, float)) \
+        and not isinstance(k, bool) else ("v", id(k)) \
+        if isinstance(k, (list, JSObject, dict)) else ("s", k) \
+        if isinstance(k, str) else ("o", k)
+
+
+class JSSet:
+    def __init__(self, items=None):
+        self.d: Dict[Any, Any] = {}
+        for x in (items or []):
+            self.d[_mkey(x)] = x
+
+    def js_get(self, name):
+        if name == "add":
+            def _add(x):
+                self.d[_mkey(x)] = x
+                return self
+            return _add
+        if name == "has":
+            return lambda x: _mkey(x) in self.d
+        if name == "delete":
+            return lambda x: self.d.pop(_mkey(x), None) is not None
+        if name == "size":
+            return float(len(self.d))
+        return UNDEF
+
+    def __iter__(self):
+        return iter(list(self.d.values()))
+
+
+class JSDate:
+    def __init__(self, ms: Optional[float] = None):
+        import time
+        self.ms = time.time() * 1000 if ms is None else float(ms)
+
+    def js_get(self, name):
+        import datetime
+        dt = datetime.datetime.fromtimestamp(self.ms / 1000)
+        if name == "toLocaleTimeString":
+            return lambda *a: dt.strftime("%H:%M:%S")
+        if name == "toLocaleString":
+            return lambda *a: dt.strftime("%Y-%m-%d %H:%M:%S")
+        if name == "toLocaleDateString":
+            return lambda *a: dt.strftime("%Y-%m-%d")
+        if name == "toISOString":
+            return lambda: datetime.datetime.utcfromtimestamp(
+                self.ms / 1000).strftime("%Y-%m-%dT%H:%M:%S.000Z")
+        if name == "getTime":
+            return lambda: self.ms
+        if name == "getFullYear":
+            return lambda: float(dt.year)
+        if name == "getHours":
+            return lambda: float(dt.hour)
+        if name == "getMinutes":
+            return lambda: float(dt.minute)
+        return UNDEF
+
+
+# ---------------------------------------------------------------------------
+# environment + evaluator
+# ---------------------------------------------------------------------------
+
+class Env:
+    __slots__ = ("vars", "parent")
+
+    def __init__(self, parent: Optional["Env"] = None):
+        self.vars: Dict[str, Any] = {}
+        self.parent = parent
+
+    def lookup_env(self, name) -> Optional["Env"]:
+        e = self
+        while e is not None:
+            if name in e.vars:
+                return e
+            e = e.parent
+        return None
+
+    def get(self, name):
+        e = self.lookup_env(name)
+        if e is None:
+            raise JSError(make_error(f"{name} is not defined",
+                                     "ReferenceError"))
+        return e.vars[name]
+
+    def set(self, name, value):
+        e = self.lookup_env(name)
+        (e or self).vars[name] = value
+
+    def declare(self, name, value):
+        self.vars[name] = value
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+class Interp:
+    """One interpreter = one module graph; the host supplies globals and
+    a module loader (source text by import path)."""
+
+    def __init__(self, globals_: Dict[str, Any],
+                 load_module: Callable[[str], str]):
+        self.global_env = Env()
+        self.global_env.vars.update(_std_globals(self))
+        self.global_env.vars.update(globals_)
+        self.load_module = load_module
+        self.modules: Dict[str, Dict[str, Any]] = {}
+
+    # -- modules --------------------------------------------------------------
+    def run_module(self, path: str) -> Dict[str, Any]:
+        if path in self.modules:
+            return self.modules[path]
+        src = self.load_module(path)
+        ast = parse_module(src, path)
+        env = Env(self.global_env)
+        exports: Dict[str, Any] = {}
+        self.modules[path] = exports      # pre-register (cycles)
+        live: List[Tuple[str, Env]] = []
+        for stmt in ast[1]:
+            self._module_stmt(stmt, env, exports, live, path)
+        for name, e in live:
+            exports[name] = e.get(name)
+        return exports
+
+    def _module_stmt(self, stmt, env, exports, live, path):
+        k = stmt[0]
+        if k == "import":
+            _, default, names, src = stmt
+            mod = self.run_module(self._resolve(src, path))
+            if default:
+                env.declare(default, mod.get("default", UNDEF))
+            for imported, local in names:
+                env.declare(local, mod.get(imported, UNDEF))
+        elif k == "export_default":
+            _, expr, fn_decl = stmt
+            if fn_decl is not None:
+                self.exec_stmt(fn_decl, env)
+                exports["default"] = env.get(fn_decl[1])
+            else:
+                exports["default"] = self.eval(expr, env)
+        elif k == "export_decl":
+            decl = stmt[1]
+            self.exec_stmt(decl, env)
+            # exports fill EAGERLY (app.js calls nav() at module bottom,
+            # which imports pages that import app.js back — the cycle
+            # must see the already-declared bindings) and refresh at the
+            # end (let exports like TOKEN are reassigned)
+            if decl[0] == "var":
+                for target, _ in decl[2]:
+                    for n in _pattern_names(target):
+                        exports[n] = env.get(n)
+                        live.append((n, env))
+            elif decl[0] == "func_decl":
+                exports[decl[1]] = env.get(decl[1])
+                live.append((decl[1], env))
+        elif k == "export_names":
+            for n in stmt[1]:
+                if env.lookup_env(n) is not None:
+                    exports[n] = env.get(n)
+                live.append((n, env))
+        else:
+            self.exec_stmt(stmt, env)
+
+    @staticmethod
+    def _resolve(src: str, importer: str) -> str:
+        return src            # pages import absolute /static/... paths
+
+    def eval_snippet(self, src: str, extra: Optional[Dict[str, Any]] = None):
+        """Run a statement list (e.g. an inline onclick attribute) in a
+        child of the global env; returns the last expression's value."""
+        ast = parse_module(src, "<inline>")
+        env = Env(self.global_env)
+        for k, v in (extra or {}).items():
+            env.declare(k, v)
+        res = UNDEF
+        for stmt in ast[1]:
+            if stmt[0] == "expr":
+                res = self.eval(stmt[1], env)
+            else:
+                self.exec_stmt(stmt, env)
+        return res
+
+    # -- statements -----------------------------------------------------------
+    def exec_stmt(self, stmt, env: Env):
+        k = stmt[0]
+        if k == "expr":
+            self.eval(stmt[1], env)
+        elif k == "var":
+            for target, init in stmt[2]:
+                v = self.eval(init, env) if init is not None else UNDEF
+                self._bind_pattern(target, v, env, declare=True)
+        elif k == "func_decl":
+            env.declare(stmt[1], JSFunction(stmt[2], env, self))
+        elif k == "block":
+            benv = Env(env)
+            for s in stmt[1]:
+                self.exec_stmt(s, benv)
+        elif k == "if":
+            if js_truthy(self.eval(stmt[1], env)):
+                self.exec_stmt(stmt[2], env)
+            elif stmt[3] is not None:
+                self.exec_stmt(stmt[3], env)
+        elif k == "for_of":
+            _, _, pat, it, body = stmt
+            seq = self.eval(it, env)
+            for x in _js_iter(seq):
+                ienv = Env(env)
+                self._bind_pattern(pat, x, ienv, declare=True)
+                try:
+                    self.exec_stmt(body, ienv)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        elif k == "for_in":
+            _, _, pat, it, body = stmt
+            obj = self.eval(it, env)
+            keys = list(obj.keys()) if isinstance(obj, dict) else \
+                [str(i) for i in range(len(obj))] \
+                if isinstance(obj, list) else []
+            for x in keys:
+                ienv = Env(env)
+                self._bind_pattern(pat, x, ienv, declare=True)
+                try:
+                    self.exec_stmt(body, ienv)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        elif k == "for":
+            _, init, test, update, body = stmt
+            fenv = Env(env)
+            if init is not None:
+                self.exec_stmt(init, fenv)
+            guard = 0
+            while test is None or js_truthy(self.eval(test, fenv)):
+                guard += 1
+                if guard > 1_000_000:
+                    raise JSError(make_error("for-loop runaway (1M)",
+                                             "RangeError"))
+                try:
+                    self.exec_stmt(body, Env(fenv))
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if update is not None:
+                    self.eval(update, fenv)
+        elif k == "while":
+            guard = 0
+            while js_truthy(self.eval(stmt[1], env)):
+                guard += 1
+                if guard > 1_000_000:
+                    raise JSError(make_error("while runaway (1M)",
+                                             "RangeError"))
+                try:
+                    self.exec_stmt(stmt[2], Env(env))
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        elif k == "return":
+            raise _Return(self.eval(stmt[1], env)
+                          if stmt[1] is not None else UNDEF)
+        elif k == "throw":
+            raise JSError(self.eval(stmt[1], env))
+        elif k == "try":
+            _, block, param, handler, fin = stmt
+            try:
+                self.exec_stmt(block, env)
+            except JSError as e:
+                if handler is not None:
+                    henv = Env(env)
+                    if param is not None:
+                        self._bind_pattern(param, e.value, henv,
+                                           declare=True)
+                    self.exec_stmt(handler, henv)
+                elif fin is None:
+                    raise
+            finally:
+                if fin is not None:
+                    self.exec_stmt(fin, env)
+        elif k == "break":
+            raise _Break()
+        elif k == "continue":
+            raise _Continue()
+        elif k == "empty":
+            pass
+        else:
+            raise JSError(make_error(f"unsupported statement {k}"))
+
+    def _bind_pattern(self, pat, value, env: Env, declare: bool):
+        k = pat[0]
+        bind = env.declare if declare else env.set
+        if k == "ident_pat":
+            bind(pat[1], value)
+        elif k == "arr_pat":
+            seq = list(_js_iter(value)) if value not in (None, UNDEF) else []
+            for i, el in enumerate(pat[1]):
+                if el is None:
+                    continue
+                sub, default = el
+                v = seq[i] if i < len(seq) else UNDEF
+                if v is UNDEF and default is not None:
+                    v = self.eval(default, env)
+                self._bind_pattern(sub, v, env, declare)
+            if pat[2] is not None:
+                bind(pat[2], seq[len(pat[1]):])
+        elif k == "obj_pat":
+            taken = set()
+            for key, sub, default in pat[1]:
+                taken.add(key)
+                v = get_member(value, key) if value not in (None, UNDEF) \
+                    else UNDEF
+                if v is UNDEF and default is not None:
+                    v = self.eval(default, env)
+                self._bind_pattern(sub, v, env, declare)
+            if pat[2] is not None:
+                rest = JSObject()
+                if isinstance(value, dict):
+                    for kk, vv in value.items():
+                        if kk not in taken:
+                            rest[kk] = vv
+                bind(pat[2], rest)
+        else:
+            raise JSError(make_error(f"unsupported pattern {k}"))
+
+    # -- functions ------------------------------------------------------------
+    def call_function(self, fn: JSFunction, args: List[Any], this):
+        _, params, body, is_arrow, is_async, _name = fn.node
+        env = Env(fn.env)
+        ai = 0
+        for p in params:
+            if p[0] == "rest":
+                env.declare(p[1], list(args[ai:]))
+                ai = len(args)
+            else:
+                _, pat, default = p
+                v = args[ai] if ai < len(args) else UNDEF
+                ai += 1
+                if v is UNDEF and default is not None:
+                    v = self.eval(default, env)
+                self._bind_pattern(pat, v, env, declare=True)
+        if not is_arrow:
+            env.declare("arguments", list(args))
+        try:
+            if body[0] == "return":
+                result = self.eval(body[1], env) \
+                    if body[1] is not None else UNDEF
+            else:
+                self.exec_stmt(body, env)
+                result = UNDEF
+        except _Return as r:
+            result = r.value
+        except JSError:
+            if is_async:
+                p = Promise(resolved=True)
+                import sys
+                p.error = sys.exc_info()[1].value
+                return p
+            raise
+        if is_async and not isinstance(result, Promise):
+            return Promise(result)
+        return result
+
+    # -- expressions ----------------------------------------------------------
+    def eval(self, node, env: Env):
+        k = node[0]
+        if k == "num":
+            return node[1]
+        if k == "str":
+            return node[1]
+        if k == "bool":
+            return node[1]
+        if k == "null":
+            return None
+        if k == "undef":
+            return UNDEF
+        if k == "ident":
+            return env.get(node[1])
+        if k == "tmpl":
+            chunks, exprs = node[1], node[2]
+            out = [chunks[0]]
+            for i, e in enumerate(exprs):
+                out.append(js_str(self.eval(e, env)))
+                out.append(chunks[i + 1])
+            return "".join(out)
+        if k == "regex":
+            return JSRegExp(node[1], node[2])
+        if k == "array":
+            out = []
+            for e in node[1]:
+                if e[0] == "spread":
+                    out.extend(_js_iter(self.eval(e[1], env)))
+                else:
+                    out.append(self.eval(e, env))
+            return out
+        if k == "object":
+            o = JSObject()
+            for p in node[1]:
+                if p[0] == "spread":
+                    src = self.eval(p[1], env)
+                    if isinstance(src, dict):
+                        o.update(src)
+                elif p[0] == "computed":
+                    o[js_str(self.eval(p[1], env))] = \
+                        self.eval(p[2], env)
+                else:
+                    o[p[1]] = self.eval(p[2], env)
+            return o
+        if k == "func":
+            return JSFunction(node, env, self)
+        if k == "member":
+            _, oe, prop, computed, optional = node
+            obj = self.eval(oe, env)
+            if optional and (obj is None or obj is UNDEF):
+                return UNDEF
+            key = self.eval(prop, env) if computed else prop
+            return get_member(obj, key)
+        if k == "call":
+            callee, arg_nodes, optional = node[1], node[2], node[3]
+            where_pos = node[4] if len(node) > 4 else "?"
+            this = UNDEF
+            if callee[0] == "member":
+                obj = self.eval(callee[1], env)
+                if callee[4] and (obj is None or obj is UNDEF):
+                    return UNDEF
+                key = self.eval(callee[2], env) if callee[3] else callee[2]
+                fn = get_member(obj, key)
+                this = obj
+            else:
+                fn = self.eval(callee, env)
+            if optional and (fn is None or fn is UNDEF):
+                return UNDEF
+            args = []
+            for a in arg_nodes:
+                if a[0] == "spread":
+                    args.extend(_js_iter(self.eval(a[1], env)))
+                else:
+                    args.append(self.eval(a, env))
+            if fn is UNDEF or fn is None:
+                if callee[0] == "member" and not callee[3]:
+                    where = callee[2]
+                elif callee[0] == "ident":
+                    where = callee[1]
+                else:
+                    where = js_str(fn)
+                raise JSError(make_error(
+                    f"{where} is not a function (at {where_pos})",
+                    "TypeError"))
+            return _call(fn, args, this)
+        if k == "new":
+            _, callee, arg_nodes = node
+            ctor = self.eval(callee, env)
+            args = [self.eval(a, env) if a[0] != "spread" else None
+                    for a in arg_nodes]
+            maker = getattr(ctor, "js_construct", None)
+            if maker is not None:
+                return maker(*args)
+            if callable(ctor):
+                return ctor(*args)
+            raise JSError(make_error("not a constructor", "TypeError"))
+        if k == "unary":
+            op = node[1]
+            if op == "typeof":
+                try:
+                    v = self.eval(node[2], env)
+                except JSError:
+                    return "undefined"
+                return _typeof(v)
+            if op == "delete":
+                tgt = node[2]
+                if tgt[0] == "member":
+                    obj = self.eval(tgt[1], env)
+                    key = self.eval(tgt[2], env) if tgt[3] else tgt[2]
+                    if isinstance(obj, dict):
+                        obj.pop(js_str(key) if not isinstance(key, str)
+                                else key, None)
+                    return True
+                return True
+            v = self.eval(node[2], env)
+            if op == "!":
+                return not js_truthy(v)
+            if op == "-":
+                return -js_num(v)
+            if op == "+":
+                return js_num(v)
+            if op == "~":
+                return float(~int(js_num(v)))
+            if op == "void":
+                return UNDEF
+        if k == "update":
+            _, op, target, prefix = node
+            old = js_num(self._read_target(target, env))
+            new = old + (1 if op == "++" else -1)
+            self._write_target(target, new, env)
+            return new if prefix else old
+        if k == "binary":
+            return _binop(node[1], self.eval(node[2], env),
+                          self.eval(node[3], env))
+        if k == "logical":
+            op = node[1]
+            left = self.eval(node[2], env)
+            if op == "&&":
+                return self.eval(node[3], env) if js_truthy(left) else left
+            if op == "||":
+                return left if js_truthy(left) else \
+                    self.eval(node[3], env)
+            if op == "??":
+                return self.eval(node[3], env) \
+                    if left is None or left is UNDEF else left
+        if k == "cond":
+            return self.eval(node[2], env) \
+                if js_truthy(self.eval(node[1], env)) \
+                else self.eval(node[3], env)
+        if k == "assign":
+            _, op, target, value_node = node
+            if op == "=":
+                v = self.eval(value_node, env)
+            elif op in ("&&=", "||=", "??="):
+                cur = self._read_target(target, env)
+                if op == "&&=" and not js_truthy(cur):
+                    return cur
+                if op == "||=" and js_truthy(cur):
+                    return cur
+                if op == "??=" and cur is not None and cur is not UNDEF:
+                    return cur
+                v = self.eval(value_node, env)
+            else:
+                cur = self._read_target(target, env)
+                v = _binop(op[:-1], cur, self.eval(value_node, env))
+            self._write_target(target, v, env)
+            return v
+        if k == "await":
+            v = self.eval(node[1], env)
+            if isinstance(v, Promise):
+                if not v.resolved:
+                    pump = self.global_env.vars.get("__pump__")
+                    tries = 0
+                    while not v.resolved and callable(pump) and \
+                            tries < 10000:
+                        if not pump():
+                            break
+                        tries += 1
+                if not v.resolved:
+                    raise JSError(make_error(
+                        "await on a pending promise (host queue empty)"))
+                if v.error is not None:
+                    raise JSError(v.error)
+                return v.value
+            return v
+        if k == "seq":
+            self.eval(node[1], env)
+            return self.eval(node[2], env)
+        if k == "dyn_import":
+            path = js_str(self.eval(node[1], env))
+            try:
+                mod = self.run_module(path)
+            except JSError:
+                raise
+            except Exception as e:
+                raise JSError(make_error(
+                    f"failed to import {path}: {e}", "TypeError"))
+            ns = JSObject(mod)
+            return Promise(ns)
+        raise JSError(make_error(f"unsupported expression {k}"))
+
+    def _read_target(self, target, env):
+        if target[0] == "ident":
+            return env.get(target[1])
+        if target[0] == "member":
+            obj = self.eval(target[1], env)
+            key = self.eval(target[2], env) if target[3] else target[2]
+            return get_member(obj, key)
+        raise JSError(make_error("invalid assignment target"))
+
+    def _write_target(self, target, value, env):
+        if target[0] == "ident":
+            env.set(target[1], value)
+        elif target[0] == "member":
+            obj = self.eval(target[1], env)
+            key = self.eval(target[2], env) if target[3] else target[2]
+            set_member(obj, key, value)
+        elif target[0] == "array":
+            # [a, b] = expr  parsed as array literal on the LHS
+            seq = list(_js_iter(value))
+            for i, el in enumerate(target[1]):
+                if el[0] == "undef":
+                    continue
+                self._write_target(el, seq[i] if i < len(seq) else UNDEF,
+                                   env)
+        else:
+            raise JSError(make_error("invalid assignment target"))
+
+
+def _typeof(v) -> str:
+    if v is UNDEF:
+        return "undefined"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, JSFunction) or callable(v):
+        return "function"
+    return "object"
+
+
+def _js_iter(v):
+    if isinstance(v, (list, JSMap, JSSet)):
+        return iter(v)
+    if isinstance(v, str):
+        return iter(v)
+    if isinstance(v, dict):
+        raise JSError(make_error("object is not iterable", "TypeError"))
+    if v is None or v is UNDEF:
+        raise JSError(make_error(f"{js_str(v)} is not iterable",
+                                 "TypeError"))
+    it = getattr(v, "__iter__", None)
+    if it is not None:
+        return iter(v)
+    raise JSError(make_error("not iterable", "TypeError"))
+
+
+def _binop(op, a, b):
+    if op == "+":
+        if isinstance(a, str) or isinstance(b, str):
+            return js_str(a) + js_str(b)
+        if isinstance(a, list) or isinstance(b, list):
+            return js_str(a) + js_str(b)
+        return js_num(a) + js_num(b)
+    if op == "-":
+        return js_num(a) - js_num(b)
+    if op == "*":
+        return js_num(a) * js_num(b)
+    if op == "/":
+        d = js_num(b)
+        n = js_num(a)
+        if d == 0:
+            return float("nan") if n == 0 else math.copysign(
+                float("inf"), n * (1 if d == 0 and not str(d)[0] == "-"
+                                   else 1))
+        return n / d
+    if op == "%":
+        d = js_num(b)
+        if d == 0:
+            return float("nan")
+        return math.fmod(js_num(a), d)
+    if op == "**":
+        return js_num(a) ** js_num(b)
+    if op == "===":
+        return js_eq_strict(a, b)
+    if op == "!==":
+        return not js_eq_strict(a, b)
+    if op == "==":
+        return js_eq_loose(a, b)
+    if op == "!=":
+        return not js_eq_loose(a, b)
+    if op in ("<", ">", "<=", ">="):
+        if isinstance(a, str) and isinstance(b, str):
+            x, y = a, b
+        else:
+            x, y = js_num(a), js_num(b)
+            if isinstance(x, float) and math.isnan(x) or \
+                    isinstance(y, float) and math.isnan(y):
+                return False
+        return {"<": x < y, ">": x > y, "<=": x <= y, ">=": x >= y}[op]
+    if op == "&":
+        return float(int(js_num(a)) & int(js_num(b)))
+    if op == "|":
+        return float(int(js_num(a)) | int(js_num(b)))
+    if op == "^":
+        return float(int(js_num(a)) ^ int(js_num(b)))
+    if op == "<<":
+        return float(int(js_num(a)) << (int(js_num(b)) & 31))
+    if op == ">>":
+        return float(int(js_num(a)) >> (int(js_num(b)) & 31))
+    if op == ">>>":
+        return float((int(js_num(a)) & 0xFFFFFFFF) >>
+                     (int(js_num(b)) & 31))
+    if op == "instanceof":
+        ctor_name = getattr(b, "js_name", None)
+        if ctor_name == "Error":
+            return isinstance(a, JSObject) and a.get("__error__") is True
+        if ctor_name == "Array":
+            return isinstance(a, list)
+        if ctor_name == "Map":
+            return isinstance(a, JSMap)
+        if ctor_name == "Set":
+            return isinstance(a, JSSet)
+        return False
+    if op == "in":
+        if isinstance(b, dict):
+            return js_str(a) in b
+        if isinstance(b, list):
+            return 0 <= int(js_num(a)) < len(b)
+        return False
+    raise JSError(make_error(f"unsupported operator {op}"))
+
+
+def _pattern_names(pat) -> List[str]:
+    k = pat[0]
+    if k == "ident_pat":
+        return [pat[1]]
+    out = []
+    if k == "arr_pat":
+        for el in pat[1]:
+            if el is not None:
+                out.extend(_pattern_names(el[0]))
+        if pat[2]:
+            out.append(pat[2])
+    elif k == "obj_pat":
+        for _, sub, _d in pat[1]:
+            out.extend(_pattern_names(sub))
+        if pat[2]:
+            out.append(pat[2])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# standard globals
+# ---------------------------------------------------------------------------
+
+class _Ctor:
+    """A host constructor usable with ``new`` and as a namespace."""
+
+    def __init__(self, name, construct, statics=None):
+        self.js_name = name
+        self.js_construct = construct
+        self.statics = statics or {}
+
+    def js_get(self, name):
+        return self.statics.get(name, UNDEF)
+
+    def __call__(self, *args):
+        # called as a plain function (e.g. .filter(Boolean)): JS ignores
+        # surplus args — route through _call's arity trimming
+        return _call(self.js_construct, list(args))
+
+
+def _std_globals(interp: Interp) -> Dict[str, Any]:
+    def obj_entries(o):
+        if isinstance(o, dict):
+            return [[k, v] for k, v in o.items()]
+        if isinstance(o, list):
+            return [[str(i), v] for i, v in enumerate(o)]
+        return []
+
+    def obj_assign(t, *srcs):
+        for s in srcs:
+            if isinstance(s, dict):
+                t.update(s)
+        return t
+
+    def json_stringify(v, _replacer=UNDEF, indent=UNDEF):
+        def conv(x):
+            if x is UNDEF:
+                return None
+            if isinstance(x, float) and x == int(x) \
+                    and not math.isinf(x):
+                return int(x)
+            if isinstance(x, list):
+                return [conv(i) for i in x]
+            if isinstance(x, dict):
+                return {k: conv(val) for k, val in x.items()
+                        if val is not UNDEF}
+            if isinstance(x, (str, bool, int, float)) or x is None:
+                return x
+            return None
+        kw = {}
+        if indent is not UNDEF:
+            kw["indent"] = int(indent) if isinstance(indent, (int, float)) \
+                else js_str(indent)
+        return _json.dumps(conv(v), **kw)
+
+    def json_parse(s):
+        def conv(x):
+            if isinstance(x, dict):
+                o = JSObject()
+                for k, v in x.items():
+                    o[k] = conv(v)
+                return o
+            if isinstance(x, list):
+                return [conv(i) for i in x]
+            if isinstance(x, bool) or x is None:
+                return x
+            if isinstance(x, (int, float)):
+                return float(x)
+            return x
+        try:
+            return conv(_json.loads(js_str(s)))
+        except Exception as e:
+            raise JSError(make_error(f"JSON.parse: {e}", "SyntaxError"))
+
+    math_ns = JSObject({
+        "max": lambda *a: max((js_num(x) for x in a),
+                              default=float("-inf")),
+        "min": lambda *a: min((js_num(x) for x in a),
+                              default=float("inf")),
+        "abs": lambda x: abs(js_num(x)),
+        "floor": lambda x: float(math.floor(js_num(x))),
+        "ceil": lambda x: float(math.ceil(js_num(x))),
+        "round": lambda x: float(math.floor(js_num(x) + 0.5)),
+        "trunc": lambda x: float(math.trunc(js_num(x))),
+        "sqrt": lambda x: math.sqrt(js_num(x)) if js_num(x) >= 0
+        else float("nan"),
+        "pow": lambda a, b: js_num(a) ** js_num(b),
+        "hypot": lambda *a: math.hypot(*[js_num(x) for x in a]),
+        "cos": lambda x: math.cos(js_num(x)),
+        "sin": lambda x: math.sin(js_num(x)),
+        "atan2": lambda y, x: math.atan2(js_num(y), js_num(x)),
+        "log": lambda x: math.log(js_num(x)) if js_num(x) > 0
+        else float("nan"),
+        "log2": lambda x: math.log2(js_num(x)) if js_num(x) > 0
+        else float("nan"),
+        "exp": lambda x: math.exp(js_num(x)),
+        "sign": lambda x: math.copysign(1.0, js_num(x))
+        if js_num(x) != 0 else 0.0,
+        "random": __import__("random").random,
+        "PI": math.pi,
+        "E": math.e,
+        "Infinity": float("inf"),
+    })
+
+    def _err_ctor(kind):
+        def make(msg=""):
+            return make_error(js_str(msg) if msg != "" else "", kind)
+        return _Ctor(kind if kind == "Error" else kind, make)
+
+    def promise_construct(executor):
+        p = Promise(resolved=False)
+        try:
+            _call(executor, [lambda v=UNDEF: p.resolve(v),
+                             lambda e=UNDEF: p.reject(e)])
+        except JSError as e:
+            p.reject(e.value)
+        return p
+
+    g: Dict[str, Any] = {
+        "Object": JSObject({
+            "keys": lambda o: [k for k in o.keys()]
+            if isinstance(o, dict) else [],
+            "values": lambda o: [v for v in o.values()]
+            if isinstance(o, dict) else list(o),
+            "entries": obj_entries,
+            "assign": obj_assign,
+            "fromEntries": lambda pairs: JSObject(
+                {js_str(k): v for k, v in pairs}),
+            "freeze": lambda o: o,
+        }),
+        "Array": _Ctor("Array", lambda *a: [UNDEF] * int(a[0])
+                       if len(a) == 1 and isinstance(a[0], float)
+                       else list(a),
+                       statics={
+            "isArray": lambda v: isinstance(v, list),
+            "from": lambda v, fn=UNDEF: [
+                _call(fn, [x, float(i)]) if fn is not UNDEF else x
+                for i, x in enumerate(_js_iter(v))],
+        }),
+        "JSON": JSObject({"stringify": json_stringify,
+                          "parse": json_parse}),
+        "Math": math_ns,
+        "Number": _Ctor("Number", js_num, statics={
+            "isFinite": lambda v: isinstance(v, (int, float))
+            and not isinstance(v, bool) and math.isfinite(v),
+            "isInteger": lambda v: isinstance(v, (int, float))
+            and not isinstance(v, bool) and float(v) == int(v),
+            "isNaN": lambda v: isinstance(v, float) and math.isnan(v),
+            "parseFloat": js_num,
+            "MAX_SAFE_INTEGER": float(2 ** 53 - 1),
+        }),
+        "String": _Ctor("String", js_str, statics={
+            "fromCharCode": lambda *a: "".join(
+                chr(int(js_num(x))) for x in a)}),
+        "Boolean": _Ctor("Boolean", js_truthy),
+        "parseFloat": js_num,
+        "parseInt": lambda s, base=10.0: _parse_int(s, base),
+        "isNaN": lambda v: math.isnan(js_num(v)),
+        "isFinite": lambda v: math.isfinite(js_num(v)),
+        "NaN": float("nan"),
+        "Infinity": float("inf"),
+        "Error": _err_ctor("Error"),
+        "TypeError": _err_ctor("TypeError"),
+        "RangeError": _err_ctor("RangeError"),
+        "Promise": _Ctor("Promise", promise_construct, statics={
+            "all": lambda lst: Promise([
+                _await_now(p) for p in lst]),
+            "resolve": lambda v=UNDEF: v if isinstance(v, Promise)
+            else Promise(v),
+            "allSettled": lambda lst: Promise([
+                JSObject({"status": "fulfilled",
+                          "value": _await_now(p)}) for p in lst]),
+        }),
+        "Map": _Ctor("Map", lambda entries=None: JSMap(entries)),
+        "Set": _Ctor("Set", lambda items=None: JSSet(items)),
+        "Date": _Ctor("Date", lambda ms=None: JSDate(
+            None if ms is None else js_num(ms)), statics={
+            "now": lambda: __import__("time").time() * 1000}),
+        "encodeURIComponent": lambda s: __import__(
+            "urllib.parse", fromlist=["quote"]).quote(js_str(s), safe=""),
+        "decodeURIComponent": lambda s: __import__(
+            "urllib.parse", fromlist=["unquote"]).unquote(js_str(s)),
+        "console": JSObject({
+            "log": lambda *a: None, "warn": lambda *a: None,
+            "error": lambda *a: None, "debug": lambda *a: None}),
+        "undefined": UNDEF,
+        "globalThis": None,      # host replaces with window
+    }
+    return g
+
+
+def _parse_int(s, base=10.0):
+    s = js_str(s).strip()
+    m = _re.match(r"[+-]?(0[xX][0-9a-fA-F]+|\d+)", s)
+    if not m:
+        return float("nan")
+    t = m.group(0)
+    try:
+        if t.lower().startswith(("0x", "-0x", "+0x")) or base == 16:
+            return float(int(t, 16))
+        return float(int(t, int(base)))
+    except ValueError:
+        return float("nan")
+
+
+def _await_now(p):
+    if isinstance(p, Promise):
+        if not p.resolved:
+            raise JSError(make_error("Promise.all on a pending promise"))
+        if p.error is not None:
+            raise JSError(p.error)
+        return p.value
+    return p

@@ -51,6 +51,14 @@ _KW_BEFORE_REGEX = frozenset(
     "return typeof instanceof in of new delete void throw case do else "
     "yield await".split())
 _PUNCT_CHARS = frozenset("{}()[];,<>+-*/%=!?:&|^~.@#")
+# longest-match multi-char punctuators (the parser in esinterp.py needs
+# them as single tokens; brackets stay single-char so check_balance is
+# unaffected)
+_MULTI_PUNCTS = (
+    ">>>=", "...", "===", "!==", "**=", "<<=", ">>=", ">>>", "&&=",
+    "||=", "??=", "=>", "==", "!=", "<=", ">=", "&&", "||", "??", "?.",
+    "++", "--", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "<<",
+    ">>", "**")
 
 
 def _line(src: str, pos: int) -> int:
@@ -196,8 +204,18 @@ class _Lexer:
                             self.i += 1
                             return toks
                         depth -= 1
-                self.i += 1
-                prev = Tok("punct", c, start)
+                val = c
+                if c not in "{}":      # brackets stay single for balance
+                    for mp in _MULTI_PUNCTS:
+                        if src.startswith(mp, self.i):
+                            # `?.3` is  ?  then  .3  (conditional + number)
+                            if mp == "?." and self.i + 2 < self.n \
+                                    and src[self.i + 2].isdigit():
+                                break
+                            val = mp
+                            break
+                self.i += len(val)
+                prev = Tok("punct", val, start)
             else:
                 raise self.err(f"unexpected character {c!r}", self.i)
             toks.append(prev)

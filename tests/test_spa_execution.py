@@ -203,6 +203,39 @@ def test_harness_catches_seeded_runtime_bug(tmp_path, live):
     assert "map is not a function" in txt      # nav() error panel
 
 
+def test_video_analysis_drilldown_renders_fusion(live):
+    """The most complex page (378 LoC): nav('analysis', vid) with real
+    result files behind /api/analysis — fusion gauge, severity badge,
+    decision mode, predictor contributions all render from live data."""
+    from lameness_tpu.utils.esinterp import _call
+    base, ctx, vids = live
+    b = _browser(live, "#videos")
+    mod = b.boot()
+    _call(mod["nav"], ["analysis", vids[0]])
+    main = b.by_id("main")
+    bad = [e for e in main.query_all(".bad")
+           if "panel" in str(e.attrs.get("class", ""))]
+    assert not bad, bad[0].text[:200] if bad else None
+    txt = main.text
+    assert "72.0%" in txt                       # gauge + fusion prob
+    assert "weighted" in txt                    # decision_mode badge
+    assert "Predictor contributions" in txt
+    assert "tcn" in txt                         # contribution bar labels
+    # label buttons carry inline handlers that hit the live label route
+    sound = [e for e in main.query_all("button")
+             if "sound" in e.text.lower() and
+             (e.props.get("onclick") or e.attrs.get("onclick"))]
+    lame = [e for e in main.query_all("button")
+            if e.text.strip().lower().startswith("lame")
+            and (e.props.get("onclick") or e.attrs.get("onclick"))]
+    if lame:
+        lame[0].click()
+        r = httpx.get(f"{base}/api/videos/{vids[0]}",
+                      headers={"Authorization": "Bearer "
+                               + b.storage["token"]}).json()
+        assert r.get("label") == 1 or r.get("label") is not None
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

@@ -95,24 +95,26 @@ class Element:
 
     # -- events ---------------------------------------------------------------
     def fire(self, etype: str, **fields):
-        """Dispatch an event: JS-assigned on<type> prop first, then the
-        inline on<type>="…" attribute (interpreted), then listeners."""
+        """Dispatch an event to EVERY handler, like a browser: the
+        JS-assigned on<type> prop, the inline on<type>="…" attribute
+        (interpreted), and all addEventListener registrations."""
         ev = JSObject({"type": etype, "target": self,
                        "stopPropagation": lambda: UNDEF,
                        "preventDefault": lambda: UNDEF, **fields})
+        fired = False
         handler = self.props.get("on" + etype)
         if handler is not None and handler is not UNDEF:
             _call(handler, [ev])
-            return True
+            fired = True
         attr = self.attrs.get("on" + etype)
         if isinstance(attr, str) and attr.strip():
             self.doc.browser.interp.eval_snippet(attr, {"event": ev})
-            return True
-        for lt, fn in self.props.get("__listeners__", []):
+            fired = True
+        for lt, fn in list(self.props.get("__listeners__", [])):
             if lt == etype:
                 _call(fn, [ev])
-                return True
-        return False
+                fired = True
+        return fired
 
     def click(self):
         return self.fire("click")
@@ -546,7 +548,7 @@ class Browser:
         body = opts.get("body", UNDEF)
         kwargs: Dict[str, Any] = {"headers": headers}
         if body is not UNDEF and body is not None:
-            if isinstance(body, str):
+            if isinstance(body, (str, bytes)):
                 kwargs["content"] = body
             elif isinstance(body, FormDataStub):
                 kwargs["files"] = body.files

@@ -236,6 +236,58 @@ def test_video_analysis_drilldown_renders_fusion(live):
         assert r.get("label") == 1 or r.get("label") is not None
 
 
+def test_upload_page_drag_drop_label_and_send(live):
+    """The full VideoUpload flow executed: drop two files on the zone,
+    label-all-lame, click upload — the page fetches the real upload
+    route with raw bytes, labels each video, and renders per-file
+    success rows with video ids."""
+    from lameness_tpu.utils.esinterp import JSObject, Promise
+    base, ctx, _ = live
+    b = _browser(live, "#upload")
+    b.boot()
+
+    def jsfile(name, data):
+        return JSObject({"name": name, "size": float(len(data)),
+                         "arrayBuffer": lambda: Promise(data)})
+
+    files = [jsfile("drop-a.mp4", b"\x11" * 512),
+             jsfile("bad.txt", b"x"),              # rejected by extension
+             jsfile("drop-b.mp4", b"\x22" * 256)]
+    drop = b.by_id("vu-drop")
+    drop.fire("drop", dataTransfer=JSObject({"files": files}))
+    # two rows queued (the .txt was refused with a toast)
+    assert "drop-a.mp4" in b.page_text()
+    assert "drop-b.mp4" in b.page_text()
+    assert "bad.txt" not in b.by_id("vu-queue").text
+    b.by_id("vu-all-lame").click()
+    b.by_id("vu-send").click()
+    txt = b.by_id("vu-queue").text
+    assert "video_id" in txt and "✗" not in txt
+    # server side: both videos exist and carry label 1
+    h = {"Authorization": "Bearer " + b.storage["token"]}
+    vids = httpx.get(f"{base}/api/videos?limit=100",
+                     headers=h).json()["videos"]
+    ours = [v for v in vids
+            if v.get("original_filename", v.get("filename"))
+            in ("drop-a.mp4", "drop-b.mp4")]
+    assert len(ours) == 2
+    assert all(v.get("label") == 1 for v in ours), ours
+
+
+def test_mlconfig_page_save_round_trips(live):
+    """ml_configuration's save button PUTs the active tab's config to
+    the live runtime-editable ml-config API."""
+    base, _, _ = live
+    b = _browser(live, "#mlconfig")
+    b.boot()
+    assert b.by_id("mlc-save") is not None
+    b.by_id("mlc-save").click()
+    # no error panel/toast of class bad; config still served
+    h = {"Authorization": "Bearer " + b.storage["token"]}
+    r = httpx.get(f"{base}/api/ml-config", headers=h)
+    assert r.status_code == 200
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

@@ -195,7 +195,15 @@ _PROBE_SRC = (
 )
 
 
-def _probe_once(timeout_s: float = 30.0) -> bool:
+def _probe_once(timeout_s: float = 45.0) -> bool:
+    """45 s, not 30: on a contended 1-CPU host the probe subprocess's
+    jax import alone can eat 20-30 s, reading an alive window as
+    wedged (observed r5: watcher's 90 s probe saw ALIVE while bench's
+    30 s probes failed back-to-back)."""
+    return _probe_once_impl(timeout_s)
+
+
+def _probe_once_impl(timeout_s: float) -> bool:
     """One trivial-matmul probe in a subprocess: a wedged tunnel kills
     the child, never this process."""
     try:
@@ -216,7 +224,7 @@ def _wait_for_device() -> None:
     while _remaining() > 45:
         attempt += 1
         t0 = time.time()
-        if _probe_once(timeout_s=min(30.0, _remaining() - 10)):
+        if _probe_once(timeout_s=min(45.0, _remaining() - 10)):
             _log(f"device alive (probe {attempt}, {time.time() - t0:.1f}s)")
             RESULT["probe_attempts"] = attempt
             return

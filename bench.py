@@ -146,17 +146,27 @@ def _update_headline() -> None:
             if comp_best.get("compute_clips_per_min"):
                 keep["compute_best"] = comp_best
             # machine-readable SAM-variant ladder (VERDICT r4 weak #4):
-            # per-variant best compute rate, carried across runs
+            # per-variant best compute rate, carried across runs.  The
+            # candidate comes from THIS run's sweep only — comp_best is
+            # cross-run and carries the DEFAULT variant's rate, which
+            # must never be attributed to a vit_l/vit_h run.
             variants = dict(prev.get("variants", {}))
             vname = RESULT.get("sam_variant", "vit_b")
-            cand = comp_best if comp_best.get("compute_clips_per_min") \
-                else None
-            if cand and cand.get("compute_clips_per_min", 0) > \
+            run_best = max(
+                (m for m in RESULT.get("sweep", [])
+                 if m.get("compute_clips_per_min")),
+                key=lambda m: m["compute_clips_per_min"], default=None)
+            if run_best and run_best["compute_clips_per_min"] > \
                     variants.get(vname, {}).get("compute_clips_per_min", 0):
                 variants[vname] = {
-                    k: cand[k] for k in
-                    ("compute_clips_per_min", "p50_compute_s_per_clip",
-                     "bf16", "batch", "timestamp") if k in cand}
+                    "compute_clips_per_min":
+                        run_best["compute_clips_per_min"],
+                    "p50_compute_s_per_clip":
+                        run_best.get("p50_compute_s_per_clip"),
+                    "bf16": run_best.get("bf16"),
+                    "batch": run_best.get("batch"),
+                    "timestamp": entry["timestamp"],
+                }
                 if RESULT.get("sam_encode_chunk"):
                     variants[vname]["sam_encode_chunk"] = \
                         RESULT["sam_encode_chunk"]

@@ -382,6 +382,19 @@ class Document:
         self.body = Element("body", self)
         self.root._append_node(self.body)
         self.documentElement = self.root
+        self.props: Dict[str, Any] = {}    # document.onkeydown etc.
+
+    def fire(self, etype: str, **fields):
+        """Dispatch a document-level event (keyboard shortcuts)."""
+        target = fields.pop("target", None) or self.body
+        ev = JSObject({"type": etype, "target": target,
+                       "preventDefault": lambda: UNDEF,
+                       "stopPropagation": lambda: UNDEF, **fields})
+        h = self.props.get("on" + etype)
+        if h not in (None, UNDEF):
+            _call(h, [ev])
+            return True
+        return False
 
     def parse_fragment(self, html: str) -> List[Any]:
         b = _DOMBuilder(self)
@@ -390,6 +403,8 @@ class Document:
         return b.root
 
     def js_get(self, name):
+        if name in self.props:
+            return self.props[name]
         if name == "getElementById":
             def _gid(i):
                 for el in self.root.walk():
@@ -421,6 +436,8 @@ class Document:
     def js_set(self, name, value):
         if name == "title":
             self.browser.title = js_str(value)
+            return
+        self.props[name] = value
 
 
 class WebSocketStub:

@@ -288,6 +288,30 @@ def test_mlconfig_page_save_round_trips(live):
     assert r.status_code == 200
 
 
+def test_pairwise_review_flow_submits_comparison(live):
+    """The 7-point pairwise flow executed end to end: tutorial gate
+    honored via localStorage, scale selected through the real keyboard
+    shortcut handler (document.onkeydown), submit POSTs the comparison
+    and the server's Elo tables move."""
+    base, ctx, _ = live
+    b = _browser(live, "#pairwise")
+    b.storage["pairwise_tutorial_complete"] = "true"
+    b.boot()
+    main = b.by_id("main")
+    btns = main.query_all(".scale-btn")
+    assert len(btns) == 7, b.page_text()[:200]
+    # keyboard shortcut "1" = A much more lame (PairwiseReview.tsx map)
+    assert b.document.fire("keydown", key="1")
+    assert b.by_id("submit").js_get("disabled") is False
+    h = {"Authorization": "Bearer " + b.storage["token"]}
+    before = httpx.get(f"{base}/api/elo/stats", headers=h).json()
+    b.by_id("submit").click()
+    after = httpx.get(f"{base}/api/elo/stats", headers=h).json()
+    assert after["total_comparisons"] == before["total_comparisons"] + 1
+    # submit navigated to the next pair (router re-entered the page)
+    assert b.location["hash"].startswith("pairwise")
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

@@ -2053,9 +2053,9 @@ def _binop(op, a, b):
         d = js_num(b)
         n = js_num(a)
         if d == 0:
+            # JS: 0/0 = NaN, n/0 = ±Infinity by n's sign (-0 ignored)
             return float("nan") if n == 0 else math.copysign(
-                float("inf"), n * (1 if d == 0 and not str(d)[0] == "-"
-                                   else 1))
+                float("inf"), n)
         return n / d
     if op == "%":
         d = js_num(b)

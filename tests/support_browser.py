@@ -59,7 +59,8 @@ class Element:
 
     def matches(self, part: str) -> bool:
         m = re.fullmatch(
-            r"(?P<tag>[a-zA-Z][\w-]*)?(?P<id>#[\w-]+)?(?P<cls>\.[\w-]+)?",
+            r"(?P<tag>[a-zA-Z][\w-]*)?(?P<id>#[\w-]+)?(?P<cls>\.[\w-]+)?"
+            r"(?P<attrs>(?:\[[\w-]+(?:=\"[^\"]*\")?\])*)",
             part)
         if not m or not part:
             return False
@@ -70,6 +71,13 @@ class Element:
         if m.group("cls"):
             classes = str(self.attrs.get("class", "")).split()
             if m.group("cls")[1:] not in classes:
+                return False
+        for am in re.finditer(r"\[([\w-]+)(?:=\"([^\"]*)\")?\]",
+                              m.group("attrs") or ""):
+            k, want = am.group(1), am.group(2)
+            if k not in self.attrs:
+                return False
+            if want is not None and str(self.attrs[k]) != want:
                 return False
         return True
 

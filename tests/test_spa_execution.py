@@ -312,6 +312,47 @@ def test_pairwise_review_flow_submits_comparison(live):
     assert b.location["hash"].startswith("pairwise")
 
 
+def test_triplet_flow_select_and_submit(live):
+    """Triplet comparison executed: card click selects, submit POSTs to
+    the live triplet route and the server's JSONL grows."""
+    base, ctx, _ = live
+    b = _browser(live, "#triplet")
+    b.boot()
+    card = b.by_id("tc-card-a")
+    if card is None:                     # enumeration may be exhausted
+        assert "complete" in b.page_text().lower()
+        return
+    card.click()
+    submit = b.by_id("tc-submit")
+    assert submit.js_get("disabled") is False
+    jsonl = ctx.dirs.training / "triplets" / "triplets.jsonl"
+    n0 = sum(1 for _ in open(jsonl)) if jsonl.exists() else 0
+    submit.click()
+    n1 = sum(1 for _ in open(jsonl))
+    assert n1 == n0 + 1
+
+
+def test_settings_theme_cards_flip_document_theme(live):
+    """Settings executed: the appearance tab's theme cards write
+    localStorage and flip documentElement.dataset.theme — the exact
+    Settings.tsx behavior, driven through real clicks."""
+    b = _browser(live, "#settings")
+    b.boot()
+    tabs = b.by_id("st-tabs")
+    appearance = [e for e in tabs.query_all("button")
+                  if e.attrs.get("data-t") == "appearance"]
+    assert appearance
+    appearance[0].click()
+    cards = b.by_id("st-content").query_all("[data-theme]")
+    assert cards, "appearance tab should render theme cards"
+    light = [c for c in cards if c.attrs.get("data-theme") == "light"]
+    assert light
+    light[0].click()
+    assert b.storage.get("theme_pref") == "light"
+    assert b.storage.get("theme") == "light"
+    assert b.document.documentElement.attrs.get("data-theme") == "light"
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

@@ -353,6 +353,28 @@ def test_settings_theme_cards_flip_document_theme(live):
     assert b.document.documentElement.attrs.get("data-theme") == "light"
 
 
+def test_hierarchy_snapshot_modal_creates_snapshot(live):
+    """Hierarchy page executed: the create-snapshot modal flow — open,
+    type a name, create — hits the live snapshot route; the snapshots
+    grid shows it after the router re-renders."""
+    base, _, _ = live
+    b = _browser(live, "#hierarchy")
+    b.boot()
+    snap = b.by_id("hv-snap")
+    assert snap is not None, "admin should see the snapshot button"
+    snap.click()
+    name_input = b.by_id("hv-sname")
+    assert name_input is not None, "modal should render"
+    name_input.props["value"] = "Round 5 snapshot"
+    b.by_id("hv-screate").click()
+    h = {"Authorization": "Bearer " + b.storage["token"]}
+    snaps = httpx.get(f"{base}/api/elo/snapshots",
+                      headers=h).json()["snapshots"]
+    assert any(s["name"] == "Round 5 snapshot" for s in snaps)
+    # the page re-rendered through go('hierarchy') and lists it
+    assert "Round 5 snapshot" in b.page_text()
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

@@ -148,14 +148,27 @@ class PipelineDriver:
         if not matches:
             return None
         src = matches[0]
+        # curation just ran the detector over EVERY frame of this same
+        # raw upload — reuse its first-10 detections instead of
+        # re-running the detector during the crop decode (same bboxes,
+        # ~10 fewer device dispatches on the full chain)
+        bboxes = []
+        memo = getattr(self.curator, "last_detections", None)
+        use_memo = (detector is None and memo
+                    and memo.get("video_id") == video_id)
+        if use_memo:
+            # curation saw EVERY frame; if it found < 10 there are no
+            # more to find — never fall through to re-detection (that
+            # would double-count the same frames)
+            bboxes = [d["detection"]["bbox"] for d in memo["detections"]
+                      if d["detection"] is not None][:10]
         detector = detector or self.curator.detector
         with VideoReader(src) as vr:
             info = vr.info
-            bboxes = []
             frames = []
             for idx, frame in vr.frames(interval=1, rgb=True):
                 frames.append(frame)
-                if len(bboxes) < 10:
+                if not use_memo and len(bboxes) < 10:
                     det = detector(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
                     if det is not None:
                         bboxes.append(det["bbox"])

@@ -466,6 +466,12 @@ class ClipCurator:
         with self.timers.time("curation.track"):
             detections, info, visual_cache = \
                 self.track_cow_through_video(video_path)
+        # one-video memo: preprocessing of the SAME raw upload can reuse
+        # these per-frame detections instead of re-running the detector
+        # over its first frames (driver._preprocess); one entry only so
+        # long streams don't accumulate per-frame dicts
+        self.last_detections = {"video_id": video_id,
+                                "detections": detections}
         passes = self.identify_walking_passes(detections, info)
         candidates = []
         for wp in passes:

@@ -141,7 +141,17 @@ class Element:
         if name == "id":
             return self.attrs.get("id", "")
         if name == "value":
-            return self.props.get("value", self.attrs.get("value", ""))
+            if "value" in self.props:
+                return self.props["value"]
+            if "value" in self.attrs:
+                return self.attrs["value"]
+            if self.tag == "select":
+                # browser semantics: an un-set select reads as its
+                # first option's value
+                for el in self.walk():
+                    if el.tag == "option":
+                        return el.attrs.get("value", el.text)
+            return ""
         if name == "checked":
             return js_truthy(self.props.get(
                 "checked", "checked" in self.attrs))

@@ -135,3 +135,40 @@ def test_curator_upgrades_when_yolo_weights_arrive(tmp_data_root, engine):
         assert drv2.curator is mine
     finally:
         engine.loaded_weights["yolo"] = False
+
+
+def test_preprocess_reuses_curation_detections(tmp_data_root, engine,
+                                               tmp_path):
+    """After curation of the same upload, preprocess must reuse the
+    per-frame detections curation already computed instead of
+    re-running the detector (same median-bbox crop, zero extra calls)."""
+    from lameness_tpu.video.curation import ClipCurator
+
+    calls = {"n": 0}
+
+    def counting_detector(frame_bgr):
+        calls["n"] += 1
+        return _square_detector(frame_bgr)
+
+    cfg = tmp_data_root
+    curator = ClipCurator(cfg.dirs, detector=counting_detector)
+    drv = PipelineDriver(config=cfg, engine=engine, curator=curator)
+    vid_path = _synthetic_walk_video(tmp_path / "memo.mp4", n_frames=30,
+                                     w=160, h=90, fps=5)
+    vid = drv.ingest(vid_path, "memovid")
+    raw = next(iter(cfg.dirs.videos.glob(f"{vid}.*")))
+    drv.curator.curate_video(raw, vid)
+    n_curation = calls["n"]
+    assert n_curation >= 30                 # every frame was detected
+    pre = drv.preprocess(vid)
+    assert calls["n"] == n_curation, "preprocess re-ran the detector"
+    x1, y1, x2, y2 = pre["crop_box"]
+    assert x2 > x1 and y2 > y1
+
+    # a DIFFERENT video id must not reuse the memo
+    vid2_path = _synthetic_walk_video(tmp_path / "memo2.mp4", n_frames=20,
+                                      w=160, h=90, fps=5)
+    vid2 = drv.ingest(vid2_path, "memovid2")
+    pre2 = drv.preprocess(vid2)
+    assert calls["n"] > n_curation          # detector ran for the new one
+    assert pre2 is not None

@@ -375,6 +375,32 @@ def test_hierarchy_snapshot_modal_creates_snapshot(live):
     assert "Round 5 snapshot" in b.page_text()
 
 
+def test_user_management_create_rater_with_tier(live):
+    """user_management executed: the create-user modal mints a rater
+    with a tier through the admin endpoint (the r4-added workflow),
+    and the page's list re-render shows the new account."""
+    base, _, _ = live
+    b = _browser(live, "#users")
+    b.boot()
+    b.by_id("um-new").click()
+    assert b.by_id("um-create") is not None, "modal should render"
+    b.by_id("um-nu").props["value"] = "spa-rater"
+    b.by_id("um-ne").props["value"] = "spa-rater@example.com"
+    b.by_id("um-np").props["value"] = "S3cure-pw!"
+    # role select defaults to "rater" (first option) — tier row visible
+    b.by_id("um-nt").props["value"] = "gold"
+    b.by_id("um-create").click()
+    h = {"Authorization": "Bearer " + b.storage["token"]}
+    users = httpx.get(f"{base}/api/auth/users", headers=h).json()
+    made = [u for u in users if u["username"] == "spa-rater"]
+    assert made and made[0]["role"] == "rater"
+    assert made[0].get("rater_tier") == "gold"
+    # the new account can actually log in
+    r = httpx.post(f"{base}/api/auth/login", json={
+        "username": "spa-rater", "password": "S3cure-pw!"})
+    assert r.status_code == 200
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

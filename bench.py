@@ -172,13 +172,16 @@ def _update_headline() -> None:
                         RESULT["sam_encode_chunk"]
             if variants:
                 keep["variants"] = variants
-            # full-chain + curation captures ride keep-best provenance
+            # full-chain + curation captures ride keep-best provenance.
+            # A from_last_good COPY must never feed back in: it would
+            # re-stamp a never-measured capture with a fresh timestamp.
             for sec, metric in (("full_chain", "clips_per_min"),
                                 ("curation",
                                  "speedup_vs_jitted_per_frame")):
                 best = prev.get(sec)
                 cur = RESULT.get(sec)
-                if cur and cur.get(metric) and (
+                if cur and cur.get(metric) \
+                        and not cur.get("from_last_good") and (
                         not best or cur[metric] >= best.get(metric, 0)):
                     best = dict(cur)
                     best["timestamp"] = entry["timestamp"]
@@ -593,7 +596,7 @@ def _measure_config_extras(engine, frames, batch, rng, entry, n_runs=4,
     _log(f"stage p50 {stage_s}")
     try:
         entry["stage_flops_mfu"] = _stage_flops_mfu(
-            engine, fd, det, rng, stage_s, entry.get("bf16"))
+            engine, fd, det, rng, stage_s)
         _log(f"mfu {entry['stage_flops_mfu']}")
     except Exception as e:
         entry["stage_flops_mfu"] = {"error": repr(e)[:150]}
@@ -601,13 +604,18 @@ def _measure_config_extras(engine, frames, batch, rng, entry, n_runs=4,
     return entry
 
 
-def _stage_flops_mfu(engine, fd, det, rng, stage_s, bf16):
+def _stage_flops_mfu(engine, fd, det, rng, stage_s):
     """Per-stage FLOPs from XLA's own cost model + derived MFU (VERDICT
     r4 weak #6: the roofline lived as prose in docs/PERFORMANCE.md; now
     the bench artifact carries it mechanically).  MFU is flops /
     (p50_seconds * assumed peak); the assumed peak is recorded so the
     derivation is auditable."""
     import jax
+    import jax.numpy as jnp
+    # derive precision from the ENGINE, not the sweep entry: a missing
+    # bf16 key on a bf16 run would silently halve the assumed peak and
+    # double every reported MFU
+    bf16 = engine.spec.dtype == jnp.bfloat16
     peak = None
     if jax.default_backend() == "tpu":
         # v5e MXU: 197 TFLOP/s bf16; f32 runs as multi-pass bf16

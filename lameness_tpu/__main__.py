@@ -100,6 +100,11 @@ def _build(args, engine_needed=True):
                     raise SystemExit(
                         f"--dp {dp} --tp {tp}: needs {n} devices, only "
                         f"{jax.device_count()} visible")
+                if n % tp != 0:
+                    raise SystemExit(
+                        f"--dp {dp} --tp {tp}: {n} devices do not "
+                        f"divide into a (data={n // tp}, model={tp}) "
+                        f"grid — tp must divide the device count")
                 from .parallel.mesh import make_mesh
                 engine.shard_inference(make_mesh(n, model_parallel=tp))
                 print(f"mesh: inference sharded over {n} devices "

@@ -361,10 +361,12 @@ def export_ultralytics_state_dict(params: Dict, has_pose: bool = False
         if "cv1" in node:                               # c2f or sppf
             put_conv_bn(f"{idx}.cv1", node["cv1"])
             put_conv_bn(f"{idx}.cv2", node["cv2"])
-            for k in sorted(node):
-                if k.startswith("m") and k[1:].isdigit():
-                    put_conv_bn(f"{idx}.m.{k[1:]}.cv1", node[k]["cv1"])
-                    put_conv_bn(f"{idx}.m.{k[1:]}.cv2", node[k]["cv2"])
+            ms = sorted((k for k in node
+                         if k.startswith("m") and k[1:].isdigit()),
+                        key=lambda k: int(k[1:]))   # m10 after m9
+            for k in ms:
+                put_conv_bn(f"{idx}.m.{k[1:]}.cv1", node[k]["cv1"])
+                put_conv_bn(f"{idx}.m.{k[1:]}.cv2", node[k]["cv2"])
         else:
             put_conv_bn(idx, node)
     for i in range(3):

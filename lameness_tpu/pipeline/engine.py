@@ -266,6 +266,11 @@ class LamenessEngine:
                  init_models: bool = True):
         self.config = config or Config()
         self.spec = spec or EngineSpec()
+        # the config memory governor flows onto the spec even for
+        # init_models=False engines (the parity/rect-harness pattern
+        # installs .sam manually and still needs chunked encoding)
+        if self.config.sam.encode_chunk and not self.spec.sam_encode_chunk:
+            self.spec.sam_encode_chunk = self.config.sam.encode_chunk
         if not init_models:
             return
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -278,8 +283,6 @@ class LamenessEngine:
         self.sam = build_sam(self.config.sam.variant, img_size=s.sam_size,
                              encoder_remat=self.config.sam.encoder_remat) \
             if s.use_sam_model else None
-        if self.config.sam.encode_chunk and not s.sam_encode_chunk:
-            s.sam_encode_chunk = self.config.sam.encode_chunk
         self.tcn = TCN(input_dim=44)
         self.gait = GaitTransformer(input_dim=44)
         # jit every init: eager init is pathologically slow on remote-compile
@@ -511,9 +514,11 @@ class LamenessEngine:
             dim = params["params"]["vision_encoder"]["pos_embed"].shape[-1]
             if self.sam is not None and dim != self.sam.encoder_dim:
                 # checkpoint geometry wins over config (the reference
-                # selects the variant by checkpoint name, sam3:51-72)
-                self.sam = build_sam(infer_variant(dim),
-                                     img_size=self.spec.sam_size)
+                # selects the variant by checkpoint name, sam3:51-72);
+                # the remat knob must survive the rebuild
+                self.sam = build_sam(
+                    infer_variant(dim), img_size=self.spec.sam_size,
+                    encoder_remat=self.config.sam.encoder_remat)
             self.params["sam"] = params
         elif name == "yolo":
             from ..models.yolo import convert_ultralytics_state_dict as conv

@@ -918,10 +918,12 @@ def build_admin_api(ctx: AdminContext) -> Router:
         for line in open(out_dir / "triplets.jsonl"):
             try:
                 r_ = json.loads(line)
-            except Exception:
+                match = r_.get("reference") == ref and sorted(
+                    (r_.get("option_a") or "",
+                     r_.get("option_b") or "")) == [lo, hi]
+            except Exception:      # malformed/foreign lines never 500
                 continue
-            if r_.get("reference") == ref and sorted(
-                    (r_.get("option_a"), r_.get("option_b"))) == [lo, hi]:
+            if match:
                 n += 1
         return {"status": "saved", "triplet_key": key,
                 "total_comparisons": n}
@@ -1787,10 +1789,10 @@ def build_admin_api(ctx: AdminContext) -> Router:
     def cow_history(req: Request):
         """Timeline + trend per the reference shape (cows.py:159-237:
         newest-first timeline, recent-vs-older trend, ?days filter)."""
-        try:
-            days = _qint(req, "days", 30)
-        except ValueError:
-            days = 30
+        # ?days=abc is a 422 like the reference's FastAPI `days: int`
+        # validation (the old ValueError fallback is unreachable now
+        # that _qint raises HTTPError)
+        days = _qint(req, "days", 30)
         rows = db.lameness_history(req.params["cow_id"])
         cutoff = (datetime.now(timezone.utc)
                   - timedelta(days=days)).isoformat()

@@ -401,6 +401,25 @@ def test_user_management_create_rater_with_tier(live):
     assert r.status_code == 200
 
 
+def test_analysis_retrigger_button_enqueues_pipeline(live):
+    """The re-run-pipeline button POSTs the live retrigger route and
+    the server records a processing job / pipeline message for the
+    video (the reactive path the reference drives over NATS)."""
+    from lameness_tpu.utils.esinterp import _call
+    base, ctx, vids = live
+    b = _browser(live, "#videos")
+    mod = b.boot()
+    _call(mod["nav"], ["analysis", vids[0]])
+    btn = b.by_id("retrigger")
+    assert btn is not None
+    btn.click()
+    # toast confirms the ack (no 'bad' toast)
+    toasts = [e for e in b.document.body.query_all(".toast")]
+    assert toasts, "expected an ack toast"
+    assert all("bad" not in str(t.attrs.get("class", ""))
+               for t in toasts), [t.text for t in toasts]
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

@@ -420,6 +420,28 @@ def test_analysis_retrigger_button_enqueues_pipeline(live):
                for t in toasts), [t.text for t in toasts]
 
 
+def test_tutorial_auto_generate_from_elo_extremes(live):
+    """tutorial_management executed: the auto-generate button POSTs the
+    live route and the re-rendered page reflects new gold tasks (needs
+    the Elo ratings the pairwise test created)."""
+    base, _, _ = live
+    b = _browser(live, "#tutorial")
+    b.boot()
+    auto = b.by_id("tm-auto")
+    assert auto is not None, "admin should see the auto-generate button"
+    h = {"Authorization": "Bearer " + b.storage["token"]}
+    before = httpx.get(f"{base}/api/tutorial/tasks",
+                       headers=h).json().get("tasks", [])
+    auto.click()
+    after = httpx.get(f"{base}/api/tutorial/tasks",
+                      headers=h).json().get("tasks", [])
+    assert len(after) >= len(before)
+    # no error toast
+    toasts = b.document.body.query_all(".toast")
+    assert all("bad" not in str(t.attrs.get("class", ""))
+               for t in toasts), [t.text for t in toasts]
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

@@ -442,6 +442,37 @@ def test_tutorial_auto_generate_from_elo_extremes(live):
                for t in toasts), [t.text for t in toasts]
 
 
+def test_training_module_quiz_grades_and_persists(live):
+    """The learn page's quiz executed: answer a comparison via the
+    scale buttons, the grading logic (TrainingModule.tsx scoring) runs,
+    feedback renders, and the PUT-progress persistence reaches the
+    live server."""
+    base, _, _ = live
+    b = _browser(live, "#learn")
+    b.boot()
+    quiz = b.by_id("quiz")
+    if quiz is None or not quiz.query_all("#scale button"):
+        # no gold tasks in this run order — binary mode or empty is fine,
+        # but the page must have rendered the training view
+        assert "Learn" in b.page_text()
+        return
+    h = {"Authorization": "Bearer " + b.storage["token"]}
+    before = httpx.get(f"{base}/api/training/learn/progress",
+                       headers=h).json()
+    quiz.query_all("#scale button")[0].click()
+    fb = b.by_id("fb")
+    assert fb is not None and fb.text.strip(), "feedback must render"
+    assert ("correct" in fb.text) or ("not quite" in fb.text)
+    after = httpx.get(f"{base}/api/training/learn/progress",
+                      headers=h).json()
+    assert after["total_attempts"] == (before.get("total_attempts") or 0) + 1
+    # 'next' advances the quiz without error
+    nxt = b.by_id("nxt")
+    assert nxt is not None
+    nxt.click()
+    assert b.by_id("fb").text.strip() == ""
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

@@ -473,6 +473,36 @@ def test_training_module_quiz_grades_and_persists(live):
     assert b.by_id("fb").text.strip() == ""
 
 
+def test_cow_detail_timeline_and_days_filter(live):
+    """cow_detail executed with a real lameness record: the fusion
+    timeline renders it, and the ?days selector re-routes through the
+    lameness-history endpoint (the route whose query validation changed
+    this round) without error."""
+    from lameness_tpu.utils.esinterp import _call
+    base, ctx, vids = live
+    ctx.db.add_lameness_record(
+        "COW-7007", vids[0],
+        {"final_probability": 0.66, "final_prediction": 1},
+        {"tcn": {"probability": 0.7}})
+    b = _browser(live, "#cows")
+    mod = b.boot()
+    _call(mod["nav"], ["cow", "COW-7007"])
+    main = b.by_id("main")
+    bad = [e for e in main.query_all(".bad")
+           if "panel" in str(e.attrs.get("class", ""))]
+    assert not bad, bad[0].text[:150] if bad else None
+    assert "COW-7007" in main.text
+    assert "66" in main.text or "0.66" in main.text   # fusion score shown
+    days = b.by_id("cd-days")
+    assert days is not None
+    days.props["value"] = "7"
+    days.fire("change", target=days)                  # go('cow', id, 7)
+    assert b.location["hash"] == "cow/COW-7007/7"
+    bad = [e for e in b.by_id("main").query_all(".bad")
+           if "panel" in str(e.attrs.get("class", ""))]
+    assert not bad
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

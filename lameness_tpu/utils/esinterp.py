@@ -236,11 +236,11 @@ class Parser:
             return ("while", test, self.block_or_stmt())
         if self.at_kw("return"):
             t = self.eat()
-            if self.at_punct(";", "}") or self.peek() is None or \
-                    self._newline_before(t):
-                pass
+            # ASI: a newline after `return` terminates it — the next
+            # line is a separate statement, NOT the return value
             val = None
-            if not (self.at_punct(";", "}") or self.peek() is None):
+            if not (self.at_punct(";", "}") or self.peek() is None
+                    or self._newline_before(t)):
                 val = self.expression()
             self.opt_semi()
             return ("return", val)
@@ -1155,9 +1155,8 @@ def _string_member(s: str, name):
             rx = pat.rx if isinstance(pat, JSRegExp) else \
                 _re.compile(js_str(pat))
             if isinstance(pat, JSRegExp) and pat.global_:
-                out = rx.findall(s)
-                return [m if isinstance(m, str) else m[0]
-                        for m in out] or None
+                out = [m.group(0) for m in rx.finditer(s)]
+                return out or None
             m = rx.search(s)
             return [m.group(0), *[g if g is not None else UNDEF
                                   for g in m.groups()]] if m else None
@@ -1338,11 +1337,36 @@ def _promise_member(p: Promise, name):
                     return nv
                 return Promise(nv)
             np_ = Promise(resolved=False)
-            p.callbacks.append((
-                (lambda v: np_.resolve(_call(okf, [v])
-                                       if okf is not None else v)),
-                (lambda e: np_.resolve(_call(badf, [e]))
-                 if badf is not None else np_.reject(e))))
+
+            def on_ok(v):
+                # mirror the resolved path: callback errors reject the
+                # derived promise; a returned Promise is unwrapped
+                try:
+                    nv = _call(okf, [v]) if okf is not None else v
+                except JSError as e:
+                    np_.reject(e.value)
+                    return
+                if isinstance(nv, Promise):
+                    if nv.resolved:
+                        if nv.error is not None:
+                            np_.reject(nv.error)
+                        else:
+                            np_.resolve(nv.value)
+                    else:
+                        nv.callbacks.append((np_.resolve, np_.reject))
+                else:
+                    np_.resolve(nv)
+
+            def on_bad(e):
+                if badf is not None:
+                    try:
+                        np_.resolve(_call(badf, [e]))
+                    except JSError as e2:
+                        np_.reject(e2.value)
+                else:
+                    np_.reject(e)
+
+            p.callbacks.append((on_ok, on_bad))
             return np_
         return _then
     if name == "catch":
@@ -1494,6 +1518,21 @@ class Env:
 
     def declare(self, name, value):
         self.vars[name] = value
+
+
+class _ShortCircuit:
+    """Sentinel: an optional-chain member hit null/undefined — the
+    WHOLE remaining chain must yield undefined (a?.b.c is undefined
+    when a is nullish, not a TypeError on .c)."""
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+
+_SC = _ShortCircuit()
 
 
 class _Return(Exception):
@@ -1780,6 +1819,10 @@ class Interp:
 
     # -- expressions ----------------------------------------------------------
     def eval(self, node, env: Env):
+        v = self._eval_raw(node, env)
+        return UNDEF if v is _SC else v
+
+    def _eval_raw(self, node, env: Env):
         k = node[0]
         if k == "num":
             return node[1]
@@ -1827,9 +1870,11 @@ class Interp:
             return JSFunction(node, env, self)
         if k == "member":
             _, oe, prop, computed, optional = node
-            obj = self.eval(oe, env)
+            obj = self._eval_raw(oe, env)
+            if obj is _SC:
+                return _SC
             if optional and (obj is None or obj is UNDEF):
-                return UNDEF
+                return _SC
             key = self.eval(prop, env) if computed else prop
             return get_member(obj, key)
         if k == "call":
@@ -1837,16 +1882,20 @@ class Interp:
             where_pos = node[4] if len(node) > 4 else "?"
             this = UNDEF
             if callee[0] == "member":
-                obj = self.eval(callee[1], env)
+                obj = self._eval_raw(callee[1], env)
+                if obj is _SC:
+                    return _SC
                 if callee[4] and (obj is None or obj is UNDEF):
-                    return UNDEF
+                    return _SC
                 key = self.eval(callee[2], env) if callee[3] else callee[2]
                 fn = get_member(obj, key)
                 this = obj
             else:
-                fn = self.eval(callee, env)
+                fn = self._eval_raw(callee, env)
+                if fn is _SC:
+                    return _SC
             if optional and (fn is None or fn is UNDEF):
-                return UNDEF
+                return _SC
             args = []
             for a in arg_nodes:
                 if a[0] == "spread":
@@ -1867,8 +1916,12 @@ class Interp:
         if k == "new":
             _, callee, arg_nodes = node
             ctor = self.eval(callee, env)
-            args = [self.eval(a, env) if a[0] != "spread" else None
-                    for a in arg_nodes]
+            args = []
+            for a in arg_nodes:
+                if a[0] == "spread":
+                    args.extend(_js_iter(self.eval(a[1], env)))
+                else:
+                    args.append(self.eval(a, env))
             maker = getattr(ctor, "js_construct", None)
             if maker is not None:
                 return maker(*args)
@@ -1901,7 +1954,7 @@ class Interp:
             if op == "+":
                 return js_num(v)
             if op == "~":
-                return float(~int(js_num(v)))
+                return float(~_to_int32(v))
             if op == "void":
                 return UNDEF
         if k == "update":
@@ -2038,6 +2091,15 @@ def _js_iter(v):
     raise JSError(make_error("not iterable", "TypeError"))
 
 
+def _to_int32(v) -> int:
+    """JS ToInt32: NaN/±Infinity -> 0, else truncate mod 2^32 signed."""
+    n = js_num(v)
+    if math.isnan(n) or math.isinf(n):
+        return 0
+    i = int(n) & 0xFFFFFFFF
+    return i - 0x100000000 if i >= 0x80000000 else i
+
+
 def _binop(op, a, b):
     if op == "+":
         if isinstance(a, str) or isinstance(b, str):
@@ -2082,18 +2144,17 @@ def _binop(op, a, b):
                 return False
         return {"<": x < y, ">": x > y, "<=": x <= y, ">=": x >= y}[op]
     if op == "&":
-        return float(int(js_num(a)) & int(js_num(b)))
+        return float(_to_int32(a) & _to_int32(b))
     if op == "|":
-        return float(int(js_num(a)) | int(js_num(b)))
+        return float(_to_int32(a) | _to_int32(b))
     if op == "^":
-        return float(int(js_num(a)) ^ int(js_num(b)))
+        return float(_to_int32(a) ^ _to_int32(b))
     if op == "<<":
-        return float(int(js_num(a)) << (int(js_num(b)) & 31))
+        return float(_to_int32(_to_int32(a) << (_to_int32(b) & 31)))
     if op == ">>":
-        return float(int(js_num(a)) >> (int(js_num(b)) & 31))
+        return float(_to_int32(a) >> (_to_int32(b) & 31))
     if op == ">>>":
-        return float((int(js_num(a)) & 0xFFFFFFFF) >>
-                     (int(js_num(b)) & 31))
+        return float((_to_int32(a) & 0xFFFFFFFF) >> (_to_int32(b) & 31))
     if op == "instanceof":
         ctor_name = getattr(b, "js_name", None)
         if ctor_name == "Error":

@@ -136,9 +136,21 @@ class _Lexer:
             if c == "\\":
                 if i + 1 >= self.n:
                     raise self.err("unterminated template (EOF)", start)
+                nxt = src[i + 1]
+                try:
+                    if nxt == "u" and i + 5 < self.n:
+                        buf.append(chr(int(src[i + 2:i + 6], 16)))
+                        i += 6
+                        continue
+                    if nxt == "x" and i + 3 < self.n:
+                        buf.append(chr(int(src[i + 2:i + 4], 16)))
+                        i += 4
+                        continue
+                except ValueError:
+                    pass                      # not a hex escape after all
                 buf.append({"`": "`", "$": "$", "\\": "\\",
-                            "n": "\n", "t": "\t"}.get(src[i + 1],
-                                                      src[i + 1]))
+                            "n": "\n", "t": "\t", "r": "\r",
+                            "b": "\b", "0": "\0"}.get(nxt, nxt))
                 i += 2
                 continue
             if c == "`":

@@ -59,8 +59,9 @@ class Element:
 
     def matches(self, part: str) -> bool:
         m = re.fullmatch(
-            r"(?P<tag>[a-zA-Z][\w-]*)?(?P<id>#[\w-]+)?(?P<cls>\.[\w-]+)?"
-            r"(?P<attrs>(?:\[[\w-]+(?:=\"[^\"]*\")?\])*)",
+            r"(?P<tag>[a-zA-Z][\w-]*)?(?P<id>#[\w-]+)?"
+            r"(?P<cls>(?:\.[\w-]+)+)?"
+            r"(?P<attrs>(?:\[[\w-]+(?:=(?:\"[^\"]*\"|[^\]]*))?\])*)",
             part)
         if not m or not part:
             return False
@@ -69,12 +70,15 @@ class Element:
         if m.group("id") and self.attrs.get("id") != m.group("id")[1:]:
             return False
         if m.group("cls"):
-            classes = str(self.attrs.get("class", "")).split()
-            if m.group("cls")[1:] not in classes:
+            classes = set(str(self.attrs.get("class", "")).split())
+            wanted = [c for c in m.group("cls").split(".") if c]
+            if not set(wanted) <= classes:
                 return False
-        for am in re.finditer(r"\[([\w-]+)(?:=\"([^\"]*)\")?\]",
-                              m.group("attrs") or ""):
-            k, want = am.group(1), am.group(2)
+        for am in re.finditer(
+                r"\[([\w-]+)(?:=(?:\"([^\"]*)\"|([^\]]*)))?\]",
+                m.group("attrs") or ""):
+            k = am.group(1)
+            want = am.group(2) if am.group(2) is not None else am.group(3)
             if k not in self.attrs:
                 return False
             if want is not None and str(self.attrs[k]) != want:
@@ -82,13 +86,23 @@ class Element:
         return True
 
     def query_all(self, sel: str) -> List["Element"]:
+        # comma-separated selector groups union their results
+        if "," in sel:
+            out, seen = [], set()
+            for sub in sel.split(","):
+                for el in self.query_all(sub.strip()):
+                    if id(el) not in seen:
+                        seen.add(id(el))
+                        out.append(el)
+            return out
         parts = sel.strip().split()
         matched = [self]
         for part in parts:
-            nxt = []
+            nxt, seen = [], set()
             for base in matched:
                 for el in base.walk():
-                    if el.matches(part):
+                    if id(el) not in seen and el.matches(part):
+                        seen.add(id(el))
                         nxt.append(el)
             matched = nxt
         return matched
@@ -146,11 +160,16 @@ class Element:
             if "value" in self.attrs:
                 return self.attrs["value"]
             if self.tag == "select":
-                # browser semantics: an un-set select reads as its
-                # first option's value
+                # browser semantics: an un-set select reads as the
+                # option carrying `selected`, else the first option
+                first = None
                 for el in self.walk():
                     if el.tag == "option":
-                        return el.attrs.get("value", el.text)
+                        if "selected" in el.attrs:
+                            return el.attrs.get("value", el.text)
+                        if first is None:
+                            first = el.attrs.get("value", el.text)
+                return first if first is not None else ""
             return ""
         if name == "checked":
             return js_truthy(self.props.get(
@@ -403,16 +422,22 @@ class Document:
         self.props: Dict[str, Any] = {}    # document.onkeydown etc.
 
     def fire(self, etype: str, **fields):
-        """Dispatch a document-level event (keyboard shortcuts)."""
+        """Dispatch a document-level event to the on<type> prop AND all
+        addEventListener registrations (browser semantics)."""
         target = fields.pop("target", None) or self.body
         ev = JSObject({"type": etype, "target": target,
                        "preventDefault": lambda: UNDEF,
                        "stopPropagation": lambda: UNDEF, **fields})
+        fired = False
         h = self.props.get("on" + etype)
         if h not in (None, UNDEF):
             _call(h, [ev])
-            return True
-        return False
+            fired = True
+        for lt, fn in list(self.props.get("__listeners__", [])):
+            if lt == etype:
+                _call(fn, [ev])
+                fired = True
+        return fired
 
     def parse_fragment(self, html: str) -> List[Any]:
         b = _DOMBuilder(self)
@@ -446,6 +471,12 @@ class Document:
         if name == "documentElement":
             return self.documentElement
         if name == "addEventListener":
+            def _ael(t, fn, *a):
+                self.props.setdefault("__listeners__", []).append(
+                    (js_str(t), fn))
+                return UNDEF
+            return _ael
+        if name == "removeEventListener":
             return lambda *a: UNDEF
         if name == "title":
             return self.browser.title

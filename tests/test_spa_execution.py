@@ -503,6 +503,41 @@ def test_cow_detail_timeline_and_days_filter(live):
     assert not bad
 
 
+def test_similarity_map_renders_pca_and_controls(live):
+    """similarity_map executed over real stored embeddings: the PCA
+    endpoint feeds the page, the canvas draw path runs (stubbed 2D
+    context), and the color/view controls re-render without error."""
+    import numpy as np
+    base, ctx, vids = live
+    rng = np.random.default_rng(3)
+    coll = ctx.config.reid.collection_embeddings
+    ctx.store.create_collection(coll, 768)
+    for i, vid in enumerate(vids):
+        ctx.store.upsert(coll, vid, rng.standard_normal(768),
+                         payload={"video_id": vid, "label": i % 2,
+                                  "metadata": {}})
+    b = _browser(live, "#simmap")
+    b.boot()
+    main = b.by_id("main")
+    bad = [e for e in main.query_all(".bad")
+           if "panel" in str(e.attrs.get("class", ""))]
+    assert not bad, bad[0].text[:200] if bad else None
+    assert b.by_id("map-canvas") is not None
+    # the 3-video map rendered (page reports point count somewhere)
+    assert "3" in main.text
+    # controls execute: toggle 3d view and color mode
+    view = b.by_id("map-view")
+    if view is not None:
+        view.click()
+    color = b.by_id("map-color")
+    if color is not None:
+        color.props["value"] = "label"
+        color.fire("change", target=color)
+    bad = [e for e in b.by_id("main").query_all(".bad")
+           if "panel" in str(e.attrs.get("class", ""))]
+    assert not bad
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

@@ -571,6 +571,42 @@ def test_pairwise_tutorial_gate_walks_gold_examples(live):
         "complete" in b.page_text().lower()
 
 
+def test_training_queue_start_ml_button(live):
+    """training_queue executed: the start-ML button POSTs the live
+    training route and acks (or reports the server's controlled
+    refusal) — never an unhandled failure."""
+    b = _browser(live, "#training")
+    b.boot()
+    ml = b.by_id("tq-ml")
+    if ml is None:                         # hidden for non-privileged
+        assert "Training" in b.page_text() or "queue" in b.page_text()
+        return
+    ml.click()
+    toasts = b.document.body.query_all(".toast")
+    assert toasts, "expected a toast after the training request"
+    # either the ack or a controlled message — not a crash
+    assert b.by_id("main").text
+
+
+def test_videos_filter_controls_requery(live):
+    """video_results executed: the status filter + Filter button drive
+    the URLSearchParams load() round trip against the live route."""
+    b = _browser(live, "#videos")
+    b.boot()
+    assert "walk-a.mp4" in b.page_text()
+    st = b.by_id("fstatus")
+    btn = [e for e in b.by_id("main").query_all("button")
+           if e.text.strip().lower() == "filter"]
+    assert st is not None and btn
+    st.props["value"] = "failed"
+    btn[0].click()                          # re-queries with ?status=
+    assert "walk-a.mp4" not in b.by_id("main").text \
+        or "no videos match" in b.by_id("main").text
+    st.props["value"] = ""
+    btn[0].click()
+    assert "walk-a.mp4" in b.by_id("main").text
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

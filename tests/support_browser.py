@@ -296,6 +296,13 @@ class Element:
         if name == "id":
             self.attrs["id"] = js_str(value)
             return
+        if name == "src" and self.tag in ("img", "script"):
+            # browser semantics: assigning src queues a load; the timer
+            # queue delivers onload, so `await new Promise(res =>
+            # img.onload = res)` completes via the interpreter's pump
+            self.props[name] = js_str(value)
+            self.doc.browser.set_timeout(lambda: self.fire("load"))
+            return
         self.props[name] = value
 
     def __repr__(self):

@@ -82,6 +82,22 @@ def test_engine_results_render_in_executed_spa(tmp_path):
         # every contributing pipeline the fusion recorded is on screen
         for name in fusion.get("pipeline_contributions", {}):
             assert name in txt, name
+        # the frame scrubber executes against the run's REAL per-frame
+        # data: stepping fires the img load (timer pump) + the
+        # /api/analysis/{id}/frames/{n} fetch, and detection overlays
+        # render when that frame had one
+        rng = b.by_id("scrub-range")
+        if rng is not None:
+            b.by_id("scrub-f1").click()
+            b.flush_timers()                 # deliver any trailing onload
+            label = b.by_id("scrub-label")
+            assert label is not None and "frame 1/" in label.text
+            info = b.by_id("scrub-info")
+            ov = b.by_id("scrub-ov")
+            assert (ov is not None and ov.children) or (
+                info is not None and info.text.strip()), \
+                "scrubber must show overlays or a per-frame message"
+
         # the cow registry page also reflects the Re-ID entry this run
         # created (if tracking matched one)
         tr = json.load(open(cfg.dirs.results_for("tracking")

@@ -403,11 +403,14 @@ export default async function PipelineAnalysis(videoId) {
   };
   Object.keys(TABS).forEach(k => {
     const has = k === "summary" || !!all[k];
+    // h() returns a wrapper div — append the BUTTON itself, or the
+    // data-k click wiring below lands on divs and every click throws
     tabBar.append(h(`<button class="mini" data-k="${k}" title="${TABS[k][1]}">
       ${TABS[k][0]} <span class="${has ? "ok" : "dim"}"
-        style="font-size:9px">●</span></button>`));
+        style="font-size:9px">●</span></button>`).querySelector("button"));
   });
-  [...tabBar.children].forEach(b => b.onclick = () => setTab(b.dataset.k));
+  tabBar.querySelectorAll("button").forEach(
+    b => b.onclick = () => setTab(b.dataset.k));
   setTab("summary");
 
   // ---- header buttons ----------------------------------------------------

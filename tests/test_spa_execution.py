@@ -607,6 +607,28 @@ def test_videos_filter_controls_requery(live):
     assert "walk-a.mp4" in b.by_id("main").text
 
 
+def test_pipeline_analysis_drilldown_tabs_cycle(live):
+    """pipeline_analysis per-video drill-down executed: every pipeline
+    tab's renderer runs against the live result set (present pipelines
+    render their cards; absent ones render the not-available branch)."""
+    from lameness_tpu.utils.esinterp import _call
+    base, ctx, vids = live
+    b = _browser(live, "#videos")
+    mod = b.boot()
+    _call(mod["nav"], ["pipelineanalysis", vids[0]])
+    tab_bar = b.by_id("pa-tabs")
+    if tab_bar is None:                     # summary-only variant
+        assert "pipeline" in b.page_text().lower()
+        return
+    tabs = [e for e in tab_bar.children if hasattr(e, "attrs")]
+    assert len(tabs) >= 5
+    for t in tabs:
+        t.click()                           # every RENDER[k] executes
+        content = b.by_id("pa-content")
+        assert content is not None and content.text.strip(), \
+            t.attrs.get("data-k")
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

@@ -76,8 +76,10 @@ export default async function HierarchyVisualization() {
   let mode = "bar", filter = "all";
   const modesEl = document.getElementById("hv-modes");
   ["list", "bar", "davids", "distribution"].forEach(mv => {
+    // append the BUTTON, not h()'s wrapper div — the active-mode
+    // outline below reads children[i].dataset.m
     const b = h(`<button class="mini" data-m="${mv}">${
-      mv === "davids" ? "David's" : mv}</button>`);
+      mv === "davids" ? "David's" : mv}</button>`).querySelector("button");
     b.onclick = () => { mode = mv; render(); };
     modesEl.append(b);
   });

@@ -58,7 +58,10 @@ export default async function MLConfiguration() {
   };
 
   TAB_META.forEach(([k, label]) => {
-    const b = h(`<button class="mini" data-t="${k}">${label}</button>`);
+    // append the BUTTON, not h()'s wrapper div — the active-tab
+    // outline below reads children[i].dataset.t
+    const b = h(`<button class="mini" data-t="${k}">${label}
+      </button>`).querySelector("button");
     b.onclick = () => { active = k; render(); };
     tabs.append(b);
   });

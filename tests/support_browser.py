@@ -117,12 +117,27 @@ class Element:
 
     # -- events ---------------------------------------------------------------
     def fire(self, etype: str, **fields):
-        """Dispatch an event to EVERY handler, like a browser: the
-        JS-assigned on<type> prop, the inline on<type>="…" attribute
-        (interpreted), and all addEventListener registrations."""
+        """Dispatch an event with BUBBLING, like a browser: every
+        handler on this element (on<type> prop, inline attribute,
+        addEventListener registrations), then the ancestor chain until
+        stopPropagation()."""
+        stopped = {"v": False}
+
+        def _stop():
+            stopped["v"] = True
+            return UNDEF
+
         ev = JSObject({"type": etype, "target": self,
-                       "stopPropagation": lambda: UNDEF,
+                       "stopPropagation": _stop,
                        "preventDefault": lambda: UNDEF, **fields})
+        fired = False
+        node: Optional[Element] = self
+        while node is not None and not stopped["v"]:
+            fired = node._dispatch(etype, ev) or fired
+            node = node.parent
+        return fired
+
+    def _dispatch(self, etype: str, ev) -> bool:
         fired = False
         handler = self.props.get("on" + etype)
         if handler is not None and handler is not UNDEF:

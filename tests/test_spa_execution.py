@@ -629,6 +629,45 @@ def test_pipeline_analysis_drilldown_tabs_cycle(live):
             t.attrs.get("data-k")
 
 
+def test_tab_and_mode_buttons_switch_views(live):
+    """The wrapper-div wiring the interpreter caught (and we fixed) is
+    now pinned executed: ml-config tabs, hierarchy mode buttons, and
+    tutorial filter buttons all switch views through real clicks, with
+    the active-state outline landing on the clicked button."""
+    from lameness_tpu.utils.esinterp import _call
+    b = _browser(live, "#mlconfig")
+    mod = b.boot()
+
+    tabs = [e for e in b.by_id("mlc-tabs").children
+            if hasattr(e, "attrs")] if b.by_id("mlc-tabs") else []
+    if not tabs:          # tab container id may differ; find by data-t
+        tabs = [e for e in b.by_id("main").walk()
+                if e.tag == "button" and "data-t" in e.attrs]
+    assert len(tabs) >= 3
+    target = tabs[1]
+    target.click()
+    style = target.props.get("style")
+    assert style and "outline" in style and style["outline"], \
+        "active tab must carry the outline (dataset on the button)"
+
+    _call(mod["nav"], ["hierarchy"])
+    modes = [e for e in b.by_id("main").walk()
+             if e.tag == "button" and "data-m" in e.attrs]
+    assert len(modes) == 4
+    modes[1].click()
+    st = modes[1].props.get("style")
+    assert st and st.get("outline"), "active mode must be outlined"
+
+    _call(mod["nav"], ["tutorial"])
+    filt = b.by_id("tm-filter")
+    assert filt is not None
+    btns = [e for e in filt.children if hasattr(e, "attrs")]
+    assert len(btns) == 3
+    btns[1].click()
+    st = btns[1].props.get("style")
+    assert st and st.get("outline")
+
+
 def test_inline_onclick_handlers_execute(live):
     """Row-level inline onclick attributes (go('cow', id)) execute in
     the interpreter and drive the real router to the drill-down page."""

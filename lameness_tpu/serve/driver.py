@@ -163,15 +163,31 @@ class PipelineDriver:
             bboxes = [d["detection"]["bbox"] for d in memo["detections"]
                       if d["detection"] is not None][:10]
         detector = detector or self.curator.detector
-        with VideoReader(src) as vr:
-            info = vr.info
-            frames = []
-            for idx, frame in vr.frames(interval=1, rgb=True):
-                frames.append(frame)
-                if not use_memo and len(bboxes) < 10:
+        # curation's track pass decoded this exact raw upload moments ago
+        # and retained the frames (byte-capped cache): crop from memory
+        # instead of a third decode of the same file.  Popping frees the
+        # cache once the crop is written.
+        cache = self.curator.take_frame_cache(src)
+        if cache is not None:
+            info = cache["info"]
+            frames = cache["frames"]
+            if not use_memo:
+                for frame in frames:
+                    if len(bboxes) >= 10:
+                        break
                     det = detector(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
                     if det is not None:
                         bboxes.append(det["bbox"])
+        else:
+            with VideoReader(src) as vr:
+                info = vr.info
+                frames = []
+                for idx, frame in vr.frames(interval=1, rgb=True):
+                    frames.append(frame)
+                    if not use_memo and len(bboxes) < 10:
+                        det = detector(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                        if det is not None:
+                            bboxes.append(det["bbox"])
         h, w = info["height"], info["width"]
         if bboxes:
             med = np.median(np.asarray(bboxes), axis=0)

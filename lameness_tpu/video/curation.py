@@ -136,13 +136,16 @@ class BatchedYoloDetector:
     """
 
     def __init__(self, model, params, conf: float = 0.3,
-                 cow_class_id: int = 19, size: int = 640, chunk: int = 16):
+                 cow_class_id: int = 19, size: int = 640, chunk: int = 16,
+                 transfer: Optional[str] = None):
         import jax
         import jax.numpy as jnp
         from ..models.yolo import detect as yolo_detect
         from ..ops.preprocess import letterbox, unletterbox_boxes
+        from ..video.yuv import i420_to_rgb_device
         self.chunk = int(chunk)
         self.cow_class_id = cow_class_id
+        self.transfer = transfer         # None -> backend default
         self.dispatches = 0              # observable dispatch counter
 
         def batched(frames_rgb):         # (N, H, W, 3) uint8
@@ -156,6 +159,78 @@ class BatchedYoloDetector:
             return boxes, det["scores"], det["classes"], det["valid"]
 
         self._jit = jax.jit(batched)
+        # I420 wire format: the chunk rides the tunnel at 1.5 bytes/px
+        # instead of 3 and the SAME program rebuilds RGB on device first
+        # (±2 LSB of the decoder's own conversion, video/yuv.py) — on
+        # the bandwidth-limited link curation is transfer-bound, so this
+        # halves its wall time
+        self._jit_yuv = jax.jit(
+            lambda yuv: batched(i420_to_rgb_device(yuv)))
+
+    def _resolve_transfer(self, h: int, w: int) -> str:
+        """'yuv420' on TPU backends (same default + env override as
+        EngineSpec ingest, pipeline/engine.py::default_transfer), 'rgb'
+        elsewhere and for odd geometries I420 cannot represent."""
+        if h % 2 or w % 2:
+            return "rgb"
+        if self.transfer:
+            return self.transfer
+        import os
+
+        import jax
+        env = os.environ.get("LAMENESS_YUV_INGEST")
+        if env == "0":
+            return "rgb"
+        if env == "1":
+            return "yuv420"
+        return "yuv420" if jax.default_backend() == "tpu" else "rgb"
+
+    def detect_stream(self, chunk_iter, timers=None
+                      ) -> List[Optional[Dict[str, Any]]]:
+        """Pipelined device loop over an iterator of (count, rgb_chunk).
+
+        rgb_chunk: (bs, H, W, 3) uint8 RGB with ``count`` valid leading
+        rows (tail chunks zero-padded to a fixed bs → one compiled
+        signature).  Chunk k+1's host→device transfer is issued between
+        dispatching chunk k and syncing its outputs — the single-thread
+        overlap pattern from serve/driver.py::process_stream — so the
+        wire streams while the device computes.
+        """
+        import contextlib
+
+        import jax
+        results: List[Optional[Dict[str, Any]]] = []
+        pending = None
+        prep = fn = None
+
+        def consume(item):
+            count, h, w, res = item
+            boxes, scores, classes, valid = (np.asarray(a) for a in res)
+            for i in range(count):
+                results.append(_best_detection(
+                    boxes[i], scores[i], classes[i], valid[i], h, w,
+                    self.cow_class_id))
+
+        for count, chunk in chunk_iter:
+            h, w = chunk.shape[1:3]
+            if fn is None:
+                if self._resolve_transfer(h, w) == "yuv420":
+                    from ..video.yuv import rgb_to_i420
+                    prep, fn = (lambda c: rgb_to_i420(
+                        np.ascontiguousarray(c))), self._jit_yuv
+                else:
+                    prep, fn = np.ascontiguousarray, self._jit
+            with (timers.time("curation.detect") if timers
+                  else contextlib.nullcontext()):
+                dev = jax.device_put(prep(chunk))
+                res = fn(dev)
+                self.dispatches += 1
+                if pending is not None:
+                    consume(pending)
+                pending = (count, h, w, res)
+        if pending is not None:
+            consume(pending)
+        return results
 
     def detect_batch(self, frames: np.ndarray, *, bgr: bool = True
                      ) -> List[Optional[Dict[str, Any]]]:
@@ -164,29 +239,23 @@ class BatchedYoloDetector:
         ``bgr=False`` takes RGB directly (the decode loop already holds
         RGB — skips a per-frame BGR round trip that detect_batch would
         immediately undo)."""
-        import jax
         n, h, w = frames.shape[:3]
         rgb = frames[..., ::-1] if bgr else frames
         # single frames (Detector-protocol __call__) run a batch-1
         # signature instead of zero-padding to a full chunk — one extra
         # compile, 1/chunk the per-call compute/wire
         bs = 1 if n == 1 else self.chunk
-        if n % bs:
-            pad = bs - n % bs
-            rgb = np.concatenate(
-                [rgb, np.zeros((pad, h, w, 3), np.uint8)], axis=0)
-        results: List[Optional[Dict[str, Any]]] = []
-        for o in range(0, len(rgb), bs):
-            dev = jax.device_put(np.ascontiguousarray(rgb[o:o + bs]))
-            boxes, scores, classes, valid = self._jit(dev)
-            self.dispatches += 1
-            boxes, scores = np.asarray(boxes), np.asarray(scores)
-            classes, valid = np.asarray(classes), np.asarray(valid)
-            for i in range(min(bs, n - o)):
-                results.append(_best_detection(
-                    boxes[i], scores[i], classes[i], valid[i], h, w,
-                    self.cow_class_id))
-        return results
+
+        def chunks():
+            for o in range(0, n, bs):
+                c = rgb[o:o + bs]
+                if len(c) < bs:
+                    c = np.concatenate(
+                        [c, np.zeros((bs - len(c), h, w, 3), np.uint8)],
+                        axis=0)
+                yield min(bs, n - o), c
+
+        return self.detect_stream(chunks())
 
     def __call__(self, frame_bgr: np.ndarray) -> Optional[Dict[str, Any]]:
         return self.detect_batch(frame_bgr[None])[0]
@@ -247,51 +316,78 @@ class ClipCurator:
         self.timers = timers or StageTimers()
         self.canonical_dir = dirs.canonical
         self.reports_dir = dirs.quality_reports
+        self._frame_cache: Optional[Dict[str, Any]] = None
         self.canonical_dir.mkdir(parents=True, exist_ok=True)
         self.reports_dir.mkdir(parents=True, exist_ok=True)
 
     # -- stage 1: one decode pass -------------------------------------------
+    def _cache_frame(self, cache: Dict[str, Any], frame: np.ndarray):
+        """Retain a decoded frame for downstream reuse (canonical/backup
+        extraction + the driver's preprocess crop read the SAME raw
+        upload — on a 1-CPU host each re-decode is pure repeated work).
+        The cache is byte-capped (LAMENESS_FRAME_CACHE_MB, default 2048);
+        past the cap it is dropped whole and every consumer falls back to
+        its own decode, so outputs never depend on cache state."""
+        if cache["frames"] is None:
+            return
+        cache["bytes"] += frame.nbytes
+        if cache["bytes"] > cache["cap"]:
+            cache["frames"] = None
+        else:
+            cache["frames"].append(frame)
+
+    @staticmethod
+    def _cache_cap_bytes() -> int:
+        import os
+        return int(float(os.environ.get(
+            "LAMENESS_FRAME_CACHE_MB", "2048")) * 1e6)
+
+    def take_frame_cache(self, video_path: Path
+                         ) -> Optional[Dict[str, Any]]:
+        """Pop the one-video decoded-frame cache if it matches ``video_path``
+        (driver._preprocess calls this; popping frees the memory once the
+        last consumer is done)."""
+        fc = self._frame_cache
+        self._frame_cache = None
+        if fc and fc["frames"] is not None \
+                and fc["path"] == Path(video_path).resolve():
+            return fc
+        return None
+
     def track_cow_through_video(self, video_path: Path):
         """Detection + visual-quality stats for every frame in one pass.
 
-        A detector exposing ``detect_batch`` (BatchedYoloDetector) runs
+        A detector exposing ``detect_stream`` (BatchedYoloDetector) runs
         once per CHUNK of frames — ceil(F/chunk) device dispatches per
         video instead of F (the reference's per-frame loop,
-        clip-curation:133-167).  Stateful per-frame detectors (MOG2
-        background subtraction needs frame order) keep the frame loop."""
-        batch_fn = getattr(self.detector, "detect_batch", None)
-        chunk = getattr(self.detector, "chunk", 16) if batch_fn else 1
+        clip-curation:133-167) — with decode + Laplacian/brightness on a
+        producer thread while the calling thread streams chunks to the
+        device (transfer-bound on the tunnel; host work hides under the
+        wire).  Stateful per-frame detectors (MOG2 background
+        subtraction needs frame order) keep the serial frame loop."""
+        batch_fn = getattr(self.detector, "detect_stream", None)
+        cache = {"path": Path(video_path).resolve(), "frames": [],
+                 "bytes": 0, "cap": self._cache_cap_bytes(), "info": None}
+        self._frame_cache = None
+        if batch_fn is None:
+            detections, info, visual = self._track_serial(video_path, cache)
+        else:
+            detections, info, visual = self._track_streamed(
+                video_path, cache, batch_fn)
+        if cache["frames"] is not None:
+            cache["info"] = info
+            self._frame_cache = cache
+        return detections, info, visual
+
+    def _track_serial(self, video_path: Path, cache):
         with VideoReader(video_path) as vr:
             info = vr.info
             detections: List[Dict[str, Any]] = []
             visual: List[float] = []
-            pending: List[Tuple[int, np.ndarray]] = []
-
-            def flush():
-                if not pending:
-                    return
-                with self.timers.time("curation.detect"):
-                    # frames stay RGB end-to-end: the decode loop holds
-                    # RGB and detect_batch wants RGB on device — no
-                    # per-frame BGR round trip
-                    dets = batch_fn(np.stack([f for _, f in pending]),
-                                    bgr=False)
-                for (idx, _), det in zip(pending, dets):
-                    detections.append({
-                        "frame": idx,
-                        "time": idx / info["fps"] if info["fps"] > 0 else 0,
-                        "detection": det,
-                    })
-                pending.clear()
-
             for idx, frame_rgb in vr.frames(interval=1, rgb=True):
                 gray = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
                 visual.append((blur_score(gray) + brightness_score(gray)) / 2)
-                if batch_fn is not None:
-                    pending.append((idx, frame_rgb))
-                    if len(pending) >= chunk:
-                        flush()
-                    continue
+                self._cache_frame(cache, frame_rgb)
                 with self.timers.time("curation.detect"):
                     # stateful per-frame detectors (MOG2) take BGR
                     det = self.detector(
@@ -301,9 +397,69 @@ class ClipCurator:
                     "time": idx / info["fps"] if info["fps"] > 0 else 0,
                     "detection": det,
                 })
-            if batch_fn is not None:
-                flush()
         return detections, info, np.asarray(visual)
+
+    def _track_streamed(self, video_path: Path, cache, batch_fn):
+        """Producer thread: decode + per-frame quality stats + frame
+        cache, pushing fixed-size chunks.  Calling thread: the pipelined
+        device loop (ALL device IO on one thread — two threads doing
+        device IO degrade both on the tunnel, sg_put_contended,
+        docs/PROBES_r03.json)."""
+        import queue as _queue
+        import threading as _threading
+        chunk = getattr(self.detector, "chunk", 16)
+        q: "_queue.Queue" = _queue.Queue(maxsize=4)
+        state: Dict[str, Any] = {"info": None, "visual": [], "indices": [],
+                                 "err": None}
+
+        def producer():
+            try:
+                with VideoReader(video_path) as vr:
+                    state["info"] = info = vr.info
+                    pend: List[np.ndarray] = []
+                    for idx, frame_rgb in vr.frames(interval=1, rgb=True):
+                        gray = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
+                        state["visual"].append(
+                            (blur_score(gray) + brightness_score(gray)) / 2)
+                        state["indices"].append(idx)
+                        self._cache_frame(cache, frame_rgb)
+                        pend.append(frame_rgb)
+                        if len(pend) >= chunk:
+                            q.put((len(pend), np.stack(pend)))
+                            pend = []
+                    if pend:
+                        c = np.stack(pend)
+                        if len(pend) < chunk:
+                            c = np.concatenate(
+                                [c, np.zeros((chunk - len(pend),)
+                                             + c.shape[1:], np.uint8)],
+                                axis=0)
+                        q.put((len(pend), c))
+            except Exception as e:      # re-raised on the calling thread
+                state["err"] = e
+            finally:
+                q.put(None)             # sentinel MUST reach the consumer
+
+        def chunk_iter():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+
+        t = _threading.Thread(target=producer, daemon=True)
+        t.start()
+        dets = batch_fn(chunk_iter(), timers=self.timers)
+        t.join()
+        if state["err"] is not None:
+            raise state["err"]
+        info = state["info"]
+        fps = info["fps"] if info else 0
+        detections = [{"frame": idx,
+                       "time": idx / fps if fps > 0 else 0,
+                       "detection": det}
+                      for idx, det in zip(state["indices"], dets)]
+        return detections, info, np.asarray(state["visual"])
 
     # -- stage 2: walking passes (clip-curation:175-289) ---------------------
     def identify_walking_passes(self, detections: List[Dict],
@@ -442,12 +598,18 @@ class ClipCurator:
 
     # -- stage 4: extraction (clip-curation:434-505) -------------------------
     def extract_canonical_clip(self, video_path: Path, cand: ClipCandidate,
-                               output_path: Path, video_info: Dict) -> bool:
+                               output_path: Path, video_info: Dict,
+                               frames_cache: Optional[List[np.ndarray]] = None
+                               ) -> bool:
+        """``frames_cache``: the track pass's decoded frames (indices are
+        contiguous from 0, matching the decode loop) — selection logic is
+        identical either way, so the output bytes are too."""
         target_frames = int(CANONICAL_DURATION * TARGET_FPS)
         ratio = video_info["fps"] / TARGET_FPS
         frames_out: List[np.ndarray] = []
-        with VideoReader(video_path) as vr:
-            for idx, frame in vr.frames(interval=1, rgb=True):
+
+        def feed(pairs):
+            for idx, frame in pairs:
                 if idx < cand.start_frame:
                     continue
                 rel = idx - cand.start_frame
@@ -459,6 +621,12 @@ class ClipCurator:
                     frames_out.append(f)
                 if len(frames_out) >= target_frames:
                     break
+
+        if frames_cache is not None:
+            feed(enumerate(frames_cache))
+        else:
+            with VideoReader(video_path) as vr:
+                feed(vr.frames(interval=1, rgb=True))
         return write_video(output_path, frames_out, TARGET_FPS)
 
     # -- full curation (clip-curation:567-672) -------------------------------
@@ -496,16 +664,22 @@ class ClipCurator:
             rejection = ("no valid walking pass of sufficient length"
                          if not passes else "no window long enough for 5s clip")
         else:
+            fc = self._frame_cache["frames"] \
+                if (self._frame_cache is not None
+                    and self._frame_cache["path"]
+                    == Path(video_path).resolve()) else None
             out_path = self.canonical_dir / f"{video_id}_canonical.mp4"
             with self.timers.time("curation.extract"):
                 ok = self.extract_canonical_clip(video_path, selected,
-                                                 out_path, info)
+                                                 out_path, info,
+                                                 frames_cache=fc)
             if not ok:
                 status, rejection = "failed", "clip extraction failed"
             if backup is not None and ok:
                 self.extract_canonical_clip(
                     video_path, backup,
-                    self.canonical_dir / f"{video_id}_backup.mp4", info)
+                    self.canonical_dir / f"{video_id}_backup.mp4", info,
+                    frames_cache=fc)
 
         report = schemas.quality_report(
             video_id=video_id,

@@ -131,18 +131,35 @@ class BatchedYoloDetector:
     Selection semantics and numerics are identical to ``yolo_detector``
     (same letterbox math vmapped on device, same NMS, same
     ``_best_detection``) — pinned by tests/test_curation_batched.py.
-    Exposes ``detect_batch`` (used by ClipCurator.track_cow_through_video
-    when present) and per-frame ``__call__`` for Detector compatibility.
+    Exposes ``detect_stream`` (the pipelined loop
+    ClipCurator.track_cow_through_video feeds from its producer thread),
+    ``detect_batch`` over an in-memory array, and per-frame ``__call__``
+    for Detector compatibility.  On TPU backends chunks ride the wire as
+    I420 planes (transfer='yuv420' default — half the bytes on the
+    bandwidth-limited link; CPU keeps rgb so parity tests stay
+    bit-exact).
     """
 
     def __init__(self, model, params, conf: float = 0.3,
-                 cow_class_id: int = 19, size: int = 640, chunk: int = 16,
+                 cow_class_id: int = 19, size: int = 640,
+                 chunk: Optional[int] = None,
                  transfer: Optional[str] = None):
+        import os
+
         import jax
         import jax.numpy as jnp
         from ..models.yolo import detect as yolo_detect
         from ..ops.preprocess import letterbox, unletterbox_boxes
         from ..video.yuv import i420_to_rgb_device
+        if chunk is None:
+            # the tunnel's effective host→device rate roughly halves
+            # below ~64 MB per transfer (ld_put_idle, docs/PROBES_r03.json):
+            # 48 frames of 720p I420 ≈ 66 MB per put, vs ~22 MB at 16.
+            # Zero-pad rows in the ragged tail chunk are nearly free on
+            # the wire (the tunnel compresses the stream).
+            env = os.environ.get("LAMENESS_CURATION_CHUNK")
+            chunk = int(env) if env else \
+                (48 if jax.default_backend() == "tpu" else 16)
         self.chunk = int(chunk)
         self.cow_class_id = cow_class_id
         self.transfer = transfer         # None -> backend default
@@ -410,12 +427,24 @@ class ClipCurator:
         chunk = getattr(self.detector, "chunk", 16)
         q: "_queue.Queue" = _queue.Queue(maxsize=4)
         state: Dict[str, Any] = {"info": None, "visual": [], "indices": [],
-                                 "err": None}
+                                 "err": None, "abort": False}
+
+        def safe_put(item) -> bool:
+            # never block forever: if the device loop died, its thread
+            # stops draining the bounded queue — the abort flag lets the
+            # producer exit so join() cannot hang
+            while not state["abort"]:
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 with VideoReader(video_path) as vr:
-                    state["info"] = info = vr.info
+                    state["info"] = vr.info
                     pend: List[np.ndarray] = []
                     for idx, frame_rgb in vr.frames(interval=1, rgb=True):
                         gray = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
@@ -425,7 +454,8 @@ class ClipCurator:
                         self._cache_frame(cache, frame_rgb)
                         pend.append(frame_rgb)
                         if len(pend) >= chunk:
-                            q.put((len(pend), np.stack(pend)))
+                            if not safe_put((len(pend), np.stack(pend))):
+                                return
                             pend = []
                     if pend:
                         c = np.stack(pend)
@@ -434,11 +464,11 @@ class ClipCurator:
                                 [c, np.zeros((chunk - len(pend),)
                                              + c.shape[1:], np.uint8)],
                                 axis=0)
-                        q.put((len(pend), c))
+                        safe_put((len(pend), c))
             except Exception as e:      # re-raised on the calling thread
                 state["err"] = e
             finally:
-                q.put(None)             # sentinel MUST reach the consumer
+                safe_put(None)          # sentinel MUST reach the consumer
 
         def chunk_iter():
             while True:
@@ -449,8 +479,13 @@ class ClipCurator:
 
         t = _threading.Thread(target=producer, daemon=True)
         t.start()
-        dets = batch_fn(chunk_iter(), timers=self.timers)
-        t.join()
+        try:
+            dets = batch_fn(chunk_iter(), timers=self.timers)
+        except BaseException:
+            state["abort"] = True
+            raise
+        finally:
+            t.join()
         if state["err"] is not None:
             raise state["err"]
         info = state["info"]

@@ -77,6 +77,18 @@ def test_yuv_transfer_default_and_env(tiny_yolo, monkeypatch):
     assert det2._resolve_transfer(72, 96) == "yuv420"  # explicit wins
 
 
+def test_chunk_default_resolution(tiny_yolo, monkeypatch):
+    """Default chunk: 16 on CPU (bit-exact test parity), 48 on TPU
+    (~64 MB I420 puts restore the tunnel's full link rate —
+    docs/PROBES_r03.json ld_put_idle); LAMENESS_CURATION_CHUNK wins."""
+    model, params = tiny_yolo
+    assert BatchedYoloDetector(model, params, size=64).chunk == 16
+    monkeypatch.setenv("LAMENESS_CURATION_CHUNK", "24")
+    assert BatchedYoloDetector(model, params, size=64).chunk == 24
+    monkeypatch.delenv("LAMENESS_CURATION_CHUNK")
+    assert BatchedYoloDetector(model, params, size=64, chunk=4).chunk == 4
+
+
 def _walking_video(tmp_path, n=140, h=72, w=96):
     rng = np.random.default_rng(7)
     frames = np.zeros((n, h, w, 3), np.uint8)
@@ -133,6 +145,28 @@ def test_take_frame_cache_contract(tiny_yolo, tmp_path):
     assert fc is not None and len(fc["frames"]) == 40
     assert fc["info"]["total_frames"] == 40
     assert cur.take_frame_cache(video) is None                   # popped
+
+
+def test_streamed_track_device_error_propagates(tmp_path):
+    """A device-loop failure mid-stream must raise promptly on the
+    calling thread — not wedge the producer on the bounded queue."""
+    class ExplodingDetector:
+        chunk = 4
+
+        def detect_stream(self, chunk_iter, timers=None):
+            next(iter(chunk_iter))
+            raise RuntimeError("device died")
+
+        def __call__(self, frame):      # Detector protocol
+            return None
+
+    video = _walking_video(tmp_path, n=40)
+    cur = ClipCurator(DataDirs(root=str(tmp_path / "d")),
+                      detector=ExplodingDetector())
+    t0 = __import__("time").time()
+    with pytest.raises(RuntimeError, match="device died"):
+        cur.track_cow_through_video(video)
+    assert __import__("time").time() - t0 < 30
 
 
 def test_preprocess_reuses_cache_identically(tmp_path, monkeypatch):
